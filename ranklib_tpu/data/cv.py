@@ -1,0 +1,52 @@
+"""k-fold cross-validation splits.
+
+Deterministic sequential (round-robin) assignment of queries to folds, no
+shuffle — matches the reference's FeatureManager.prepareCV semantics
+(ref: features/FeatureManager.java:~200): query i lands in test fold
+``i % k``; the remaining folds form its training set. With ``tvs`` (train-
+validation split ratio, ref: Evaluator -tvs), the tail of each fold's train
+queries becomes validation.
+"""
+
+from __future__ import annotations
+
+from ranklib_tpu.data.dataset import Dataset
+from ranklib_tpu.utils.errors import RankLibError
+
+
+def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0):
+    """Return list of (train, validation_or_None, test) Dataset triples."""
+    if n_fold < 2:
+        raise RankLibError(f"Need at least 2 folds, got {n_fold}")
+    if len(ds.queries) < n_fold:
+        raise RankLibError(
+            f"Cannot make {n_fold} folds from {len(ds.queries)} queries"
+        )
+    fold_test = [[] for _ in range(n_fold)]
+    for i, q in enumerate(ds.queries):
+        fold_test[i % n_fold].append(q)
+    splits = []
+    for f in range(n_fold):
+        train = [q for g in range(n_fold) if g != f for q in fold_test[g]]
+        valid = None
+        if tvs and tvs > 0:
+            n_train = int(len(train) * tvs)
+            if n_train < 1 or n_train >= len(train):
+                raise RankLibError(f"-tvs {tvs} leaves an empty train or validation split")
+            valid = Dataset(train[n_train:], ds.n_features)
+            train = train[:n_train]
+        splits.append(
+            (Dataset(train, ds.n_features), valid, Dataset(fold_test[f], ds.n_features))
+        )
+    return splits
+
+
+def split_tvs(ds: Dataset, tvs: float):
+    """Split one dataset into (train, validation) by ratio (ref: -tvs flag)."""
+    n_train = int(len(ds.queries) * tvs)
+    if n_train < 1 or n_train >= len(ds.queries):
+        raise RankLibError(f"-tvs {tvs} leaves an empty train or validation split")
+    return (
+        Dataset(ds.queries[:n_train], ds.n_features),
+        Dataset(ds.queries[n_train:], ds.n_features),
+    )

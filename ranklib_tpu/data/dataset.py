@@ -1,0 +1,168 @@
+"""Host-side data model and device-side padded batches.
+
+The reference models data as DataPoint objects inside RankList objects
+(ref: learning/DataPoint.java:~30, learning/RankList.java:~15). On TPU the
+object graph dissolves into arrays:
+
+* host side — :class:`Query` (one ranked list: labels[n], feats[n, F]) and
+  :class:`Dataset` (file-ordered list of queries);
+* device side — :class:`QueryBucket`: queries padded to a common doc count
+  D and stacked as ``feats[B, D, F]``, ``labels[B, D]``, ``mask[B, D]``.
+  Bucketing by padded size bounds padding waste for the O(D²) pairwise
+  work (SURVEY.md §5 "long-context" row: MSLR doc counts reach ~1,200).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ranklib_tpu.utils.errors import RankLibError
+
+# Padded-size ladder. 8 is the f32 sublane width; larger steps are lane /
+# MXU friendly. Queries above the last edge are padded to a multiple of 512.
+BUCKET_EDGES = (8, 16, 32, 64, 128, 256, 512, 1024, 1536, 2048)
+
+
+@dataclass
+class Query:
+    """One ranked list (the reference's RankList)."""
+
+    qid: str
+    labels: np.ndarray          # [n] float32 graded relevance
+    feats: np.ndarray           # [n, F] float32, column j = fid j+1
+    descs: list = field(default_factory=list)  # per-doc '# ...' descriptions
+
+    @property
+    def n(self) -> int:
+        return int(self.labels.shape[0])
+
+    def correct_ranking(self) -> np.ndarray:
+        """Permutation sorting docs by label desc, stable (ref:
+        RankList.getCorrectRanking via MergeSorter — stability defines
+        deterministic tie-breaking, utilities/MergeSorter.java:~20)."""
+        return np.argsort(-self.labels, kind="stable")
+
+
+@dataclass
+class Dataset:
+    queries: list               # list[Query], file order
+    n_features: int             # max fid seen (1-indexed width)
+
+    def __len__(self):
+        return len(self.queries)
+
+    def __iter__(self):
+        return iter(self.queries)
+
+    @property
+    def n_docs(self) -> int:
+        return sum(q.n for q in self.queries)
+
+    def subset_features(self, fids) -> "Dataset":
+        """Restrict to a feature subset, keeping column positions (unlisted
+        features read as 0 — matches training on a `-feature` subset where
+        the model still addresses original fids)."""
+        keep = np.zeros(self.n_features, dtype=bool)
+        for fid in fids:
+            if fid < 1 or fid > self.n_features:
+                raise RankLibError(f"Feature id {fid} out of range 1..{self.n_features}")
+            keep[fid - 1] = True
+        out = []
+        for q in self.queries:
+            feats = np.where(keep[None, :], q.feats, 0.0).astype(np.float32)
+            out.append(Query(q.qid, q.labels.copy(), feats, list(q.descs)))
+        return Dataset(out, self.n_features)
+
+    def all_fids(self):
+        """All fids 1..F (ref: FeatureManager.getFeatureFromSampleVector)."""
+        return list(range(1, self.n_features + 1))
+
+
+def read_feature_file(path: str):
+    """Feature-subset file: one fid per line, '#' comments
+    (ref: FeatureManager.readFeature, features/FeatureManager.java:~350)."""
+    fids = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                fids.append(int(line))
+    return fids
+
+
+@dataclass
+class QueryBucket:
+    """A stack of queries padded to the same doc count (device-friendly)."""
+
+    feats: np.ndarray       # [B, D, F] float32
+    labels: np.ndarray      # [B, D] float32 (padding = 0)
+    mask: np.ndarray        # [B, D] bool (True = real doc)
+    qidx: np.ndarray        # [B] int32 — index of the query in Dataset.queries
+    n_docs: np.ndarray      # [B] int32 — true doc counts
+
+    @property
+    def B(self) -> int:
+        return int(self.labels.shape[0])
+
+    @property
+    def D(self) -> int:
+        return int(self.labels.shape[1])
+
+
+def padded_size(n: int) -> int:
+    for e in BUCKET_EDGES:
+        if n <= e:
+            return e
+    return ((n + 511) // 512) * 512
+
+
+def bucketize(ds: Dataset, with_feats: bool = True) -> list:
+    """Group queries into :class:`QueryBucket`\\ s by padded doc count.
+
+    Query order inside a bucket follows file order; macro-averaged metrics
+    are order-independent so bucketing never changes results.
+    """
+    groups = {}
+    for qi, q in enumerate(ds.queries):
+        groups.setdefault(padded_size(q.n), []).append(qi)
+    buckets = []
+    for D in sorted(groups):
+        idxs = groups[D]
+        B = len(idxs)
+        labels = np.zeros((B, D), dtype=np.float32)
+        mask = np.zeros((B, D), dtype=bool)
+        n_docs = np.zeros((B,), dtype=np.int32)
+        feats = np.zeros((B, D, ds.n_features), dtype=np.float32) if with_feats else None
+        for b, qi in enumerate(idxs):
+            q = ds.queries[qi]
+            labels[b, : q.n] = q.labels
+            mask[b, : q.n] = True
+            n_docs[b] = q.n
+            if with_feats:
+                feats[b, : q.n] = q.feats
+        buckets.append(
+            QueryBucket(feats=feats, labels=labels, mask=mask,
+                        qidx=np.asarray(idxs, dtype=np.int32), n_docs=n_docs)
+        )
+    return buckets
+
+
+def flatten(ds: Dataset):
+    """Flat doc-major arrays for GBDT: feats[N, F], labels[N], qptr[Q+1].
+
+    (The reference's LambdaMART.init flattens all docs into martSamples[] —
+    ref: learning/tree/LambdaMART.java:~40.)
+    """
+    N = ds.n_docs
+    feats = np.empty((N, ds.n_features), dtype=np.float32)
+    labels = np.empty((N,), dtype=np.float32)
+    qptr = np.zeros((len(ds.queries) + 1,), dtype=np.int64)
+    pos = 0
+    for i, q in enumerate(ds.queries):
+        feats[pos : pos + q.n] = q.feats
+        labels[pos : pos + q.n] = q.labels
+        pos += q.n
+        qptr[i + 1] = pos
+    return feats, labels, qptr

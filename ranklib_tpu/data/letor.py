@@ -1,0 +1,131 @@
+"""LETOR / SVMLight-with-qid parser and writer.
+
+Line format (ref: learning/DataPoint.java:~120):
+
+    <label> qid:<qid> <fid>:<val> <fid>:<val> ... # <description>
+
+* labels are graded relevance floats (0..gmax);
+* feature ids are 1-indexed, need not be contiguous or sorted;
+* docs of one query must be CONSECUTIVE lines (qid order across the file is
+  free, but a qid may not be interleaved — ref: FeatureManager.readInput,
+  features/FeatureManager.java:~60 groups consecutive same-qid lines);
+* unknown fids read as 0 ("missing zero" semantics);
+* ``#`` starts a description kept verbatim for re-ranking output;
+* gzip files are handled transparently.
+
+The reference keeps per-doc objects (Dense/SparseDataPoint); on TPU we go
+straight to dense per-query float32 matrices — sparsity is an IO concern
+only (SURVEY.md §7: MSLR is dense).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ranklib_tpu.data.dataset import Dataset, Query
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.io import open_text
+from ranklib_tpu.utils.logging import log
+
+
+def _parse_line(line: str):
+    """Parse one LETOR line → (label, qid, fids, vals, description)."""
+    desc = ""
+    hash_pos = line.find("#")
+    if hash_pos >= 0:
+        desc = line[hash_pos:].rstrip()
+        line = line[:hash_pos]
+    toks = line.split()
+    if len(toks) < 2:
+        raise RankLibError(f"Unparseable LETOR line: {line!r}")
+    try:
+        label = float(toks[0])
+    except ValueError as e:
+        raise RankLibError(f"Bad relevance label in line: {line!r}") from e
+    if label < 0:
+        raise RankLibError("Relevance label cannot be negative: " + line)
+    if not toks[1].startswith("qid:"):
+        raise RankLibError(f"Missing qid in line: {line!r}")
+    qid = toks[1][4:]
+    fids = []
+    vals = []
+    for t in toks[2:]:
+        c = t.find(":")
+        if c <= 0:
+            raise RankLibError(f"Bad feature token {t!r} in line: {line!r}")
+        fid = int(t[:c])
+        if fid <= 0:
+            raise RankLibError(f"Feature id must be >= 1, got {fid}: {line!r}")
+        fids.append(fid)
+        vals.append(float(t[c + 1:]))
+    return label, qid, fids, vals, desc
+
+
+def read_letor(path: str, must_have_rel_doc: bool = False,
+               n_features: int | None = None, quiet: bool = False) -> Dataset:
+    """Read a LETOR file into a :class:`Dataset`.
+
+    ``must_have_rel_doc`` drops queries with no relevant (label>0) document
+    (ref: Evaluator's ``mustHaveRelDoc``, set when a train metric requires
+    relevance). ``n_features`` pre-pins the feature-vector width (otherwise
+    the global max fid in the file defines it, like DataPoint.featureCount).
+    """
+    raw = []  # (qid, labels, fid_lists, val_lists, descs) per query, file order
+    max_fid = 0
+    cur_qid = None
+    cur = None
+    n_lines = 0
+    with open_text(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            label, qid, fids, vals, desc = _parse_line(line)
+            n_lines += 1
+            if fids:
+                m = max(fids)
+                if m > max_fid:
+                    max_fid = m
+            if qid != cur_qid:
+                cur = ([], [], [], [])
+                raw.append((qid, cur))
+                cur_qid = qid
+            cur[0].append(label)
+            cur[1].append(fids)
+            cur[2].append(vals)
+            cur[3].append(desc)
+    if n_features is not None:
+        max_fid = max(max_fid, int(n_features))
+    queries = []
+    n_dropped = 0
+    for qid, (labels, fid_lists, val_lists, descs) in raw:
+        labels_arr = np.asarray(labels, dtype=np.float32)
+        if must_have_rel_doc and not (labels_arr > 0).any():
+            n_dropped += 1
+            continue
+        n = len(labels)
+        feats = np.zeros((n, max_fid), dtype=np.float32)
+        for i, (fids, vals) in enumerate(zip(fid_lists, val_lists)):
+            if fids:
+                feats[i, np.asarray(fids, dtype=np.int64) - 1] = vals
+        queries.append(Query(qid=qid, labels=labels_arr, feats=feats, descs=descs))
+    if not queries:
+        raise RankLibError(f"No queries read from {path}")
+    if not quiet:
+        log(f"Reading feature file [{path}]... [Done.]")
+        log(f"({len(queries)} ranked lists, {sum(q.n for q in queries)} entries read)")
+        if n_dropped:
+            log(f"({n_dropped} queries with no relevant documents dropped)")
+    return Dataset(queries=queries, n_features=max_fid)
+
+
+def write_letor(ds: Dataset, path: str) -> None:
+    """Write a Dataset back out in LETOR format (dense fids 1..F)."""
+    with open(path, "w") as f:
+        for q in ds.queries:
+            for i in range(q.n):
+                feats = " ".join(
+                    f"{fid}:{q.feats[i, fid - 1]:g}" for fid in range(1, ds.n_features + 1)
+                )
+                desc = (" " + q.descs[i]) if q.descs and q.descs[i] else ""
+                f.write(f"{q.labels[i]:g} qid:{q.qid} {feats}{desc}\n")

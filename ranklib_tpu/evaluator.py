@@ -1,0 +1,170 @@
+"""Orchestration flows (ref: eval/Evaluator.java:~400+).
+
+One function per reference flow: train(+validate)(+test), k-fold CV,
+load+test, load+rank (rerank), load+score, per-query metric output (-idv).
+The CLI (ranklib_tpu.cli) parses RankLib's flags and dispatches here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ranklib_tpu.data.cv import prepare_cv, split_tvs
+from ranklib_tpu.data.dataset import Dataset, read_feature_file
+from ranklib_tpu.data.letor import read_letor
+from ranklib_tpu.data.normalize import normalize_dataset
+from ranklib_tpu.metrics.base import MetricScorer, score_dataset
+from ranklib_tpu.models.base import Ranker, load_ranker_file
+from ranklib_tpu.models.trainer import train_ranker
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.logging import log
+
+
+def _prepare(path, norm, feature_fids, must_have_rel, n_features=None):
+    ds = read_letor(path, must_have_rel_doc=must_have_rel, n_features=n_features)
+    if feature_fids is not None:
+        ds = ds.subset_features(feature_fids)
+    if norm:
+        normalize_dataset(ds, norm)
+    return ds
+
+
+def write_idv(path: str, scorer: MetricScorer, ds: Dataset, per_query) -> None:
+    """Per-query metric file (ref: eval/Evaluator.java:~800, consumed by
+    Analyzer): '<metric>   <qid>   <value>' lines + an 'all' summary row."""
+    with open(path, "w") as f:
+        for q, v in zip(ds.queries, per_query):
+            f.write(f"{scorer.name}   {q.qid}   {v:.4f}\n")
+        f.write(f"{scorer.name}   all   {float(np.mean(per_query)):.4f}\n")
+    log(f"Per-ranked-list performance saved to: {path}")
+
+
+def write_score_file(path: str, ds: Dataset, scores) -> None:
+    """'<qid>\\t<docIndex>\\t<score>' lines (ref: Evaluator score flow)."""
+    with open(path, "w") as f:
+        for q, s in zip(ds.queries, scores):
+            for i, v in enumerate(s):
+                f.write(f"{q.qid}\t{i}\t{float(v):.6f}\n")
+    log(f"Scores saved to: {path}")
+
+
+def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
+    """Indri-style reranking output (ref: Evaluator -indri flow):
+    '<qid> Q0 <docid> <rank> <score> indri' in score-descending order."""
+    with open(path, "w") as f:
+        for q, s in zip(ds.queries, scores):
+            order = np.argsort(-np.asarray(s), kind="stable")
+            for rank, idx in enumerate(order, start=1):
+                desc = q.descs[idx] if q.descs and q.descs[idx] else ""
+                docid = desc.lstrip("#").strip() or f"doc{idx}"
+                f.write(f"{q.qid} Q0 {docid} {rank} {float(s[idx]):.6f} indri\n")
+    log(f"Reranked lists saved to: {path}")
+
+
+def evaluate_train(args) -> Ranker:
+    """Flow 3.1/3.2-adjacent: train (+validate) (+test), save model."""
+    feature_fids = read_feature_file(args.feature) if args.feature else None
+    train_scorer = MetricScorer(*_split_metric(args.metric2t), gmax=args.gmax)
+    test_scorer = (
+        MetricScorer(*_split_metric(args.metric2T), gmax=args.gmax)
+        if args.metric2T else train_scorer
+    )
+    must_rel = train_scorer.needs_rel
+    train = _prepare(args.train, args.norm, feature_fids, must_rel)
+    validation = None
+    if args.validate:
+        validation = _prepare(args.validate, args.norm, feature_fids, must_rel,
+                              n_features=train.n_features)
+    elif args.tvs and args.tvs > 0:
+        train, validation = split_tvs(train, args.tvs)
+    ranker = train_ranker(args.ranker, train, train_scorer, validation,
+                          args.hparams)
+    m_train, _ = score_dataset(train_scorer, train, ranker.eval_dataset(train))
+    log(f"{train_scorer.name} on training data: {m_train:.4f}")
+    if validation is not None:
+        m_val, _ = score_dataset(train_scorer, validation,
+                                 ranker.eval_dataset(validation))
+        log(f"{train_scorer.name} on validation data: {m_val:.4f}")
+    if args.test:
+        test = _prepare(args.test, args.norm, feature_fids, False,
+                        n_features=train.n_features)
+        m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
+        log(f"{test_scorer.name} on test data: {m_test:.4f}")
+        if args.idv:
+            write_idv(args.idv, test_scorer, test, per_q)
+    if args.save:
+        ranker.save(args.save)
+    return ranker
+
+
+def evaluate_kcv(args) -> None:
+    """k-fold cross validation (ref flow 3.2: -kcv, -kcvmd, -kcvmn)."""
+    feature_fids = read_feature_file(args.feature) if args.feature else None
+    train_scorer = MetricScorer(*_split_metric(args.metric2t), gmax=args.gmax)
+    test_scorer = (
+        MetricScorer(*_split_metric(args.metric2T), gmax=args.gmax)
+        if args.metric2T else train_scorer
+    )
+    ds = _prepare(args.train, args.norm, feature_fids, train_scorer.needs_rel)
+    splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
+    scores_train, scores_test = [], []
+    for fold, (tr, va, te) in enumerate(splits):
+        log("")
+        log(f"Fold {fold + 1} / {args.kcv}...")
+        ranker = train_ranker(args.ranker, tr, train_scorer, va, args.hparams)
+        m_tr, _ = score_dataset(train_scorer, tr, ranker.eval_dataset(tr))
+        m_te, _ = score_dataset(test_scorer, te, ranker.eval_dataset(te))
+        scores_train.append(m_tr)
+        scores_test.append(m_te)
+        if args.kcvmd:
+            os.makedirs(args.kcvmd, exist_ok=True)
+            name = args.kcvmn or "model"
+            ranker.save(os.path.join(args.kcvmd, f"f{fold + 1}.{name}"))
+    log("")
+    log("Summary:")
+    log(f"{'Fold':<8}| {train_scorer.name + ' (train)':<16}| "
+        f"{test_scorer.name + ' (test)':<16}")
+    for i, (a, b) in enumerate(zip(scores_train, scores_test)):
+        log(f"Fold {i + 1:<3}| {a:<16.4f}| {b:<16.4f}")
+    log(f"{'Avg.':<8}| {np.mean(scores_train):<16.4f}| "
+        f"{np.mean(scores_test):<16.4f}")
+
+
+def evaluate_test_only(args) -> None:
+    """Flow 3.3: -load model -test file -metric2T metric [-idv file]."""
+    scorer = MetricScorer(
+        *_split_metric(args.metric2T or args.metric2t), gmax=args.gmax)
+    ranker = load_ranker_file(args.load)
+    feature_fids = read_feature_file(args.feature) if args.feature else None
+    test = _prepare(args.test, args.norm, feature_fids, False)
+    m, per_q = score_dataset(scorer, test, ranker.eval_dataset(test))
+    log(f"{scorer.name} on test data: {m:.4f}")
+    if args.idv:
+        write_idv(args.idv, scorer, test, per_q)
+
+
+def evaluate_rank(args) -> None:
+    """Flow 3.3: -load model -rank file [-score out] [-indri out]."""
+    ranker = load_ranker_file(args.load)
+    feature_fids = read_feature_file(args.feature) if args.feature else None
+    data = _prepare(args.rank, args.norm, feature_fids, False)
+    scores = ranker.eval_dataset(data)
+    if args.score:
+        write_score_file(args.score, data, scores)
+    if args.indri:
+        write_indri_rankings(args.indri, data, scores)
+    if not args.score and not args.indri:
+        write_score_file("ranklib.score", data, scores)
+
+
+def _split_metric(metric: str):
+    m = metric.strip().upper()
+    if "@" in m:
+        name, _, k = m.partition("@")
+        try:
+            return name, int(k)
+        except ValueError:
+            raise RankLibError(f"Bad metric cutoff in '{metric}'") from None
+    return m, 10

@@ -1,0 +1,92 @@
+"""Linear Regression ranker (`-ranker 9`).
+
+Pointwise least squares of labels on features with ridge regularization
+(ref: learning/LinearRegRank.java:~25 — builds XᵀX and Xᵀy then solves by
+Gaussian elimination with lambda 1e-10 on the diagonal).
+
+TPU-first shape: the normal equations are accumulated as one batched
+matmul over all docs (an [N, F+1]ᵀ[N, F+1] Gram matrix — pure MXU work);
+the tiny (F+1)² solve runs on host in float64, matching the reference's
+double precision. Model format: '0:<intercept> 1:<w1> ...' (index 0 is the
+intercept; feature fids are 1-indexed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.models.base import (
+    Ranker, model_header, parse_model_params, register_ranker,
+)
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.logging import log
+
+
+@jax.jit
+def _gram(X, y):
+    """XᵀX and Xᵀy in one pass (f32 matmul, f32 accumulate)."""
+    return (
+        jnp.dot(X.T, X, preferred_element_type=jnp.float32),
+        jnp.dot(X.T, y, preferred_element_type=jnp.float32),
+    )
+
+
+@register_ranker
+class LinearRegRank(Ranker):
+    NAME = "Linear Regression"
+
+    def __init__(self, **hp):
+        self.lam = 1e-10          # ridge lambda (ref flag -L2, default 1e-10)
+        self.weights = None       # np.float64 [F + 1]; [0] = intercept
+        super().__init__(**hp)
+
+    def fit(self, train: Dataset, scorer=None, validation=None):
+        feats, labels, _ = flatten(train)
+        N, F = feats.shape
+        X = np.concatenate([np.ones((N, 1), np.float32), feats], axis=1)
+        if N * (F + 1) <= (1 << 22):
+            # small problems: full f64 on host for exact normal equations
+            Xd = X.astype(np.float64)
+            xtx = Xd.T @ Xd
+            xty = Xd.T @ labels.astype(np.float64)
+        else:
+            xtx, xty = (np.asarray(a, np.float64) for a in _gram(
+                jnp.asarray(X), jnp.asarray(labels)))
+        xtx[np.diag_indices_from(xtx)] += self.lam
+        try:
+            self.weights = np.linalg.solve(xtx, xty)
+        except np.linalg.LinAlgError as e:
+            raise RankLibError("Normal equations are singular") from e
+        if scorer is not None:
+            log(f"{scorer.name} on training data: "
+                f"{self.score_metric(train, scorer):.4f}")
+
+    def eval_dataset(self, ds: Dataset):
+        w = self.weights
+        if w is None:
+            raise RankLibError("Model not trained/loaded")
+        wf = np.zeros(ds.n_features + 1, np.float64)
+        wf[: min(len(w), len(wf))] = w[: len(wf)]
+        return [q.feats @ wf[1:].astype(np.float32) + np.float32(wf[0])
+                for q in ds.queries]
+
+    def model_str(self) -> str:
+        body = " ".join(f"{i}:{self.weights[i]}" for i in range(len(self.weights)))
+        return model_header(self.NAME, {"Lambda": self.lam}) + body + "\n"
+
+    def load_str(self, text: str) -> None:
+        params, body = parse_model_params(text)
+        if "Lambda" in params:
+            self.lam = float(params["Lambda"])
+        if not body:
+            raise RankLibError("Empty Linear Regression model body")
+        pairs = body[0].split()
+        max_id = max(int(p.split(":")[0]) for p in pairs)
+        w = np.zeros(max_id + 1, np.float64)
+        for p in pairs:
+            i, _, v = p.partition(":")
+            w[int(i)] = float(v)
+        self.weights = w

@@ -1,0 +1,33 @@
+"""Training harness (ref: learning/RankerTrainer.java:~20).
+
+Creates the ranker, fits it, prints wall-clock training time — the
+reference's only profiling output. Hyperparameters arrive as a dict of
+per-instance attributes (the reference sets public STATIC fields on ranker
+classes before construction; we deliberately drop that global state).
+"""
+
+from __future__ import annotations
+
+import time
+
+from ranklib_tpu.data.dataset import Dataset
+from ranklib_tpu.metrics.base import MetricScorer
+from ranklib_tpu.models.base import Ranker, get_ranker_class
+from ranklib_tpu.utils.logging import log
+
+
+def train_ranker(
+    ranker_type,
+    train: Dataset,
+    scorer: MetricScorer,
+    validation: Dataset | None = None,
+    hparams: dict | None = None,
+) -> Ranker:
+    cls = get_ranker_class(ranker_type)
+    ranker = cls(**(hparams or {}))
+    t0 = time.perf_counter()
+    ranker.fit(train, scorer, validation)
+    elapsed = time.perf_counter() - t0
+    log("")
+    log(f"Training time: {elapsed:.2f} seconds")
+    return ranker
