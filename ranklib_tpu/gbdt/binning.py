@@ -1,0 +1,61 @@
+"""Feature pre-binning (ref: learning/tree/FeatureHistogram.java:~60).
+
+The reference computes, once per training run, ≤ ``nThreshold`` (flag
+``-tc``, default 256) candidate split values per feature: all unique values
+when there are few enough, otherwise an evenly spaced grid between min and
+max. A doc goes left iff ``value <= threshold``.
+
+TPU-first shape: thresholds become a padded ``[F, B]`` float matrix and the
+training data becomes one integer bin matrix ``binned[N, F]`` with
+``bin = searchsorted(thresholds_f, value, side='left')`` so that
+``value <= thresholds_f[b]  ⟺  bin <= b``. All histogram and split work
+downstream runs on the integer matrix; raw feature values are only needed
+again when serializing real threshold floats into the model file.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def compute_thresholds(feats: np.ndarray, n_threshold: int):
+    """Per-feature candidate split values.
+
+    Returns (thresholds[F, B] float32 padded with +inf, n_bins[F] int32)
+    where B = max over features of the candidate count. The last real
+    threshold of each feature equals the feature max, so every training
+    value lands in a real bin.
+    """
+    N, F = feats.shape
+    per_feature = []
+    for f in range(F):
+        vals = np.unique(feats[:, f])
+        if len(vals) <= n_threshold:
+            thr = vals.astype(np.float32)
+        else:
+            lo, hi = float(vals[0]), float(vals[-1])
+            # evenly spaced grid, last point == max (ref: FeatureHistogram
+            # construct — step = (max-min)/nThreshold)
+            thr = np.linspace(lo, hi, n_threshold, dtype=np.float32)
+            thr[-1] = hi
+        per_feature.append(thr)
+    B = max(len(t) for t in per_feature)
+    # pad B to a lane-friendly multiple of 128 (free: padding bins stay empty)
+    B = max(8, ((B + 127) // 128) * 128) if B > 8 else 8
+    thresholds = np.full((F, B), np.inf, dtype=np.float32)
+    n_bins = np.zeros((F,), dtype=np.int32)
+    for f, t in enumerate(per_feature):
+        thresholds[f, : len(t)] = t
+        n_bins[f] = len(t)
+    return thresholds, n_bins
+
+
+def bin_features(feats: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """Assign each (doc, feature) value its bin: the smallest b with
+    value <= thresholds[f, b]. Values above the max threshold (possible on
+    validation/test data) get bin = n_bins (always routed right)."""
+    N, F = feats.shape
+    out = np.empty((N, F), dtype=np.int32)
+    for f in range(F):
+        out[:, f] = np.searchsorted(thresholds[f], feats[:, f], side="left")
+    return out

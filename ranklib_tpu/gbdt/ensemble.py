@@ -1,0 +1,214 @@
+"""Flat tree ensembles: vectorized traversal + RankLib model-file format.
+
+The reference stores trees as object graphs and serializes them as the
+``<ensemble><tree id=.. weight=..><split>…`` XML-ish text
+(ref: learning/tree/Ensemble.java:~100, learning/tree/Split.java
+serialization). Our trees are flat slot arrays (feature/threshold/left/
+right/output per node); traversal is a vectorized pointer chase — one
+gather per depth level over all docs × all trees, instead of per-DataPoint
+virtual calls (ref: Ensemble.eval = Σ weight·tree.eval).
+
+Save/load parity goal (SURVEY.md §5 checkpoint row): a model we save loads
+in RankLib and vice versa. Feature ids in the file are 1-indexed fids.
+"""
+
+from __future__ import annotations
+
+import functools
+import xml.etree.ElementTree as ET
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ranklib_tpu.utils.errors import RankLibError
+
+
+class Tree:
+    """One tree in flat-slot form (host numpy). Slot 0 = root."""
+
+    __slots__ = ("feature", "threshold", "left", "right", "is_leaf", "output")
+
+    def __init__(self, feature, threshold, left, right, is_leaf, output):
+        self.feature = np.asarray(feature, np.int32)      # 0-based column
+        self.threshold = np.asarray(threshold, np.float32)
+        self.left = np.asarray(left, np.int32)
+        self.right = np.asarray(right, np.int32)
+        self.is_leaf = np.asarray(is_leaf, bool)
+        self.output = np.asarray(output, np.float32)
+
+    @property
+    def n_slots(self):
+        return len(self.feature)
+
+    def depth(self) -> int:
+        def rec(node, d):
+            if self.is_leaf[node]:
+                return d
+            return max(rec(self.left[node], d + 1), rec(self.right[node], d + 1))
+        return rec(0, 0)
+
+
+class TreeEnsemble:
+    """List of (Tree, weight); weight = learning rate for boosted models
+    (ref: Ensemble.add(tree, learningRate))."""
+
+    def __init__(self):
+        self.trees: list[Tree] = []
+        self.weights: list[float] = []
+        self._packed = None
+
+    def add(self, tree: Tree, weight: float):
+        self.trees.append(tree)
+        self.weights.append(float(weight))
+        self._packed = None
+
+    def truncate(self, n: int):
+        """Keep the first n trees (validation-best rollback,
+        ref: LambdaMART learn() post-loop truncation)."""
+        self.trees = self.trees[:n]
+        self.weights = self.weights[:n]
+        self._packed = None
+
+    def __len__(self):
+        return len(self.trees)
+
+    # ---- vectorized eval ---------------------------------------------------
+    def _pack(self):
+        if self._packed is None:
+            T = len(self.trees)
+            M = max(t.n_slots for t in self.trees)
+            depth = max(t.depth() for t in self.trees) if T else 0
+            feat = np.zeros((T, M), np.int32)
+            thr = np.zeros((T, M), np.float32)
+            lft = np.zeros((T, M), np.int32)
+            rgt = np.zeros((T, M), np.int32)
+            leaf = np.ones((T, M), bool)
+            out = np.zeros((T, M), np.float32)
+            for i, t in enumerate(self.trees):
+                m = t.n_slots
+                feat[i, :m] = t.feature
+                thr[i, :m] = t.threshold
+                lft[i, :m] = np.maximum(t.left, 0)
+                rgt[i, :m] = np.maximum(t.right, 0)
+                leaf[i, :m] = t.is_leaf
+                out[i, :m] = t.output
+            self._packed = (
+                jnp.asarray(feat), jnp.asarray(thr), jnp.asarray(lft),
+                jnp.asarray(rgt), jnp.asarray(leaf), jnp.asarray(out),
+                jnp.asarray(np.asarray(self.weights, np.float32)), depth,
+            )
+        return self._packed
+
+    def eval_matrix(self, feats: np.ndarray) -> np.ndarray:
+        """feats [N, F] → scores [N] = Σ_t w_t · tree_t(x)."""
+        if not self.trees:
+            return np.zeros(feats.shape[0], np.float32)
+        feat, thr, lft, rgt, leaf, out, w, depth = self._pack()
+        return np.asarray(_ensemble_eval(
+            jnp.asarray(feats, jnp.float32), feat, thr, lft, rgt, leaf, out,
+            w, depth))
+
+    # ---- text format ---------------------------------------------------------
+    def to_text(self) -> str:
+        lines = ["<ensemble>"]
+        for i, (t, w) in enumerate(zip(self.trees, self.weights)):
+            lines.append(f"\t<tree id=\"{i + 1}\" weight=\"{w}\">")
+            lines.extend(_node_text(t, 0, 2))
+            lines.append("\t</tree>")
+        lines.append("</ensemble>")
+        return "\n".join(lines) + "\n"
+
+    @staticmethod
+    def from_text(text: str) -> "TreeEnsemble":
+        """Parse the reference's ensemble XML (tolerates whitespace in
+        <feature>/<threshold>/<output> text, as RankLib emits)."""
+        start = text.find("<ensemble>")
+        if start < 0:
+            raise RankLibError("No <ensemble> found in model text")
+        end = text.find("</ensemble>") + len("</ensemble>")
+        try:
+            root = ET.fromstring(text[start:end])
+        except ET.ParseError as e:
+            raise RankLibError(f"Bad ensemble XML: {e}") from e
+        ens = TreeEnsemble()
+        for tree_el in root.findall("tree"):
+            weight = float(tree_el.get("weight", "1.0"))
+            split = tree_el.find("split")
+            if split is None:
+                raise RankLibError("<tree> without <split>")
+            nodes = []
+            _parse_split(split, nodes)
+            ens.add(_tree_from_nodes(nodes), weight)
+        return ens
+
+
+def _node_text(t: Tree, node: int, indent: int, pos: str | None = None):
+    tab = "\t" * indent
+    attr = f" pos=\"{pos}\"" if pos else ""
+    lines = [f"{tab}<split{attr}>"]
+    if t.is_leaf[node]:
+        lines.append(f"{tab}\t<output> {t.output[node]:.15f} </output>")
+    else:
+        lines.append(f"{tab}\t<feature> {int(t.feature[node]) + 1} </feature>")
+        lines.append(f"{tab}\t<threshold> {t.threshold[node]} </threshold>")
+        lines.extend(_node_text(t, int(t.left[node]), indent + 1, "left"))
+        lines.extend(_node_text(t, int(t.right[node]), indent + 1, "right"))
+    lines.append(f"{tab}</split>")
+    return lines
+
+
+def _parse_split(el, nodes) -> int:
+    """Recursive descent over <split> elements → flat node list; returns
+    this node's slot index."""
+    idx = len(nodes)
+    nodes.append(None)
+    out_el = el.find("output")
+    feat_el = el.find("feature")
+    if feat_el is not None:
+        fid = int(feat_el.text.strip())
+        thr_el = el.find("threshold")
+        thr = float(thr_el.text.strip())
+        kids = {c.get("pos"): c for c in el.findall("split")}
+        if "left" not in kids or "right" not in kids:
+            raise RankLibError("Internal <split> missing left/right child")
+        l = _parse_split(kids["left"], nodes)
+        r = _parse_split(kids["right"], nodes)
+        nodes[idx] = (fid - 1, thr, l, r, False, 0.0)
+    elif out_el is not None:
+        nodes[idx] = (0, 0.0, -1, -1, True, float(out_el.text.strip()))
+    else:
+        raise RankLibError("<split> with neither children nor <output>")
+    return idx
+
+
+def _tree_from_nodes(nodes) -> Tree:
+    return Tree(
+        [n[0] for n in nodes], [n[1] for n in nodes], [n[2] for n in nodes],
+        [n[3] for n in nodes], [n[4] for n in nodes], [n[5] for n in nodes],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _ensemble_eval(X, feat, thr, lft, rgt, leaf, out, w, depth: int):
+    """X [N, F]; tree arrays [T, M] → scores [N].
+
+    Traversal: per tree, all docs descend in lockstep — `depth` rounds of
+    (gather split feature value, compare, select child). Leaves self-loop
+    via the is_leaf select.
+    """
+    N = X.shape[0]
+
+    def one_tree(f_, t_, l_, r_, lf_, o_):
+        def body(_, node):
+            v = jnp.take_along_axis(X, f_[node][:, None], axis=1)[:, 0]
+            nxt = jnp.where(v <= t_[node], l_[node], r_[node])
+            return jnp.where(lf_[node], node, nxt)
+
+        node = jax.lax.fori_loop(0, depth, body,
+                                 jnp.zeros((N,), jnp.int32))
+        return o_[node]
+
+    per_tree = jax.vmap(one_tree)(feat, thr, lft, rgt, leaf, out)   # [T, N]
+    return jnp.einsum("t,tn->n", w, per_tree,
+                      preferred_element_type=jnp.float32)

@@ -1,0 +1,206 @@
+"""Fully-jitted leaf-wise regression tree growth.
+
+Reference behavior (learning/tree/RegressionTree.java:~60 +
+FeatureHistogram.findBestSplit:~300):
+
+* best-first growth: a queue of leaves sorted by node deviance
+  (Σg² − S²/c); each step pops the highest-deviance leaf and applies its
+  best split until ``nLeaves`` leaves exist or nothing is splittable;
+* a split candidate (feature f, bin b) is valid iff both sides hold at
+  least ``minLeafSupport`` docs; among valid candidates the split
+  maximizing S_L²/c_L + S_R²/c_R wins, first (feature-major) max on ties;
+* child histograms come from the subtraction trick: build the smaller…
+  (here: right) child directly, derive the sibling as parent − child
+  (ref: FeatureHistogram construct-from-parent/sibling:~150).
+
+TPU-first shape: the whole growth loop is one ``lax.fori_loop`` under jit
+over fixed-size node arrays of ``M = 2·nLeaves − 1`` slots. Doc→leaf
+assignment is an ``[N]`` int array updated by masked select per split; the
+histogram is a 2-channel (Σgrad, count) ``[F, B]`` masked segment-sum.
+XLA needs static shapes — dynamic index lists (the reference's
+``Split.getSamples``) do not exist here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TreeArrays(NamedTuple):
+    """One grown tree in flat-slot form. Slot 0 is the root; unused slots
+    (when growth stopped early) have is_leaf=False and left=right=-1."""
+
+    feature: jnp.ndarray      # [M] int32 split feature (col index, 0-based)
+    bin: jnp.ndarray          # [M] int32 split bin (go left iff bin_d <= bin)
+    left: jnp.ndarray         # [M] int32 child slot (-1 on leaves)
+    right: jnp.ndarray        # [M] int32
+    is_leaf: jnp.ndarray      # [M] bool
+    n_nodes: jnp.ndarray      # [] int32 slots in use
+    node_of_doc: jnp.ndarray  # [N] int32 leaf slot of each training doc
+
+
+def _hist_for_mask(binned, grad, mask, n_bins_total):
+    """2-channel histogram (Σgrad, count) over docs selected by mask.
+
+    binned: [N, F] int32 with per-feature bins in [0, B); result [F, B, 2].
+    """
+    N, F = binned.shape
+    B = n_bins_total
+    ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * B + binned).reshape(-1)
+    g = jnp.where(mask, grad, 0.0)
+    m = mask.astype(jnp.float32)
+    data = jnp.stack(
+        [jnp.broadcast_to(g[:, None], (N, F)).reshape(-1),
+         jnp.broadcast_to(m[:, None], (N, F)).reshape(-1)], axis=-1)
+    h = jax.ops.segment_sum(data, ids, num_segments=F * B)
+    return h.reshape(F, B, 2)
+
+
+def _best_split(hist, S, C, mls):
+    """Scan all (feature, bin) candidates of one node's histogram.
+
+    Returns (gain, feature, bin, valid). Maximizes S_L²/c_L + S_R²/c_R over
+    candidates with both sides >= minLeafSupport; first max wins on ties
+    (feature-major order, matching the reference's scan order).
+    """
+    F, B, _ = hist.shape
+    c_l = jnp.cumsum(hist[..., 1], axis=1)
+    s_l = jnp.cumsum(hist[..., 0], axis=1)
+    c_r = C - c_l
+    s_r = S - s_l
+    ok = (c_l >= mls) & (c_r >= mls)
+    gain = jnp.where(
+        ok,
+        s_l * s_l / jnp.maximum(c_l, 1.0) + s_r * s_r / jnp.maximum(c_r, 1.0),
+        -jnp.inf,
+    ).reshape(-1)
+    idx = jnp.argmax(gain)
+    return gain[idx], (idx // B).astype(jnp.int32), (idx % B).astype(jnp.int32), jnp.isfinite(gain[idx])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "n_leaves", "min_leaf_support"))
+def grow_tree(binned, grad, n_bins: int, n_leaves: int,
+              min_leaf_support: int = 1) -> TreeArrays:
+    """Grow one regression tree on pseudo-responses ``grad``.
+
+    binned: [N, F] int32 pre-binned features (bins < n_bins);
+    grad: [N] float32.
+    """
+    N, F = binned.shape
+    M = 2 * n_leaves - 1
+    mls = float(min_leaf_support)
+    B = int(n_bins)
+
+    ones = jnp.ones((N,), dtype=bool)
+    root_hist = _hist_for_mask(binned, grad, ones, B)
+    S0 = jnp.sum(grad)
+    SQ0 = jnp.sum(grad * grad)
+    C0 = jnp.float32(N)
+    g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls)
+
+    hist = jnp.zeros((M, F, B, 2), jnp.float32).at[0].set(root_hist)
+    stats = jnp.zeros((M, 3), jnp.float32).at[0].set(jnp.stack([S0, SQ0, C0]))
+    # root deviance = +inf: the reference seeds the root with
+    # Float.MAX_VALUE so it is always popped first
+    deviance = jnp.full((M,), -jnp.inf).at[0].set(jnp.inf)
+    best_gain = jnp.zeros((M,)).at[0].set(g0)
+    best_f = jnp.zeros((M,), jnp.int32).at[0].set(f0)
+    best_b = jnp.zeros((M,), jnp.int32).at[0].set(b0)
+    splittable = jnp.zeros((M,), bool).at[0].set(ok0)
+
+    feature = jnp.full((M,), -1, jnp.int32)
+    sbin = jnp.full((M,), -1, jnp.int32)
+    left = jnp.full((M,), -1, jnp.int32)
+    right = jnp.full((M,), -1, jnp.int32)
+    is_leaf = jnp.zeros((M,), bool).at[0].set(True)
+    node_of_doc = jnp.zeros((N,), jnp.int32)
+    n_nodes = jnp.int32(1)
+
+    def body(_, st):
+        (hist, stats, deviance, best_gain, best_f, best_b, splittable,
+         feature, sbin, left, right, is_leaf, node_of_doc, n_nodes) = st
+
+        cand = jnp.where(is_leaf & splittable, deviance, -jnp.inf)
+        leaf = jnp.argmax(cand).astype(jnp.int32)
+        valid = cand[leaf] > -jnp.inf
+
+        f_s = best_f[leaf]
+        b_s = best_b[leaf]
+        la = n_nodes
+        ra = n_nodes + 1
+
+        col = jnp.take(binned, f_s, axis=1)           # [N] dynamic gather
+        in_node = node_of_doc == leaf
+        go_left = col <= b_s
+        new_assign = jnp.where(in_node, jnp.where(go_left, la, ra), node_of_doc)
+        node_of_doc = jnp.where(valid, new_assign, node_of_doc)
+
+        # right child directly, left by subtraction (parent − sibling)
+        mask_r = in_node & (~go_left) & valid
+        hist_r = _hist_for_mask(binned, grad, mask_r, B)
+        hist_l = hist[leaf] - hist_r
+
+        mr = mask_r
+        S_r = jnp.sum(jnp.where(mr, grad, 0.0))
+        SQ_r = jnp.sum(jnp.where(mr, grad * grad, 0.0))
+        C_r = jnp.sum(mr.astype(jnp.float32))
+        S_l = stats[leaf, 0] - S_r
+        SQ_l = stats[leaf, 1] - SQ_r
+        C_l = stats[leaf, 2] - C_r
+
+        def dev(SQ, S, C):
+            return jnp.where(C > 0, SQ - S * S / jnp.maximum(C, 1.0), -jnp.inf)
+
+        g_l, f_l, b_l, ok_l = _best_split(hist_l, S_l, C_l, mls)
+        g_r, f_r, b_r, ok_r = _best_split(hist_r, S_r, C_r, mls)
+
+        def upd(arr, idx, val):
+            return arr.at[idx].set(jnp.where(valid, val, arr[idx]))
+
+        hist = hist.at[la].set(jnp.where(valid, hist_l, hist[la]))
+        hist = hist.at[ra].set(jnp.where(valid, hist_r, hist[ra]))
+        stats = stats.at[la].set(
+            jnp.where(valid, jnp.stack([S_l, SQ_l, C_l]), stats[la]))
+        stats = stats.at[ra].set(
+            jnp.where(valid, jnp.stack([S_r, SQ_r, C_r]), stats[ra]))
+        deviance = upd(upd(deviance, la, dev(SQ_l, S_l, C_l)), ra, dev(SQ_r, S_r, C_r))
+        best_gain = upd(upd(best_gain, la, g_l), ra, g_r)
+        best_f = upd(upd(best_f, la, f_l), ra, f_r)
+        best_b = upd(upd(best_b, la, b_l), ra, b_r)
+        splittable = upd(upd(splittable, la, ok_l), ra, ok_r)
+
+        feature = upd(feature, leaf, f_s)
+        sbin = upd(sbin, leaf, b_s)
+        left = upd(left, leaf, la)
+        right = upd(right, leaf, ra)
+        is_leaf = upd(is_leaf, leaf, False)
+        is_leaf = upd(upd(is_leaf, la, True), ra, True)
+        n_nodes = n_nodes + jnp.where(valid, jnp.int32(2), jnp.int32(0))
+
+        return (hist, stats, deviance, best_gain, best_f, best_b, splittable,
+                feature, sbin, left, right, is_leaf, node_of_doc, n_nodes)
+
+    st = (hist, stats, deviance, best_gain, best_f, best_b, splittable,
+          feature, sbin, left, right, is_leaf, node_of_doc, n_nodes)
+    st = jax.lax.fori_loop(0, n_leaves - 1, body, st)
+    (hist, stats, deviance, best_gain, best_f, best_b, splittable,
+     feature, sbin, left, right, is_leaf, node_of_doc, n_nodes) = st
+    return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes, node_of_doc)
+
+
+def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool):
+    """Per-slot outputs: Newton step Σλ/Σw (LambdaMART,
+    ref: LambdaMART.updateTreeOutput:~400) or mean response Σλ/count
+    (MART, ref: learning/tree/MART.java:~15)."""
+    s1 = jax.ops.segment_sum(lam, node_of_doc, num_segments=n_slots)
+    if newton:
+        s2 = jax.ops.segment_sum(w, node_of_doc, num_segments=n_slots)
+    else:
+        s2 = jax.ops.segment_sum(jnp.ones_like(lam), node_of_doc,
+                                 num_segments=n_slots)
+    return jnp.where(s2 > 0, s1 / jnp.where(s2 > 0, s2, 1.0), 0.0)

@@ -1,0 +1,224 @@
+"""GBDT engine tests: binning, tree growth golden cases, MART/LambdaMART
+end-to-end quality, model round-trip, RankLib-format interop.
+
+Mirrors the reference's de-facto test protocol (SURVEY.md §4): tiny inline
+fixtures, train→save→load→score round-trips, hand-computed golden values.
+"""
+
+import numpy as np
+import pytest
+
+from ranklib_tpu.data.dataset import Dataset, Query
+from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+from ranklib_tpu.gbdt.ensemble import Tree, TreeEnsemble
+from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
+from ranklib_tpu.metrics.base import create_scorer
+from ranklib_tpu.models.base import load_ranker_file
+from ranklib_tpu.models.gbdt import MART, LambdaMART
+from tests.fixtures import synth_dataset
+
+
+# ---------------------------------------------------------------- binning
+
+def test_thresholds_few_uniques_are_exact():
+    feats = np.array([[1.0], [3.0], [2.0], [1.0]], np.float32)
+    thr, nb = compute_thresholds(feats, 256)
+    assert nb[0] == 3
+    assert np.allclose(thr[0, :3], [1.0, 2.0, 3.0])
+    assert np.isinf(thr[0, 3:]).all()
+
+
+def test_thresholds_many_uniques_grid():
+    feats = np.arange(1000, dtype=np.float32)[:, None]
+    thr, nb = compute_thresholds(feats, 16)
+    assert nb[0] == 16
+    assert thr[0, 0] == 0.0 and thr[0, 15] == 999.0
+
+
+def test_binning_roundtrip_semantics():
+    feats = np.array([[1.0], [3.0], [2.0], [1.5]], np.float32)
+    thr, _ = compute_thresholds(feats, 256)
+    binned = bin_features(feats, thr)
+    # value <= thresholds[b]  ⟺  bin <= b
+    for i in range(len(feats)):
+        for b in range(3):
+            assert (feats[i, 0] <= thr[0, b]) == (binned[i, 0] <= b)
+
+
+# ---------------------------------------------------------------- growth
+
+def _grow_np(feats, grad, n_leaves, mls=1, tc=256):
+    thr, _ = compute_thresholds(feats, tc)
+    binned = bin_features(feats, thr)
+    arr = grow_tree(binned, grad.astype(np.float32), n_bins=thr.shape[1],
+                    n_leaves=n_leaves, min_leaf_support=mls)
+    return arr, thr
+
+
+def test_single_split_golden():
+    # one feature, responses cleanly separable at x <= 2
+    feats = np.array([[1.0], [2.0], [3.0], [4.0]], np.float32)
+    grad = np.array([10.0, 10.0, -10.0, -10.0])
+    arr, thr = _grow_np(feats, grad, n_leaves=2)
+    feature = np.asarray(arr.feature)
+    sbin = np.asarray(arr.bin)
+    assert int(np.asarray(arr.n_nodes)) == 3
+    assert feature[0] == 0
+    assert thr[0, sbin[0]] == 2.0            # split at x <= 2
+    node = np.asarray(arr.node_of_doc)
+    assert node[0] == node[1] and node[2] == node[3] and node[0] != node[2]
+    out = np.asarray(leaf_outputs(arr.node_of_doc,
+                                  np.asarray(grad, np.float32), None, 3, False))
+    assert out[node[0]] == pytest.approx(10.0)
+    assert out[node[2]] == pytest.approx(-10.0)
+
+
+def test_best_feature_selected():
+    # feature 1 separates perfectly; feature 0 is noise
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=32).astype(np.float32)
+    x1 = np.concatenate([np.zeros(16), np.ones(16)]).astype(np.float32)
+    grad = np.concatenate([np.full(16, -5.0), np.full(16, 5.0)])
+    feats = np.stack([x0, x1], axis=1)
+    arr, thr = _grow_np(feats, grad, n_leaves=2)
+    assert np.asarray(arr.feature)[0] == 1
+
+
+def test_min_leaf_support_respected():
+    feats = np.array([[1.0], [2.0], [3.0], [4.0]], np.float32)
+    grad = np.array([100.0, 1.0, 1.0, 1.0])
+    arr, _ = _grow_np(feats, grad, n_leaves=2, mls=2)
+    # best unconstrained split (x<=1) violates mls=2; must pick x<=2
+    node = np.asarray(arr.node_of_doc)
+    assert (node[:2] == node[0]).all() and (node[2:] == node[2]).all()
+
+
+def test_leafwise_priority_by_deviance():
+    # two clusters; the high-variance one must be split first when only
+    # 3 leaves are allowed
+    feats = np.array([[float(i)] for i in range(8)], np.float32)
+    grad = np.array([0.0, 0.1, 0.0, 0.1, -50.0, 50.0, -50.0, 50.0])
+    arr, thr = _grow_np(feats, grad, n_leaves=3)
+    node = np.asarray(arr.node_of_doc)
+    # both splits go to the high-variance half: docs 0..3 share one leaf,
+    # docs 4..7 are subdivided
+    assert len(set(node[:4].tolist())) == 1
+    assert len(set(node[4:].tolist())) > 1
+
+
+def test_unsplittable_constant_feature():
+    feats = np.ones((6, 1), np.float32)
+    grad = np.arange(6, dtype=np.float32)
+    arr, _ = _grow_np(feats, grad, n_leaves=4)
+    assert int(np.asarray(arr.n_nodes)) == 1      # root stays a leaf
+    assert np.asarray(arr.is_leaf)[0]
+
+
+# ---------------------------------------------------------------- ensemble
+
+def _toy_tree():
+    #      root: f0 <= 1.5
+    #      left -> leaf 0.5 ; right -> f1 <= 0.0 -> leaves -1.0 / 2.0
+    return Tree(
+        feature=[0, 0, 1, 0, 0], threshold=[1.5, 0, 0.0, 0, 0],
+        left=[1, -1, 3, -1, -1], right=[2, -1, 4, -1, -1],
+        is_leaf=[False, True, False, True, True],
+        output=[0.0, 0.5, 0.0, -1.0, 2.0],
+    )
+
+
+def test_tree_eval_and_xml_roundtrip():
+    ens = TreeEnsemble()
+    ens.add(_toy_tree(), 0.1)
+    X = np.array([[1.0, 9.9], [2.0, -1.0], [2.0, 1.0]], np.float32)
+    got = ens.eval_matrix(X)
+    assert np.allclose(got, [0.05, -0.1, 0.2], atol=1e-6)
+
+    text = ens.to_text()
+    assert "<ensemble>" in text and 'pos="left"' in text
+    ens2 = TreeEnsemble.from_text(text)
+    assert np.allclose(ens2.eval_matrix(X), got, atol=1e-6)
+
+
+def test_parse_ranklib_style_xml():
+    # formatted exactly like the reference writes it (tabs, spaced values)
+    text = """## LambdaMART
+## No. of trees = 1
+
+<ensemble>
+\t<tree id="1" weight="0.1">
+\t\t<split>
+\t\t\t<feature> 2 </feature>
+\t\t\t<threshold> 0.5 </threshold>
+\t\t\t<split pos="left">
+\t\t\t\t<output> -1.5 </output>
+\t\t\t</split>
+\t\t\t<split pos="right">
+\t\t\t\t<output> 2.5 </output>
+\t\t\t</split>
+\t\t</split>
+\t</tree>
+</ensemble>
+"""
+    ens = TreeEnsemble.from_text(text)
+    X = np.array([[0.0, 0.2], [0.0, 0.9]], np.float32)
+    assert np.allclose(ens.eval_matrix(X), [-0.15, 0.25], atol=1e-6)
+
+
+# ---------------------------------------------------------------- rankers
+
+@pytest.fixture(scope="module")
+def ranking_data():
+    train = synth_dataset(n_queries=24, n_features=8, min_docs=8, max_docs=24,
+                          seed=1, w_seed=7, signal=3.0)
+    test = synth_dataset(n_queries=12, n_features=8, min_docs=8, max_docs=24,
+                         seed=2, w_seed=7, signal=3.0)
+    return train, test
+
+
+def test_mart_learns(ranking_data):
+    train, test = ranking_data
+    scorer = create_scorer("NDCG@10")
+    r = MART(n_trees=30, n_leaves=6, learning_rate=0.2)
+    base = _random_metric(test, scorer)
+    r.fit(train, scorer)
+    assert r.score_metric(test, scorer) > base + 0.05
+
+
+def test_lambdamart_learns_and_beats_pointwise_start(ranking_data):
+    train, test = ranking_data
+    scorer = create_scorer("NDCG@10")
+    r = LambdaMART(n_trees=30, n_leaves=6, learning_rate=0.2)
+    r.fit(train, scorer)
+    m = r.score_metric(test, scorer)
+    assert m > _random_metric(test, scorer) + 0.05
+    assert r.score_metric(train, scorer) > 0.85
+
+
+def test_lambdamart_validation_rollback(ranking_data):
+    train, test = ranking_data
+    scorer = create_scorer("NDCG@10")
+    r = LambdaMART(n_trees=12, n_leaves=4, learning_rate=0.3, early_stop=5)
+    r.fit(train, scorer, validation=test)
+    assert 1 <= len(r.ensemble) <= 12
+
+
+def test_gbdt_save_load_roundtrip(tmp_path, ranking_data):
+    train, test = ranking_data
+    scorer = create_scorer("NDCG@10")
+    r = LambdaMART(n_trees=8, n_leaves=4, learning_rate=0.2)
+    r.fit(train, scorer)
+    path = tmp_path / "lm.txt"
+    r.save(str(path))
+    text = path.read_text()
+    assert text.startswith("## LambdaMART")
+    r2 = load_ranker_file(str(path))
+    for a, b in zip(r.eval_dataset(test), r2.eval_dataset(test)):
+        assert np.allclose(a, b, atol=1e-5)
+
+
+def _random_metric(ds, scorer):
+    """Metric of an untrained (zero-score) ranking: file order."""
+    from ranklib_tpu.metrics.base import score_dataset
+    zeros = [np.zeros(q.n, np.float32) for q in ds.queries]
+    return score_dataset(scorer, ds, zeros)[0]
