@@ -1,0 +1,77 @@
+"""Headline benchmark: LambdaMART training throughput (doc·trees/sec/chip).
+
+The north-star metric (BASELINE.json) is LambdaMART docs/sec/chip on
+MSLR-shaped data vs. single-thread Java RankLib. No LETOR datasets ship in
+this image, so the bench generates deterministic synthetic MSLR-shaped
+data (136 features, ~120 docs/query, graded labels 0..4).
+
+Baseline: single-thread Java RankLib LambdaMART sustains on the order of
+1e5 doc·trees/sec on MSLR-WEB10K-class data (~720K docs at roughly 7 s per
+tree: O(N·F) histogram work + O(Σ n_q²) lambda pairs per tree in scalar
+Java). ``vs_baseline`` is measured throughput / 1e5; the target is ≥ 20.
+
+Method: train a fresh model for 2 trees (compiles every jit kernel), then
+fresh models for 2 and 52 trees (both fully compile-cached); the warm
+difference times exactly 50 steady-state boosting rounds including the
+per-round train-metric evaluation the reference also performs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+JAVA_BASELINE_DOCTREES_PER_SEC = 1.0e5
+
+
+def main() -> int:
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"bench backend: {jax.default_backend()} "
+          f"(devices: {jax.devices()})", file=sys.stderr, flush=True)
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from ranklib_tpu.metrics.base import create_scorer
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from ranklib_tpu.utils.logging import set_silent
+    from tests.fixtures import synth_dataset
+
+    set_silent(True)
+    train = synth_dataset(n_queries=600, n_features=136, min_docs=80,
+                          max_docs=160, gmax=4, seed=3, w_seed=11, signal=2.5)
+    n_docs = train.n_docs
+    scorer = create_scorer("NDCG@10")
+
+    def timed_fit(n_trees: int) -> float:
+        r = LambdaMART(n_trees=n_trees, n_leaves=10, learning_rate=0.1,
+                       early_stop=0)
+        t0 = time.perf_counter()
+        r.fit(train, scorer)
+        dt = time.perf_counter() - t0
+        print(f"bench fit({n_trees}): {dt:.1f}s", file=sys.stderr, flush=True)
+        return dt
+
+    timed_fit(2)                   # cold: compiles every jit kernel
+    t_small = timed_fit(2)         # warm: fixed setup + 2 rounds
+    t_big = timed_fit(52)          # warm: fixed setup + 52 rounds
+    steady = max(t_big - t_small, 1e-9)
+    doctrees_per_sec = n_docs * 50 / steady
+
+    print(json.dumps({
+        "metric": "lambdamart_train_throughput",
+        "value": round(doctrees_per_sec, 1),
+        "unit": "doc_trees/sec/chip",
+        "vs_baseline": round(doctrees_per_sec / JAVA_BASELINE_DOCTREES_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ranklib_tpu.ops.histogram import histogram_fn
+
 
 class TreeArrays(NamedTuple):
     """One grown tree in flat-slot form. Slot 0 is the root; unused slots
@@ -43,21 +45,16 @@ class TreeArrays(NamedTuple):
     node_of_doc: jnp.ndarray  # [N] int32 leaf slot of each training doc
 
 
-def _hist_for_mask(binned, grad, mask, n_bins_total):
-    """2-channel histogram (Σgrad, count) over docs selected by mask.
+# backend-selected histogram: Pallas one-hot-matmul kernel on TPU,
+# segment-sum on CPU (see ops/histogram.py)
+_hist_for_mask = None
 
-    binned: [N, F] int32 with per-feature bins in [0, B); result [F, B, 2].
-    """
-    N, F = binned.shape
-    B = n_bins_total
-    ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * B + binned).reshape(-1)
-    g = jnp.where(mask, grad, 0.0)
-    m = mask.astype(jnp.float32)
-    data = jnp.stack(
-        [jnp.broadcast_to(g[:, None], (N, F)).reshape(-1),
-         jnp.broadcast_to(m[:, None], (N, F)).reshape(-1)], axis=-1)
-    h = jax.ops.segment_sum(data, ids, num_segments=F * B)
-    return h.reshape(F, B, 2)
+
+def _hist(binned, grad, mask, n_bins):
+    global _hist_for_mask
+    if _hist_for_mask is None:
+        _hist_for_mask = histogram_fn()
+    return _hist_for_mask(binned, grad, mask, n_bins)
 
 
 def _best_split(hist, S, C, mls):
@@ -83,24 +80,41 @@ def _best_split(hist, S, C, mls):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_bins", "n_leaves", "min_leaf_support"))
-def grow_tree(binned, grad, n_bins: int, n_leaves: int,
-              min_leaf_support: int = 1) -> TreeArrays:
+    jax.jit,
+    static_argnames=("n_bins", "n_leaves", "min_leaf_support", "axis_name"))
+def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
+              min_leaf_support: int = 1, doc_mask=None,
+              axis_name: str | None = None) -> TreeArrays:
     """Grow one regression tree on pseudo-responses ``grad``.
 
-    binned: [N, F] int32 pre-binned features (bins < n_bins);
-    grad: [N] float32.
+    binned_T: [F, N] int32 pre-binned features, FEATURE-MAJOR (docs on the
+    lane axis — the Pallas histogram layout; split-column reads become row
+    gathers); grad: [N] float32.
+
+    doc_mask: optional [N] bool — docs excluded from every histogram and
+    count (padding slots in the padded layout).
+
+    axis_name: when set, the docs axis is sharded over that mesh axis and
+    every histogram / node statistic is all-reduced with ``lax.psum`` —
+    split decisions then replicate deterministically on all devices (the
+    TPU equivalent of the reference's MyThreadPool feature partitioning,
+    SURVEY.md §5 communication row: GBDT data-parallel scales because
+    histograms are tiny).
     """
-    N, F = binned.shape
+    F, N = binned_T.shape
     M = 2 * n_leaves - 1
     mls = float(min_leaf_support)
     B = int(n_bins)
 
-    ones = jnp.ones((N,), dtype=bool)
-    root_hist = _hist_for_mask(binned, grad, ones, B)
-    S0 = jnp.sum(grad)
-    SQ0 = jnp.sum(grad * grad)
-    C0 = jnp.float32(N)
+    def allr(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    dmask = jnp.ones((N,), dtype=bool) if doc_mask is None else doc_mask
+    root_hist = allr(_hist(binned_T, grad, dmask, B))
+    gm = jnp.where(dmask, grad, 0.0)
+    S0 = allr(jnp.sum(gm))
+    SQ0 = allr(jnp.sum(gm * gm))
+    C0 = allr(jnp.sum(dmask.astype(jnp.float32)))
     g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls)
 
     hist = jnp.zeros((M, F, B, 2), jnp.float32).at[0].set(root_hist)
@@ -134,21 +148,21 @@ def grow_tree(binned, grad, n_bins: int, n_leaves: int,
         la = n_nodes
         ra = n_nodes + 1
 
-        col = jnp.take(binned, f_s, axis=1)           # [N] dynamic gather
+        col = binned_T[f_s]                           # [N] row gather
         in_node = node_of_doc == leaf
         go_left = col <= b_s
         new_assign = jnp.where(in_node, jnp.where(go_left, la, ra), node_of_doc)
         node_of_doc = jnp.where(valid, new_assign, node_of_doc)
 
         # right child directly, left by subtraction (parent − sibling)
-        mask_r = in_node & (~go_left) & valid
-        hist_r = _hist_for_mask(binned, grad, mask_r, B)
+        mask_r = in_node & (~go_left) & valid & dmask
+        hist_r = allr(_hist(binned_T, grad, mask_r, B))
         hist_l = hist[leaf] - hist_r
 
         mr = mask_r
-        S_r = jnp.sum(jnp.where(mr, grad, 0.0))
-        SQ_r = jnp.sum(jnp.where(mr, grad * grad, 0.0))
-        C_r = jnp.sum(mr.astype(jnp.float32))
+        S_r = allr(jnp.sum(jnp.where(mr, grad, 0.0)))
+        SQ_r = allr(jnp.sum(jnp.where(mr, grad * grad, 0.0)))
+        C_r = allr(jnp.sum(mr.astype(jnp.float32)))
         S_l = stats[leaf, 0] - S_r
         SQ_l = stats[leaf, 1] - SQ_r
         C_l = stats[leaf, 2] - C_r
@@ -193,14 +207,23 @@ def grow_tree(binned, grad, n_bins: int, n_leaves: int,
     return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes, node_of_doc)
 
 
-def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool):
+def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool,
+                 doc_mask=None, axis_name: str | None = None):
     """Per-slot outputs: Newton step Σλ/Σw (LambdaMART,
     ref: LambdaMART.updateTreeOutput:~400) or mean response Σλ/count
     (MART, ref: learning/tree/MART.java:~15)."""
+    if doc_mask is not None:
+        lam = jnp.where(doc_mask, lam, 0.0)
     s1 = jax.ops.segment_sum(lam, node_of_doc, num_segments=n_slots)
     if newton:
+        if doc_mask is not None:
+            w = jnp.where(doc_mask, w, 0.0)
         s2 = jax.ops.segment_sum(w, node_of_doc, num_segments=n_slots)
     else:
-        s2 = jax.ops.segment_sum(jnp.ones_like(lam), node_of_doc,
-                                 num_segments=n_slots)
+        ones = jnp.ones_like(lam) if doc_mask is None \
+            else doc_mask.astype(lam.dtype)
+        s2 = jax.ops.segment_sum(ones, node_of_doc, num_segments=n_slots)
+    if axis_name:
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
     return jnp.where(s2 > 0, s1 / jnp.where(s2 > 0, s2, 1.0), 0.0)

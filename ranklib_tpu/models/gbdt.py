@@ -13,45 +13,37 @@ learning/tree/MART.java:~15):
   to the best validation round; training stops early after ``-estop``
   rounds without validation improvement.
 
-TPU-first: the pair-gradient phase is a batched [B, D, D] program, tree
-growth is one jitted fori_loop (gbdt.grow), scoring is vectorized
-traversal (gbdt.ensemble). Hyperparameter flags/defaults: ``-tree`` 1000,
-``-leaf`` 10, ``-shrinkage`` 0.1, ``-tc`` 256, ``-mls`` 1, ``-estop`` 100.
+TPU-first: every boosting round is ONE fused jitted step with donated
+buffers and no host sync (gbdt.boost) — pair gradients as batched
+[B, D, D] programs, tree growth as a jitted fori_loop over the Pallas
+histogram kernel (gbdt.grow, ops.histogram), metrics and the packed tree
+ensemble accumulating on device. Hyperparameter flags/defaults:
+``-tree`` 1000, ``-leaf`` 10, ``-shrinkage`` 0.1, ``-tc`` 256, ``-mls`` 1,
+``-estop`` 100.
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import jax
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, flatten
 from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+from ranklib_tpu.gbdt.boost import init_state, make_boost_data, make_round_step
 from ranklib_tpu.gbdt.ensemble import Tree, TreeEnsemble
-from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
-from ranklib_tpu.gbdt.lambdas import lambda_round, make_bucket_views
 from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )
-from ranklib_tpu.ops.batched_eval import _bucket_score_metrics
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
-
-
-def _views_metric(scorer, views, scores_flat, n_queries) -> float:
-    """Macro-averaged metric of current model scores over bucket views."""
-    total = 0.0
-    for v in views:
-        vals = _bucket_score_metrics(scorer, v.labels, v.mask,
-                                     v.gather(scores_flat))
-        total += float(np.asarray(vals)[: v.B].sum())
-    return total / n_queries
+from ranklib_tpu.utils.logging import is_silent, log
 
 
 @register_ranker
 class LambdaMART(Ranker):
     NAME = "LambdaMART"
-    _NEWTON = True          # leaf output Σλ/Σw (MART overrides to mean)
+    _NEWTON = True          # leaf output Σλ/Σw (MART: mean residual)
+    _POINTWISE = False      # lambda gradients (MART: plain residuals)
 
     def __init__(self, **hp):
         self.n_trees = 1000
@@ -63,28 +55,34 @@ class LambdaMART(Ranker):
         self.ensemble = TreeEnsemble()
         super().__init__(**hp)
 
-    # ---- gradient hook (MART overrides) ---------------------------------
-    def _pseudo_responses(self, scorer, views, labels_flat, scores):
-        lam, w = lambda_round(scorer, views, scores)
-        return lam[:-1], w[:-1]
-
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None) -> None:
-        feats, labels, qptr = flatten(train)
+        feats, labels, _ = flatten(train)
         N, F = feats.shape
+        # thresholds from REAL docs only, then pad the doc axis to a coarse
+        # grid so RF bags / CV folds of varying size reuse one compilation
         thresholds, _ = compute_thresholds(feats, self.n_threshold)
         B = thresholds.shape[1]
-        binned = jnp.asarray(bin_features(feats, thresholds))
-        views = make_bucket_views(train)
-        labels_flat = jnp.asarray(labels)
-        scores = jnp.zeros((N + 1,), jnp.float32)   # last slot = pad sentinel
+        Npad = _pad_doc_count(N)
+        binned = bin_features(
+            np.pad(feats, ((0, Npad - N), (0, 0))), thresholds)
+        labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
 
-        vviews = vfeats = None
-        vscores = None
+        vbinned = None
         if validation is not None:
             vfeats, _, _ = flatten(validation)
-            vviews = make_bucket_views(validation)
-            vscores = jnp.zeros((vfeats.shape[0] + 1,), jnp.float32)
+            vbinned = bin_features(vfeats, thresholds)
+
+        data, Npad, Nvpad = make_boost_data(
+            train, binned, labels_pad, N, validation, vbinned)
+        step = make_round_step(
+            scorer, n_bins=B, n_leaves=self.n_leaves,
+            min_leaf_support=self.min_leaf_support,
+            learning_rate=self.learning_rate,
+            pointwise=self._POINTWISE, newton=self._NEWTON,
+            n_queries=len(train.queries),
+            n_vqueries=len(validation.queries) if validation is not None else 1)
+        state = init_state(self.n_trees, self.n_leaves, Npad, Nvpad)
 
         log("Training starts...")
         head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
@@ -92,56 +90,42 @@ class LambdaMART(Ranker):
             head += f"| {scorer.name + '-V':<11}"
         log(head)
 
-        best_val = -np.inf
-        best_round = -1
-        M = 2 * self.n_leaves - 1
+        silent = is_silent()
+        # silent (bench/production) mode: only sync at early-stop checkpoints
+        check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
+        built = 0
         for t in range(self.n_trees):
-            lam, w = self._pseudo_responses(scorer, views, labels_flat, scores)
-            arr = grow_tree(binned, lam, n_bins=B, n_leaves=self.n_leaves,
-                            min_leaf_support=self.min_leaf_support)
-            out = leaf_outputs(arr.node_of_doc, lam, w, M, self._NEWTON)
-            scores = scores.at[:-1].add(
-                self.learning_rate * out[arr.node_of_doc])
-
-            tree = self._host_tree(arr, out, thresholds)
-            self.ensemble.add(tree, self.learning_rate)
-
-            m_train = _views_metric(scorer, views, scores, len(train.queries))
-            line = f"{t + 1:<8}| {m_train:<11.4f}"
-            if validation is not None:
-                vscores = vscores.at[:-1].add(
-                    self.learning_rate
-                    * jnp.asarray(_eval_one_tree(tree, vfeats)))
-                m_val = _views_metric(scorer, vviews, vscores,
-                                      len(validation.queries))
-                line += f"| {m_val:<11.4f}"
-                if m_val > best_val:
-                    best_val = m_val
-                    best_round = t
-                if self.early_stop > 0 and t - best_round >= self.early_stop:
-                    log(line)
+            state = step(state, t, data)
+            built = t + 1
+            if not silent:
+                line = f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}"
+                if validation is not None:
+                    line += f"| {float(state.val_m[t]):<11.4f}"
+                log(line)
+            if (validation is not None and self.early_stop > 0
+                    and (t + 1) % check == 0):
+                hist = np.asarray(state.val_m[: t + 1])
+                best = int(np.nanargmax(hist))
+                if t - best >= self.early_stop:
                     log(f"Early stop at round {t + 1} "
                         f"(no validation gain in {self.early_stop} rounds)")
                     break
-            log(line)
 
-        if validation is not None and best_round >= 0:
+        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes, val_m) = \
+            jax.device_get((state.tfeat, state.tbin, state.tleft,
+                            state.tright, state.tleaf, state.tout,
+                            state.tnodes, state.val_m))
+        keep = built
+        if validation is not None and built:
             # rollback to the best validation round (ref: LambdaMART learn()
             # post-loop ensemble truncation)
-            self.ensemble.truncate(best_round + 1)
-
-    def _host_tree(self, arr, out, thresholds) -> Tree:
-        feature = np.asarray(arr.feature)
-        sbin = np.asarray(arr.bin)
-        is_leaf = np.asarray(arr.is_leaf)
-        n = int(np.asarray(arr.n_nodes))
-        internal = (~is_leaf) & (feature >= 0)
-        thr = np.zeros(len(feature), np.float32)
-        thr[internal] = thresholds[feature[internal], sbin[internal]]
-        t = Tree(feature=np.maximum(feature, 0), threshold=thr,
-                 left=np.asarray(arr.left), right=np.asarray(arr.right),
-                 is_leaf=is_leaf, output=np.asarray(out))
-        return _compact_tree(t, n)
+            keep = int(np.nanargmax(val_m[:built])) + 1
+        self.ensemble = TreeEnsemble()
+        for t in range(keep):
+            self.ensemble.add(
+                _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
+                             tleaf[t], tout[t], int(tnodes[t]), thresholds),
+                self.learning_rate)
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
@@ -184,27 +168,32 @@ class MART(LambdaMART):
 
     NAME = "MART"
     _NEWTON = False
-
-    def _pseudo_responses(self, scorer, views, labels_flat, scores):
-        return labels_flat - scores[:-1], None
+    _POINTWISE = True
 
 
-def _compact_tree(t: Tree, n_nodes: int) -> Tree:
-    """Drop unused slots (growth may stop before filling 2·nLeaves−1)."""
-    if n_nodes >= t.n_slots:
-        return t
-    return Tree(t.feature[:n_nodes], t.threshold[:n_nodes], t.left[:n_nodes],
-                t.right[:n_nodes], t.is_leaf[:n_nodes], t.output[:n_nodes])
+def _pad_doc_count(n: int) -> int:
+    """Quantize the flattened doc count so differently-sized inputs (RF
+    bags, CV folds) hit the same compiled tree-grower."""
+    if n <= 256:
+        return 256
+    if n < 4096:
+        p = 256
+        while p < n:
+            p *= 2
+        return p
+    return ((n + 4095) // 4096) * 4096
 
 
-def _eval_one_tree(tree: Tree, X: np.ndarray) -> np.ndarray:
-    """Score one tree on raw features — host traversal for the incremental
-    validation pass (cheap: Nv × depth)."""
-    node = np.zeros(X.shape[0], np.int32)
-    for _ in range(tree.depth()):
-        leaf = tree.is_leaf[node]
-        f = tree.feature[node]
-        go_left = X[np.arange(X.shape[0]), f] <= tree.threshold[node]
-        nxt = np.where(go_left, tree.left[node], tree.right[node])
-        node = np.where(leaf, node, nxt).astype(np.int32)
-    return tree.output[node]
+def _export_tree(feature, sbin, left, right, is_leaf, out, n_nodes,
+                 thresholds) -> Tree:
+    """Device tree slots → host Tree with real threshold floats."""
+    n = max(n_nodes, 1)
+    feature = feature[:n]
+    sbin = sbin[:n]
+    is_leaf = is_leaf[:n]
+    internal = (~is_leaf) & (feature >= 0)
+    thr = np.zeros(n, np.float32)
+    thr[internal] = thresholds[feature[internal], sbin[internal]]
+    return Tree(feature=np.maximum(feature, 0), threshold=thr,
+                left=left[:n], right=right[:n], is_leaf=is_leaf,
+                output=out[:n])

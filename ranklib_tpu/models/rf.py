@@ -1,1 +1,140 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Random Forests ranker (`-ranker 8`).
+
+Reference behavior (learning/tree/RFRanker.java:~25): ``nBag`` (300)
+bagged MART (or LambdaMART, ``-rtype`` 0/6 only) ensembles. Per bag:
+queries subsampled with replacement at ``subSamplingRate`` (1.0), features
+subsampled at ``featureSamplingRate`` (0.3); the bag ranker trains with
+bag-local hyperparams (``-tree`` 1, ``-leaf`` 100, shrinkage 0.1). Final
+score = MEAN of the per-bag ensemble scores; the model file concatenates
+the per-bag ``<ensemble>`` blocks under one ``## Random Forests`` header.
+
+Offline bag merging (the reference's Combiner, learning/Combiner.java:~20)
+reappears as :func:`ranklib_tpu.combiner.combine`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.data.sampling import sample_features, sample_queries
+from ranklib_tpu.gbdt.ensemble import TreeEnsemble
+from ranklib_tpu.metrics.base import MetricScorer
+from ranklib_tpu.models.base import (
+    Ranker, model_header, parse_model_params, register_ranker,
+)
+from ranklib_tpu.models.gbdt import MART, LambdaMART
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.logging import log, set_silent, is_silent
+
+
+@register_ranker
+class RFRanker(Ranker):
+    NAME = "Random Forests"
+
+    def __init__(self, **hp):
+        self.n_bags = 300
+        self.sub_sampling_rate = 1.0
+        self.feature_sampling_rate = 0.3
+        self.ranker_type = 0            # 0 = MART, 6 = LambdaMART
+        self.n_trees = 1
+        self.n_leaves = 100
+        self.learning_rate = 0.1
+        self.seed = 0
+        self.ensembles: list[TreeEnsemble] = []
+        self._merged = None
+        super().__init__(**hp)
+        if self.ranker_type not in (0, 6):
+            raise RankLibError(
+                "Random Forests supports -rtype 0 (MART) or 6 (LambdaMART)")
+
+    def fit(self, train: Dataset, scorer: MetricScorer,
+            validation: Dataset | None = None) -> None:
+        rng = np.random.default_rng(self.seed)
+        cls = MART if self.ranker_type == 0 else LambdaMART
+        log("Training starts...")
+        self.ensembles = []
+        was_silent = is_silent()
+        for bag in range(self.n_bags):
+            sampled, _ = sample_queries(train, self.sub_sampling_rate, rng)
+            fids = sample_features(train.n_features,
+                                   self.feature_sampling_rate, rng)
+            bag_data = sampled.subset_features(fids)
+            ranker = cls(n_trees=self.n_trees, n_leaves=self.n_leaves,
+                         learning_rate=self.learning_rate, early_stop=0)
+            set_silent(True)          # per-bag round tables are noise
+            try:
+                ranker.fit(bag_data, scorer)
+            finally:
+                set_silent(was_silent)
+            self.ensembles.append(ranker.ensemble)
+            m = self._bag_metric(bag_data, scorer, ranker)
+            log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
+        self._merged = None
+
+    @staticmethod
+    def _bag_metric(ds, scorer, ranker) -> float:
+        from ranklib_tpu.metrics.base import score_dataset
+        return score_dataset(scorer, ds, ranker.eval_dataset(ds))[0]
+
+    # ---- scoring ---------------------------------------------------------
+    def _merged_ensemble(self) -> TreeEnsemble:
+        """All bags in one packed ensemble, tree weights scaled by 1/nBags
+        (score = mean over bags, ref: RFRanker.eval)."""
+        if self._merged is None:
+            if not self.ensembles:
+                raise RankLibError("Model not trained/loaded")
+            merged = TreeEnsemble()
+            inv = 1.0 / len(self.ensembles)
+            for ens in self.ensembles:
+                for tree, w in zip(ens.trees, ens.weights):
+                    merged.add(tree, w * inv)
+            self._merged = merged
+        return self._merged
+
+    def eval_dataset(self, ds: Dataset):
+        merged = self._merged_ensemble()
+        max_fid = 1 + max(int(t.feature.max()) for t in merged.trees)
+        feats, _, qptr = flatten(ds)
+        if feats.shape[1] < max_fid:
+            feats = np.pad(feats, ((0, 0), (0, max_fid - feats.shape[1])))
+        flat = merged.eval_matrix(feats)
+        return [flat[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
+
+    # ---- serialization -----------------------------------------------------
+    def model_str(self) -> str:
+        head = model_header(self.NAME, {
+            "No. of bags": len(self.ensembles),
+            "Sub-sampling": self.sub_sampling_rate,
+            "Feature-sampling": self.feature_sampling_rate,
+            "No. of trees": self.n_trees,
+            "No. of leaves": self.n_leaves,
+            "Learning rate": self.learning_rate,
+        })
+        return head + "\n" + "\n".join(e.to_text() for e in self.ensembles)
+
+    def load_str(self, text: str) -> None:
+        params, _ = parse_model_params(text)
+        if "No. of bags" in params:
+            self.n_bags = int(params["No. of bags"])
+        self.ensembles = parse_ensembles(text)
+        if not self.ensembles:
+            raise RankLibError("No <ensemble> blocks in Random Forests model")
+        self._merged = None
+
+
+def parse_ensembles(text: str) -> list[TreeEnsemble]:
+    """All <ensemble> blocks in a model text, in order."""
+    out = []
+    pos = 0
+    while True:
+        start = text.find("<ensemble>", pos)
+        if start < 0:
+            break
+        end = text.find("</ensemble>", start)
+        if end < 0:
+            raise RankLibError("Unterminated <ensemble> block")
+        end += len("</ensemble>")
+        out.append(TreeEnsemble.from_text(text[start:end]))
+        pos = end
+    return out

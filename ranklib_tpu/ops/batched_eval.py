@@ -72,9 +72,13 @@ class LinearMetricEvaluator:
 
     def per_query_metric(self, w: np.ndarray) -> np.ndarray:
         """Single weight vector → per-query metric [Q] (Dataset order)."""
-        Wd = jnp.asarray(w, jnp.float32)[:, None]
-        out = np.zeros(self.n_queries, np.float64)
+        return self.per_query_matrix(np.asarray(w)[:, None])[:, 0]
+
+    def per_query_matrix(self, W: np.ndarray) -> np.ndarray:
+        """W: [F, C] candidate weights → [Q, C] per-query metrics."""
+        Wd = jnp.asarray(W, jnp.float32)
+        out = np.zeros((self.n_queries, W.shape[1]), np.float64)
         for feats, labels, mask, qidx in self.buckets:
             vals = _bucket_candidate_metrics(self.scorer, feats, labels, mask, Wd)
-            out[qidx] = np.asarray(vals)[:, 0]
+            out[qidx] = np.asarray(vals)
         return out

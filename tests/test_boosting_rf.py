@@ -1,0 +1,115 @@
+"""RankBoost, AdaRank, Random Forests, Combiner: learning quality on
+planted-signal data + model round-trips (the reference's de-facto test
+protocol, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from ranklib_tpu.combiner import combine
+from ranklib_tpu.metrics.base import create_scorer, score_dataset
+from ranklib_tpu.models.adarank import AdaRank
+from ranklib_tpu.models.base import load_ranker_file
+from ranklib_tpu.models.rankboost import RankBoost
+from ranklib_tpu.models.rf import RFRanker
+from tests.fixtures import synth_dataset
+
+
+@pytest.fixture(scope="module")
+def data():
+    train = synth_dataset(n_queries=20, n_features=8, min_docs=8, max_docs=20,
+                          seed=5, w_seed=9, signal=3.0)
+    test = synth_dataset(n_queries=10, n_features=8, min_docs=8, max_docs=20,
+                         seed=6, w_seed=9, signal=3.0)
+    return train, test
+
+
+def _file_order_metric(ds, scorer):
+    zeros = [np.zeros(q.n, np.float32) for q in ds.queries]
+    return score_dataset(scorer, ds, zeros)[0]
+
+
+def test_rankboost_learns_and_roundtrips(tmp_path, data):
+    train, test = data
+    scorer = create_scorer("NDCG@10")
+    r = RankBoost(n_rounds=40, n_threshold=10)
+    r.fit(train, scorer)
+    m = r.score_metric(test, scorer)
+    assert m > _file_order_metric(test, scorer) + 0.03
+    p = tmp_path / "rb.txt"
+    r.save(str(p))
+    assert p.read_text().startswith("## RankBoost")
+    r2 = load_ranker_file(str(p))
+    for a, b in zip(r.eval_dataset(test), r2.eval_dataset(test)):
+        assert np.allclose(a, b, atol=1e-5)
+
+
+def test_rankboost_distribution_favors_hard_pairs(data):
+    train, _ = data
+    scorer = create_scorer("NDCG@10")
+    r = RankBoost(n_rounds=3, n_threshold=8)
+    r.fit(train, scorer)
+    assert len(r.weaks) == 3
+    # alphas finite, thresholds within feature range
+    for fid, theta, alpha in r.weaks:
+        assert np.isfinite(alpha) and 1 <= fid <= train.n_features
+
+
+def test_adarank_learns_and_roundtrips(tmp_path, data):
+    train, test = data
+    scorer = create_scorer("NDCG@10")
+    r = AdaRank(n_rounds=30, tolerance=0.0)
+    r.fit(train, scorer)
+    assert len(r.history) >= 1
+    m = r.score_metric(test, scorer)
+    assert m > _file_order_metric(test, scorer) + 0.03
+    p = tmp_path / "ar.txt"
+    r.save(str(p))
+    assert p.read_text().startswith("## AdaRank")
+    r2 = load_ranker_file(str(p))
+    for a, b in zip(r.eval_dataset(test), r2.eval_dataset(test)):
+        assert np.allclose(a, b, atol=1e-5)
+
+
+def test_adarank_no_immediate_repeat_with_noeq(data):
+    train, _ = data
+    scorer = create_scorer("NDCG@10")
+    r = AdaRank(n_rounds=10, no_eq=True, tolerance=0.0)
+    r.fit(train, scorer)
+    fids = [f for f, _ in r.history]
+    assert all(a != b for a, b in zip(fids, fids[1:]))
+
+
+def test_rf_learns_and_roundtrips(tmp_path, data):
+    train, test = data
+    scorer = create_scorer("NDCG@10")
+    r = RFRanker(n_bags=8, n_trees=1, n_leaves=8, feature_sampling_rate=0.5,
+                 seed=3)
+    r.fit(train, scorer)
+    m = r.score_metric(test, scorer)
+    assert m > _file_order_metric(test, scorer) + 0.03
+    p = tmp_path / "rf.txt"
+    r.save(str(p))
+    text = p.read_text()
+    assert text.startswith("## Random Forests")
+    assert text.count("<ensemble>") == 8
+    r2 = load_ranker_file(str(p))
+    for a, b in zip(r.eval_dataset(test), r2.eval_dataset(test)):
+        assert np.allclose(a, b, atol=1e-5)
+
+
+def test_combiner_merges_bags(tmp_path, data):
+    train, test = data
+    scorer = create_scorer("NDCG@10")
+    d = tmp_path / "bags"
+    d.mkdir()
+    for i in range(3):
+        r = RFRanker(n_bags=2, n_trees=1, n_leaves=4, seed=i)
+        r.fit(train, scorer)
+        r.save(str(d / f"bag{i}.txt"))
+    out = tmp_path / "combined.txt"
+    combine(str(d), str(out))
+    merged = load_ranker_file(str(out))
+    assert isinstance(merged, RFRanker)
+    assert len(merged.ensembles) == 6
+    scores = merged.eval_dataset(test)
+    assert all(np.isfinite(s).all() for s in scores)

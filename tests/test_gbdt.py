@@ -50,7 +50,7 @@ def test_binning_roundtrip_semantics():
 def _grow_np(feats, grad, n_leaves, mls=1, tc=256):
     thr, _ = compute_thresholds(feats, tc)
     binned = bin_features(feats, thr)
-    arr = grow_tree(binned, grad.astype(np.float32), n_bins=thr.shape[1],
+    arr = grow_tree(binned.T, grad.astype(np.float32), n_bins=thr.shape[1],
                     n_leaves=n_leaves, min_leaf_support=mls)
     return arr, thr
 

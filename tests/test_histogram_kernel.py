@@ -1,0 +1,64 @@
+"""Pallas histogram kernel vs the XLA segment-sum reference path.
+
+On CPU the kernel runs in TPU-interpret mode; on real TPU hardware the
+same test exercises the compiled kernel. Agreement must be exact for
+counts and ~1e-5 for float sums (different accumulation orders).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ranklib_tpu.ops.histogram import hist_pallas, hist_xla
+
+
+def jnp_arr(x):
+    return jnp.asarray(x)
+
+
+def _case(N, F, B, seed, mask_frac=0.3):
+    rng = np.random.default_rng(seed)
+    binned_T = rng.integers(0, B, size=(F, N)).astype(np.int32)
+    grad = rng.normal(size=N).astype(np.float32)
+    mask = rng.random(N) > mask_frac
+    return binned_T, grad, mask
+
+
+def _run_pallas(binned, grad, mask, B):
+    if jax.default_backend() in ("tpu", "axon"):
+        return np.asarray(hist_pallas(binned, grad, mask, B))
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(hist_pallas(binned, grad, mask, B))
+
+
+@pytest.mark.parametrize("N,F,B", [
+    (512, 8, 8),          # aligned tiny
+    (300, 6, 8),          # unaligned docs + features
+    (1024, 17, 128),      # odd feature count, wide bins
+    (700, 9, 256),        # default bin width
+])
+def test_pallas_matches_xla(N, F, B):
+    binned, grad, mask = _case(N, F, B, seed=N + F)
+    want = np.asarray(hist_xla(binned, grad, mask, B))
+    got = _run_pallas(binned, grad, mask, B)
+    assert got.shape == want.shape == (F, B, 2)
+    np.testing.assert_array_equal(got[..., 1], want[..., 1])      # counts exact
+    np.testing.assert_allclose(got[..., 0], want[..., 0], atol=2e-4, rtol=1e-5)
+
+
+def test_all_masked_gives_zero():
+    binned, grad, _ = _case(256, 4, 8, seed=0)
+    mask = np.zeros(256, bool)
+    got = _run_pallas(binned, grad, mask, 8)
+    assert (got == 0).all()
+
+
+def test_out_of_range_bins_ignored_by_xla_path():
+    binned_T = np.array([[0, 7, 8, 9]], np.int32)       # 8,9 out of range
+    grad = np.ones(4, np.float32)
+    mask = np.ones(4, bool)
+    h = np.asarray(hist_xla(jnp_arr(binned_T), grad, mask, 8))
+    assert h[0, 0, 1] == 1 and h[0, 7, 1] == 1
+    assert h[..., 1].sum() == 2

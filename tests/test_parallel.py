@@ -1,0 +1,97 @@
+"""Distributed data-parallel training step on a virtual 8-device CPU mesh
+(SURVEY.md §4: the standard trick for multi-device tests without a slice).
+
+Key property: the psum'd distributed grower must produce EXACTLY the same
+tree as the single-device grower on the same data — split decisions
+replicate deterministically.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
+from ranklib_tpu.gbdt.lambdas import lambda_weights
+from ranklib_tpu.metrics.base import create_scorer
+from ranklib_tpu.parallel.dist import make_mesh, make_train_step, shard_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _toy_batch(n_dev=8, B_per=2, D=16, F=6, seed=0):
+    rng = np.random.default_rng(seed)
+    B = n_dev * B_per
+    feats = rng.normal(size=(B * D, F)).astype(np.float32)
+    thresholds, _ = compute_thresholds(feats, 16)
+    binned = bin_features(feats, thresholds)
+    labels = rng.integers(0, 3, size=(B, D)).astype(np.float32)
+    mask = np.ones((B, D), dtype=bool)
+    mask[:, 13:] = False
+    labels[~mask] = 0.0
+    return binned.reshape(B, D, F), labels, mask, thresholds.shape[1]
+
+
+def test_distributed_tree_matches_single_device():
+    binned, labels, mask, n_bins = _toy_batch()
+    B, D, F = binned.shape
+    scorer = create_scorer("NDCG@10")
+    scores0 = np.zeros((B, D), np.float32)
+
+    # single-device reference
+    lam, w = lambda_weights(scorer, jnp.asarray(labels),
+                            jnp.asarray(scores0), jnp.asarray(mask))
+    g = np.asarray(lam).reshape(-1)
+    ww = np.asarray(w).reshape(-1)
+    dm = mask.reshape(-1)
+    tree1 = grow_tree(jnp.asarray(binned.reshape(-1, F).T), jnp.asarray(g),
+                      n_bins=n_bins, n_leaves=4, doc_mask=jnp.asarray(dm))
+    out1 = leaf_outputs(tree1.node_of_doc, jnp.asarray(g), jnp.asarray(ww),
+                        7, True, doc_mask=jnp.asarray(dm))
+
+    # 8-device distributed
+    mesh = make_mesh(8)
+    step = make_train_step(scorer, n_bins=n_bins, n_leaves=4,
+                           min_leaf_support=1, learning_rate=0.1, mesh=mesh)
+    b, l, m, s = shard_batch(mesh, binned, labels, mask, scores0)
+    new_scores, tree8, out8 = step(b, l, m, s)
+
+    np.testing.assert_array_equal(np.asarray(tree1.feature),
+                                  np.asarray(tree8.feature))
+    np.testing.assert_array_equal(np.asarray(tree1.bin), np.asarray(tree8.bin))
+    np.testing.assert_array_equal(np.asarray(tree1.left), np.asarray(tree8.left))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(tree1.node_of_doc), np.asarray(tree8.node_of_doc))
+
+    # score update applied where masked
+    ns = np.asarray(new_scores)
+    expect = scores0 + 0.1 * np.asarray(out1)[np.asarray(tree1.node_of_doc)] \
+        .reshape(B, D)
+    expect[~mask] = 0.0
+    np.testing.assert_allclose(ns, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_two_distributed_rounds_improve_metric():
+    binned, labels, mask, n_bins = _toy_batch(seed=1)
+    B, D, F = binned.shape
+    scorer = create_scorer("NDCG@10")
+    mesh = make_mesh(8)
+    step = make_train_step(scorer, n_bins=n_bins, n_leaves=4,
+                           min_leaf_support=1, learning_rate=0.3, mesh=mesh)
+    b, l, m, s = shard_batch(mesh, binned, labels, mask,
+                             np.zeros((B, D), np.float32))
+
+    def metric(sc):
+        n = jnp.asarray(mask).sum(-1).astype(jnp.int32)
+        return float(scorer.score_from_scores(
+            jnp.asarray(labels), jnp.asarray(sc), jnp.asarray(mask)).mean())
+
+    m0 = metric(np.asarray(s))
+    for _ in range(3):
+        s, _, _ = step(b, l, m, s)
+    m3 = metric(np.asarray(s))
+    assert m3 >= m0
