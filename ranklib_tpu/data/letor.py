@@ -62,14 +62,34 @@ def _parse_line(line: str):
 
 
 def read_letor(path: str, must_have_rel_doc: bool = False,
-               n_features: int | None = None, quiet: bool = False) -> Dataset:
+               n_features: int | None = None, quiet: bool = False,
+               use_native: bool = True) -> Dataset:
     """Read a LETOR file into a :class:`Dataset`.
 
     ``must_have_rel_doc`` drops queries with no relevant (label>0) document
     (ref: Evaluator's ``mustHaveRelDoc``, set when a train metric requires
     relevance). ``n_features`` pre-pins the feature-vector width (otherwise
     the global max fid in the file defines it, like DataPoint.featureCount).
+
+    Plain files go through the native C++ parser when available
+    (ranklib_tpu.native — MSLR-scale files parse in seconds instead of
+    minutes); gzip inputs, missing compilers, and malformed files fall
+    back to this Python parser, which also owns the precise error
+    messages.
     """
+    if use_native:
+        from ranklib_tpu.native.loader import NativeParseError, native_parse_letor
+        parsed = None
+        try:
+            parsed = native_parse_letor(path, want_descs=True,
+                                        min_features=n_features or 0)
+        except NativeParseError:
+            parsed = None      # re-parse in Python for the exact error
+        except OSError:
+            parsed = None
+        if parsed is not None:
+            return _from_arrays(path, *parsed, must_have_rel_doc, quiet)
+
     raw = []  # (qid, labels, fid_lists, val_lists, descs) per query, file order
     max_fid = 0
     cur_qid = None
@@ -117,6 +137,31 @@ def read_letor(path: str, must_have_rel_doc: bool = False,
         if n_dropped:
             log(f"({n_dropped} queries with no relevant documents dropped)")
     return Dataset(queries=queries, n_features=max_fid)
+
+
+def _from_arrays(path, labels, feats, qptr, qids, descs,
+                 must_have_rel_doc, quiet) -> Dataset:
+    """Native-parser arrays → Dataset (same semantics as the Python path)."""
+    queries = []
+    n_dropped = 0
+    for i, qid in enumerate(qids):
+        s, e = int(qptr[i]), int(qptr[i + 1])
+        lab = labels[s:e]
+        if must_have_rel_doc and not (lab > 0).any():
+            n_dropped += 1
+            continue
+        queries.append(Query(
+            qid=qid, labels=lab, feats=feats[s:e],
+            descs=list(descs[s:e]) if descs is not None else []))
+    if not queries:
+        raise RankLibError(f"No queries read from {path}")
+    if not quiet:
+        log(f"Reading feature file [{path}]... [Done.]")
+        log(f"({len(queries)} ranked lists, "
+            f"{sum(q.n for q in queries)} entries read)")
+        if n_dropped:
+            log(f"({n_dropped} queries with no relevant documents dropped)")
+    return Dataset(queries=queries, n_features=feats.shape[1])
 
 
 def write_letor(ds: Dataset, path: str) -> None:

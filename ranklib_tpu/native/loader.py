@@ -1,0 +1,135 @@
+"""ctypes bridge to the native LETOR parser (letor_parser.cpp).
+
+Compiles the shared library on first use (g++ -O3 -shared -fPIC) into the
+package directory and memoizes the handle. All failures — no compiler,
+gzip input, malformed file — surface as ``None`` / ``NativeParseError`` so
+``ranklib_tpu.data.letor.read_letor`` can fall back to the Python parser
+(which also produces the precise error messages).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "letor_parser.cpp")
+_LIB = os.path.join(_DIR, "_letor_parser.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+QID_STRIDE = 64
+DESC_STRIDE = 160
+
+
+class NativeParseError(Exception):
+    pass
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
+             _SRC],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _get_lib():
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                if not _build():
+                    _lib_failed = True
+                    return None
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _lib_failed = True
+            return None
+        i64 = ctypes.c_int64
+        p_i64 = ctypes.POINTER(i64)
+        p_f32 = ctypes.POINTER(ctypes.c_float)
+        lib.letor_stat.argtypes = [ctypes.c_char_p, p_i64, p_i64, p_i64]
+        lib.letor_stat.restype = ctypes.c_int
+        lib.letor_fill.argtypes = [
+            ctypes.c_char_p, p_f32, p_f32, i64, i64, p_i64, i64,
+            ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+        ]
+        lib.letor_fill.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def native_parse_letor(path: str, want_descs: bool = True,
+                       min_features: int = 0):
+    """Parse a LETOR file natively.
+
+    Returns (labels[N] f32, feats[N, F] f32, qptr[Q+1] i64, qids list[str],
+    descs list[str] | None), or None when the native path is unavailable
+    (no compiler / gzip input). Raises NativeParseError on malformed input
+    so the caller can re-parse in Python for a precise error message.
+    """
+    if path.endswith(".gz"):
+        return None
+    lib = _get_lib()
+    if lib is None:
+        return None
+    i64 = ctypes.c_int64
+    n_docs = i64(0)
+    n_queries = i64(0)
+    max_fid = i64(0)
+    rc = lib.letor_stat(path.encode(), ctypes.byref(n_docs),
+                        ctypes.byref(n_queries), ctypes.byref(max_fid))
+    if rc == -1:
+        return None                       # io error → let Python report it
+    if rc != 0:
+        raise NativeParseError(f"malformed LETOR file: {path}")
+    N, Q = n_docs.value, n_queries.value
+    F = max(max_fid.value, int(min_features))
+    if N == 0 or Q == 0:
+        raise NativeParseError(f"no data lines in {path}")
+
+    labels = np.zeros(N, np.float32)
+    feats = np.zeros((N, F), np.float32)
+    qptr = np.zeros(Q + 1, np.int64)
+    qidbuf = ctypes.create_string_buffer(Q * QID_STRIDE)
+    descbuf = ctypes.create_string_buffer(N * DESC_STRIDE) if want_descs else None
+
+    rc = lib.letor_fill(
+        path.encode(),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i64(N), i64(F),
+        qptr.ctypes.data_as(ctypes.POINTER(i64)), i64(Q),
+        qidbuf, i64(QID_STRIDE),
+        descbuf, i64(DESC_STRIDE),
+    )
+    if rc != 0:
+        raise NativeParseError(f"native parse failed (rc={rc}): {path}")
+
+    qraw = qidbuf.raw                 # .raw copies the buffer — take it ONCE
+    qids = [qraw[i * QID_STRIDE:(i + 1) * QID_STRIDE]
+            .split(b"\0", 1)[0].decode() for i in range(Q)]
+    descs = None
+    if want_descs:
+        draw = descbuf.raw
+        descs = [draw[i * DESC_STRIDE:(i + 1) * DESC_STRIDE]
+                 .split(b"\0", 1)[0].decode(errors="replace")
+                 for i in range(N)]
+    return labels, feats, qptr, qids, descs

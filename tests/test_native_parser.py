@@ -1,0 +1,86 @@
+"""Native C++ LETOR parser vs the Python reference parser: exact parity
+on labels, features, qids, query grouping, and descriptions."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from ranklib_tpu.data.letor import read_letor
+from ranklib_tpu.native.loader import native_available, native_parse_letor
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no C++ toolchain")
+
+SAMPLE = """\
+# comment line to skip
+2 qid:10 1:0.5 3:-1.25 # docA
+0 qid:10 2:1e-3 5:4 # docB
+
+1 qid:20 1:2 2:3 3:4 4:5 5:6 # docC
+0 qid:20 3:0.125
+2 qid:10 1:7 # second block of qid 10 is a NEW query (consecutive grouping)
+"""
+
+
+def _write(tmp_path, text, name="data.txt"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_native_matches_python(tmp_path):
+    path = _write(tmp_path, SAMPLE)
+    a = read_letor(path, quiet=True, use_native=False)
+    b = read_letor(path, quiet=True, use_native=True)
+    assert len(a.queries) == len(b.queries) == 3
+    assert a.n_features == b.n_features == 5
+    for qa, qb in zip(a.queries, b.queries):
+        assert qa.qid == qb.qid
+        np.testing.assert_array_equal(qa.labels, qb.labels)
+        np.testing.assert_array_equal(np.asarray(qa.feats), np.asarray(qb.feats))
+        assert qa.descs == qb.descs
+
+
+def test_native_direct_outputs(tmp_path):
+    path = _write(tmp_path, SAMPLE)
+    labels, feats, qptr, qids, descs = native_parse_letor(path)
+    assert qids == ["10", "20", "10"]
+    np.testing.assert_array_equal(qptr, [0, 2, 4, 5])
+    np.testing.assert_array_equal(labels, [2, 0, 1, 0, 2])
+    assert feats.shape == (5, 5)
+    assert feats[0, 0] == 0.5 and feats[0, 2] == -1.25
+    assert feats[1, 1] == pytest.approx(1e-3)
+    assert feats[3, 2] == 0.125 and feats[3, 0] == 0.0   # missing → 0
+    assert descs[0] == "# docA" and descs[3] == ""
+
+
+def test_native_rejects_malformed_falls_back(tmp_path):
+    from ranklib_tpu.utils.errors import RankLibError
+    path = _write(tmp_path, "1 qid:1 bogus\n")
+    with pytest.raises(RankLibError):
+        read_letor(path, quiet=True, use_native=True)
+
+
+def test_gzip_falls_back_to_python(tmp_path):
+    p = tmp_path / "data.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("1 qid:1 1:0.5\n0 qid:1 1:0.25\n")
+    ds = read_letor(str(p), quiet=True, use_native=True)
+    assert len(ds.queries) == 1 and ds.queries[0].n == 2
+
+
+def test_large_file_speed_parity(tmp_path):
+    rng = np.random.default_rng(0)
+    lines = []
+    for q in range(200):
+        for d in range(30):
+            feats = " ".join(f"{j + 1}:{rng.normal():.5f}" for j in range(46))
+            lines.append(f"{int(rng.integers(0, 3))} qid:{q} {feats} # doc{q}_{d}")
+    path = _write(tmp_path, "\n".join(lines) + "\n", "big.txt")
+    a = read_letor(path, quiet=True, use_native=False)
+    b = read_letor(path, quiet=True, use_native=True)
+    assert a.n_docs == b.n_docs == 6000
+    fa = np.concatenate([q.feats for q in a.queries])
+    fb = np.concatenate([np.asarray(q.feats) for q in b.queries])
+    np.testing.assert_allclose(fa, fb, rtol=1e-6)
