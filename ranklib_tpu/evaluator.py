@@ -22,8 +22,12 @@ from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log
 
 
-def _prepare(path, norm, feature_fids, must_have_rel, n_features=None):
+def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
+             qrel=None):
     ds = read_letor(path, must_have_rel_doc=must_have_rel, n_features=n_features)
+    if qrel:
+        from ranklib_tpu.data.qrel import apply_qrel
+        apply_qrel(ds, qrel)
     if feature_fids is not None:
         ds = ds.subset_features(feature_fids)
     if norm:
@@ -72,11 +76,12 @@ def evaluate_train(args) -> Ranker:
         if args.metric2T else train_scorer
     )
     must_rel = train_scorer.needs_rel
-    train = _prepare(args.train, args.norm, feature_fids, must_rel)
+    train = _prepare(args.train, args.norm, feature_fids, must_rel,
+                     qrel=args.qrel)
     validation = None
     if args.validate:
         validation = _prepare(args.validate, args.norm, feature_fids, must_rel,
-                              n_features=train.n_features)
+                              n_features=train.n_features, qrel=args.qrel)
     elif args.tvs and args.tvs > 0:
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
@@ -89,7 +94,7 @@ def evaluate_train(args) -> Ranker:
         log(f"{train_scorer.name} on validation data: {m_val:.4f}")
     if args.test:
         test = _prepare(args.test, args.norm, feature_fids, False,
-                        n_features=train.n_features)
+                        n_features=train.n_features, qrel=args.qrel)
         m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
         log(f"{test_scorer.name} on test data: {m_test:.4f}")
         if args.idv:
@@ -107,7 +112,8 @@ def evaluate_kcv(args) -> None:
         MetricScorer(*_split_metric(args.metric2T), gmax=args.gmax)
         if args.metric2T else train_scorer
     )
-    ds = _prepare(args.train, args.norm, feature_fids, train_scorer.needs_rel)
+    ds = _prepare(args.train, args.norm, feature_fids,
+                  train_scorer.needs_rel, qrel=args.qrel)
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):
@@ -138,7 +144,8 @@ def evaluate_test_only(args) -> None:
         *_split_metric(args.metric2T or args.metric2t), gmax=args.gmax)
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
-    test = _prepare(args.test, args.norm, feature_fids, False)
+    test = _prepare(args.test, args.norm, feature_fids, False,
+                    qrel=args.qrel)
     m, per_q = score_dataset(scorer, test, ranker.eval_dataset(test))
     log(f"{scorer.name} on test data: {m:.4f}")
     if args.idv:
@@ -149,7 +156,8 @@ def evaluate_rank(args) -> None:
     """Flow 3.3: -load model -rank file [-score out] [-indri out]."""
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
-    data = _prepare(args.rank, args.norm, feature_fids, False)
+    data = _prepare(args.rank, args.norm, feature_fids, False,
+                    qrel=args.qrel)
     scores = ranker.eval_dataset(data)
     if args.score:
         write_score_file(args.score, data, scores)
