@@ -28,6 +28,10 @@ JAVA_BASELINE_DOCTREES_PER_SEC = 1.0e5
 def main() -> int:
     import jax
 
+    sys.path.insert(0, "/root/repo")
+    from ranklib_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     try:
         jax.devices()
     except RuntimeError:

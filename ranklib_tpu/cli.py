@@ -144,6 +144,9 @@ def _ensure_backend() -> None:
 
     import jax
 
+    from ranklib_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     forced = os.environ.get("RANKLIB_TPU_PLATFORM")
     if forced:
         jax.config.update("jax_platforms", forced)

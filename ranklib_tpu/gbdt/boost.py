@@ -6,9 +6,15 @@ host↔device round trip costs ~30 ms, so a loop that syncs for the tree,
 the train metric, and the validation metric pays more in latency than in
 compute. Here the whole round — pseudo-responses → tree growth → Newton
 leaf outputs → score update → train/validation metrics → on-device tree
-recording — is ONE XLA program; metric histories and the packed tree
-buffers accumulate on device, and the host reads them back once at the
-end of training (or at early-stop checkpoints).
+recording — is ONE XLA program; metric histories and packed tree buffers
+accumulate on device and the host reads everything back in a single
+transfer after the last round.
+
+The tree buffers are allocated at a power-of-two CAPACITY (≥128) rather
+than at ``n_trees``, so the compiled step depends only on the data
+shapes and the capacity class — an RF bag (1 tree) and a 100-tree run
+share one executable, and the persistent compilation cache reuses it
+across processes.
 
 The reference's equivalent loop is LambdaMART.learn
 (learning/tree/LambdaMART.java:~200); console logging still reproduces its
@@ -29,6 +35,13 @@ from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
 from ranklib_tpu.gbdt.lambdas import lambda_weights
 
 
+def round_capacity(n_trees: int) -> int:
+    cap = 128
+    while cap < n_trees:
+        cap *= 2
+    return cap
+
+
 class BoostData(NamedTuple):
     """Static-per-training device arrays (passed, not captured)."""
 
@@ -41,19 +54,20 @@ class BoostData(NamedTuple):
 
 
 class BoostState(NamedTuple):
-    """Donated carry: scores + metric histories + packed tree buffers."""
+    """Donated carry: scores + metric histories + packed tree buffers
+    (leading dim = capacity class, NOT n_trees)."""
 
     scores: jnp.ndarray          # [Npad + 1] f32
     vscores: jnp.ndarray         # [Nvpad + 1] f32 (size 1 when no val)
-    tfeat: jnp.ndarray           # [T, M] int32
-    tbin: jnp.ndarray            # [T, M] int32
-    tleft: jnp.ndarray           # [T, M] int32
-    tright: jnp.ndarray          # [T, M] int32
-    tleaf: jnp.ndarray           # [T, M] bool
-    tout: jnp.ndarray            # [T, M] f32
-    tnodes: jnp.ndarray          # [T] int32
-    train_m: jnp.ndarray         # [T] f32
-    val_m: jnp.ndarray           # [T] f32
+    tfeat: jnp.ndarray           # [CAP, M] int32
+    tbin: jnp.ndarray            # [CAP, M] int32
+    tleft: jnp.ndarray           # [CAP, M] int32
+    tright: jnp.ndarray          # [CAP, M] int32
+    tleaf: jnp.ndarray           # [CAP, M] bool
+    tout: jnp.ndarray            # [CAP, M] f32
+    tnodes: jnp.ndarray          # [CAP] int32
+    train_m: jnp.ndarray         # [CAP] f32
+    val_m: jnp.ndarray           # [CAP] f32
 
 
 def make_boost_data(train: Dataset, binned_pad: np.ndarray,
@@ -110,7 +124,6 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: BoostState, t, data: BoostData) -> BoostState:
         scores = state.scores
-        Npad = scores.shape[0] - 1
 
         # ---- pseudo-responses ------------------------------------------
         if pointwise:
@@ -173,17 +186,17 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
 
 def init_state(n_trees: int, n_leaves: int, Npad: int, Nvpad: int) -> BoostState:
     M = 2 * n_leaves - 1
-    T = n_trees
+    CAP = round_capacity(n_trees)
     return BoostState(
         scores=jnp.zeros((Npad + 1,), jnp.float32),
         vscores=jnp.zeros((Nvpad + 1,), jnp.float32),
-        tfeat=jnp.zeros((T, M), jnp.int32),
-        tbin=jnp.zeros((T, M), jnp.int32),
-        tleft=jnp.full((T, M), -1, jnp.int32),
-        tright=jnp.full((T, M), -1, jnp.int32),
-        tleaf=jnp.zeros((T, M), bool),
-        tout=jnp.zeros((T, M), jnp.float32),
-        tnodes=jnp.zeros((T,), jnp.int32),
-        train_m=jnp.full((T,), jnp.nan, jnp.float32),
-        val_m=jnp.full((T,), jnp.nan, jnp.float32),
+        tfeat=jnp.zeros((CAP, M), jnp.int32),
+        tbin=jnp.zeros((CAP, M), jnp.int32),
+        tleft=jnp.full((CAP, M), -1, jnp.int32),
+        tright=jnp.full((CAP, M), -1, jnp.int32),
+        tleaf=jnp.zeros((CAP, M), bool),
+        tout=jnp.zeros((CAP, M), jnp.float32),
+        tnodes=jnp.zeros((CAP,), jnp.int32),
+        train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+        val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
     )
