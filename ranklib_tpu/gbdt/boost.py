@@ -92,7 +92,16 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
     ), Npad, Nvpad
 
 
+# max elements of one [Bc, D, D] pair temporary (f32) — 2^24 ≈ 64 MB
+_PAIR_BUDGET = 1 << 24
+
+
 def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
+    """Padded (labels, mask, didx) chunks per bucket. Buckets are split
+    into row chunks so no [Bc, D, D] pair temporary in the fused step
+    exceeds the budget (the 'long-context' guard of SURVEY §5: pair
+    matrices never pad to the global max doc count, and never blow HBM
+    when a bucket holds thousands of queries)."""
     _, _, qptr = flatten(ds)
     out = []
     for b in bucketize(ds, with_feats=False):
@@ -100,8 +109,15 @@ def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
         for row, qi in enumerate(b.qidx):
             s, e = qptr[qi], qptr[qi + 1]
             didx[row, : e - s] = np.arange(s, e, dtype=np.int32)
-        out.append((jnp.asarray(b.labels), jnp.asarray(b.mask),
-                    jnp.asarray(didx)))
+        rows = max(1, min(b.B, _PAIR_BUDGET // (b.D * b.D)))
+        for lo in range(0, b.B, rows):
+            hi = min(lo + rows, b.B)
+            pad = rows - (hi - lo)
+            lab = np.pad(b.labels[lo:hi], ((0, pad), (0, 0)))
+            msk = np.pad(b.mask[lo:hi], ((0, pad), (0, 0)))
+            di = np.pad(didx[lo:hi], ((0, pad), (0, 0)),
+                        constant_values=sentinel)
+            out.append((jnp.asarray(lab), jnp.asarray(msk), jnp.asarray(di)))
     return tuple(out)
 
 

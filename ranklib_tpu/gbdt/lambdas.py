@@ -11,9 +11,9 @@ ordered doc pair (i, j) with label_i > label_j:
 
 The reference parallelizes this over queries with MyThreadPool; here the
 whole O(D²) pair block is one masked [B, D, D] elementwise program (VPU
-work), batched over queries and chunked so no temporary exceeds a fixed
-element budget. Queries live in padded buckets (see data.dataset), so the
-pair matrices never pad to the global max doc count.
+work), batched over queries. Callers (gbdt.boost, parallel.dist) hand in
+padded query buckets pre-chunked so no pair temporary exceeds a fixed
+element budget.
 """
 
 from __future__ import annotations
@@ -22,12 +22,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
-
-# max elements of one [Bc, D, D] temporary (f32) — 2^24 ≈ 64 MB
-_PAIR_BUDGET = 1 << 24
 
 
 @functools.partial(jax.jit, static_argnames=("scorer",))
@@ -56,65 +50,3 @@ def lambda_weights(scorer, labels, scores, mask):
     w = jnp.take_along_axis(w_ranked, inv, axis=-1)
     z = mask.astype(jnp.float32)
     return lam * z, w * z
-
-
-def _chunk_rows(B, D):
-    rows = max(1, _PAIR_BUDGET // max(1, D * D))
-    return min(B, rows)
-
-
-class BucketView:
-    """Device-resident padded view of a flat doc array, per bucket.
-
-    ``didx[B, D]`` indexes the flat doc axis (padding → sentinel N, one past
-    the end); gathers/scatters between ``scores_flat[N+1]`` and the [B, D]
-    world happen entirely on device. The batch dim is padded up to a
-    multiple of the pair-budget chunk size so chunked loops never reshape.
-    """
-
-    def __init__(self, bucket, qptr):
-        B, D = bucket.labels.shape
-        self.rows = _chunk_rows(B, D)
-        Bp = ((B + self.rows - 1) // self.rows) * self.rows
-        didx = np.full((Bp, D), qptr[-1], dtype=np.int32)
-        labels = np.zeros((Bp, D), dtype=np.float32)
-        mask = np.zeros((Bp, D), dtype=bool)
-        labels[:B] = bucket.labels
-        mask[:B] = bucket.mask
-        for row, qi in enumerate(bucket.qidx):
-            s, e = qptr[qi], qptr[qi + 1]
-            didx[row, : e - s] = np.arange(s, e, dtype=np.int32)
-        self.didx = jnp.asarray(didx)
-        self.labels = jnp.asarray(labels)
-        self.mask = jnp.asarray(mask)
-        self.qidx = bucket.qidx        # real queries only (first B rows)
-        self.B, self.D, self.Bp = B, D, Bp
-
-    def gather(self, flat):
-        return flat[self.didx]
-
-
-def make_bucket_views(ds: Dataset):
-    """Bucketed index views over the flattened dataset (no feature copy)."""
-    _, _, qptr = flatten(ds)
-    return [BucketView(b, qptr) for b in bucketize(ds, with_feats=False)]
-
-
-def lambda_round(scorer, views, scores_flat):
-    """One full lambda pass: returns (lam_flat, w_flat) of shape [N+1].
-
-    Host loop over buckets and fixed-size row chunks; every chunk is the
-    same jitted call, so shapes never vary across boosting rounds.
-    """
-    lam_flat = jnp.zeros_like(scores_flat)
-    w_flat = jnp.zeros_like(scores_flat)
-    for v in views:
-        sc = v.gather(scores_flat)
-        for lo in range(0, v.Bp, v.rows):
-            hi = lo + v.rows
-            lam, w = lambda_weights(scorer, v.labels[lo:hi], sc[lo:hi],
-                                    v.mask[lo:hi])
-            mk = v.mask[lo:hi]
-            lam_flat = lam_flat.at[v.didx[lo:hi]].add(jnp.where(mk, lam, 0.0))
-            w_flat = w_flat.at[v.didx[lo:hi]].add(jnp.where(mk, w, 0.0))
-    return lam_flat, w_flat

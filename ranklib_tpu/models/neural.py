@@ -255,8 +255,8 @@ class RankNet(Ranker):
         vals = iter(body)
         out = []
         for fan_in, fan_out in zip(sizes[:-1], sizes[1:]):
-            W = np.fromstring(next(vals), sep=" ").reshape(fan_in, fan_out)
-            b = np.fromstring(next(vals), sep=" ")
+            W = np.array(next(vals).split(), np.float64).reshape(fan_in, fan_out)
+            b = np.array(next(vals).split(), np.float64)
             out.append((W.astype(np.float32), b.astype(np.float32)))
         self.params = out
         self.n_features = sizes[0]
