@@ -1,0 +1,104 @@
+"""CLI dispatch tests for the remaining flows: -ana, -combine, -indri,
+-qrel, -eventlog (ref: eval/Evaluator.java argv loop + Analyzer/Combiner
+mains)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ranklib_tpu.cli import main
+from tests.fixtures import synth_dataset, write_letor_text
+
+
+@pytest.fixture()
+def letor(tmp_path):
+    train = synth_dataset(n_queries=12, n_features=6, seed=31, signal=3.0)
+    test = synth_dataset(n_queries=8, n_features=6, seed=32, w_seed=31,
+                         signal=3.0)
+    tr = tmp_path / "train.txt"
+    te = tmp_path / "test.txt"
+    write_letor_text(train, tr)
+    write_letor_text(test, te)
+    return str(tr), str(te)
+
+
+def test_cli_idv_then_analyzer(tmp_path, letor, capsys):
+    tr, te = letor
+    d = tmp_path / "runs"
+    d.mkdir()
+    assert main(["-train", tr, "-ranker", "4", "-r", "1", "-metric2t",
+                 "NDCG@10", "-test", te, "-idv", str(d / "ca.txt")]) == 0
+    assert main(["-train", tr, "-ranker", "9", "-metric2t", "NDCG@10",
+                 "-test", te, "-idv", str(tmp_path / "base.txt")]) == 0
+    assert main(["-ana", "-all", str(d), "-base", str(tmp_path / "base.txt"),
+                 "-np", "500"]) == 0
+    out = capsys.readouterr().out
+    assert "Overall comparison" in out and "p-value" in out
+
+
+def test_cli_combine(tmp_path, letor):
+    tr, te = letor
+    d = tmp_path / "bags"
+    d.mkdir()
+    for i in range(2):
+        assert main(["-train", tr, "-ranker", "8", "-bag", "2", "-tree", "1",
+                     "-leaf", "4", "-metric2t", "NDCG@10",
+                     "-save", str(d / f"b{i}.txt")]) == 0
+    out = tmp_path / "all.txt"
+    assert main(["-combine", str(d), "-o", str(out)]) == 0
+    text = out.read_text()
+    assert text.startswith("## Random Forests")
+    assert text.count("<ensemble>") == 4
+    assert main(["-load", str(out), "-test", te, "-metric2T", "NDCG@10"]) == 0
+
+
+def test_cli_rank_indri_and_score(tmp_path, letor):
+    tr, te = letor
+    model = tmp_path / "m.txt"
+    assert main(["-train", tr, "-ranker", "9", "-metric2t", "NDCG@10",
+                 "-save", str(model)]) == 0
+    sc = tmp_path / "sc.txt"
+    ind = tmp_path / "indri.txt"
+    assert main(["-load", str(model), "-rank", te, "-score", str(sc),
+                 "-indri", str(ind)]) == 0
+    lines = sc.read_text().strip().splitlines()
+    assert len(lines) > 0 and len(lines[0].split("\t")) == 3
+    iline = ind.read_text().splitlines()[0].split()
+    assert iline[1] == "Q0" and iline[-1] == "indri"
+
+
+def test_cli_qrel_changes_metric(tmp_path, letor, capsys):
+    tr, te = letor
+    model = tmp_path / "m.txt"
+    assert main(["-train", tr, "-ranker", "9", "-metric2t", "NDCG@10",
+                 "-save", str(model)]) == 0
+    capsys.readouterr()
+    assert main(["-load", str(model), "-test", te, "-metric2T", "P@5"]) == 0
+    base_out = capsys.readouterr().out
+    # qrel marking every doc non-relevant → P@5 must become 0
+    qrel = tmp_path / "all_zero.qrel"
+    from ranklib_tpu.data.letor import read_letor
+    ds = read_letor(te, quiet=True)
+    with open(qrel, "w") as f:
+        for q in ds.queries:
+            for i in range(q.n):
+                f.write(f"{q.qid} 0 doc{q.qid}_{i} 0\n")
+    assert main(["-load", str(model), "-test", te, "-metric2T", "P@5",
+                 "-qrel", str(qrel)]) == 0
+    qrel_out = capsys.readouterr().out
+    assert "P@5 on test data: 0.0000" in qrel_out
+    assert "P@5 on test data: 0.0000" not in base_out
+
+
+def test_cli_eventlog(tmp_path, letor):
+    tr, _ = letor
+    ev = tmp_path / "events.jsonl"
+    assert main(["-train", tr, "-ranker", "9", "-metric2t", "NDCG@10",
+                 "-eventlog", str(ev)]) == 0
+    from ranklib_tpu.utils.logging import set_event_log
+    set_event_log(None)          # close so the file is flushed
+    recs = [json.loads(x) for x in ev.read_text().splitlines()] \
+        if ev.read_text().strip() else []
+    assert isinstance(recs, list)
