@@ -132,8 +132,13 @@ def _bucket_metric_sum(scorer, buckets, scores_flat):
 def make_round_step(scorer, *, n_bins: int, n_leaves: int,
                     min_leaf_support: int, learning_rate: float,
                     pointwise: bool, newton: bool, n_queries: int,
-                    n_vqueries: int):
-    """Build the jitted one-round step: (state, t, data) → state."""
+                    n_vqueries: int, train_metric: bool = True):
+    """Build the jitted one-round step: (state, t, data) → state.
+
+    ``train_metric=False`` skips the per-round train-metric evaluation —
+    it exists only for the reference's console table (validation drives
+    early stopping), so silent runs save its sort cost.
+    """
     M = 2 * n_leaves - 1
     lr = learning_rate
 
@@ -165,8 +170,10 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
         scores = scores.at[:-1].add(lr * out[arr.node_of_doc])
 
         # ---- train metric ----------------------------------------------
-        tm = _bucket_metric_sum(scorer, data.tb, scores) / n_queries
-        train_m = state.train_m.at[t].set(tm)
+        train_m = state.train_m
+        if train_metric:
+            tm = _bucket_metric_sum(scorer, data.tb, scores) / n_queries
+            train_m = state.train_m.at[t].set(tm)
 
         # ---- validation -------------------------------------------------
         vscores = state.vscores

@@ -75,13 +75,16 @@ class LambdaMART(Ranker):
 
         data, Npad, Nvpad = make_boost_data(
             train, binned, labels_pad, N, validation, vbinned)
+        silent = is_silent()
         step = make_round_step(
             scorer, n_bins=B, n_leaves=self.n_leaves,
             min_leaf_support=self.min_leaf_support,
             learning_rate=self.learning_rate,
             pointwise=self._POINTWISE, newton=self._NEWTON,
             n_queries=len(train.queries),
-            n_vqueries=len(validation.queries) if validation is not None else 1)
+            n_vqueries=len(validation.queries) if validation is not None else 1,
+            # the per-round train metric only feeds the console table
+            train_metric=not silent)
         state = init_state(self.n_trees, self.n_leaves, Npad, Nvpad)
 
         log("Training starts...")
@@ -90,7 +93,6 @@ class LambdaMART(Ranker):
             head += f"| {scorer.name + '-V':<11}"
         log(head)
 
-        silent = is_silent()
         # silent (bench/production) mode: only sync at early-stop checkpoints
         check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
         built = 0

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TN = 512                      # docs per tile (lane multiples)
+_TN = 1024                     # docs per tile (lane multiples)
 
 
 def _hist_kernel(bins_ref, gm_ref, out_ref):
@@ -45,17 +45,23 @@ def _hist_kernel(bins_ref, gm_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    TF, TN = bins_ref.shape
-    FB = out_ref.shape[1]
-    B = FB // TF
-    # pltpu.repeat TILES the block along sublanes: rep[b·TF + f, d] =
-    # bins[f, d]; the sublane's local bin index is its row // TF
-    rep = pltpu.repeat(bins_ref[:], B, axis=0)                 # [TF*B, TN]
-    row_bin = jax.lax.broadcasted_iota(jnp.int32, (FB, TN), 0) // TF
-    onehot = (rep == row_bin).astype(jnp.float32)
-    out_ref[:] += jax.lax.dot_general(
-        gm_ref[:], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # Child histograms in leaf-wise growth mask out most docs (subtraction
+    # trick: only one child is built directly) — skip the one-hot build and
+    # matmul entirely for doc tiles whose mask channel is all zero. The
+    # block DMAs still stream, so the floor is HBM bandwidth, not compute.
+    @pl.when(jnp.sum(gm_ref[1, :]) > 0.0)
+    def _():
+        TF, TN = bins_ref.shape
+        FB = out_ref.shape[1]
+        B = FB // TF
+        # pltpu.repeat TILES the block along sublanes: rep[b·TF + f, d] =
+        # bins[f, d]; the sublane's local bin index is its row // TF
+        rep = pltpu.repeat(bins_ref[:], B, axis=0)             # [TF*B, TN]
+        row_bin = jax.lax.broadcasted_iota(jnp.int32, (FB, TN), 0) // TF
+        onehot = (rep == row_bin).astype(jnp.float32)
+        out_ref[:] += jax.lax.dot_general(
+            gm_ref[:], onehot, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
 
 def _tile_features(F: int, B: int) -> int:

@@ -222,3 +222,15 @@ def _random_metric(ds, scorer):
     from ranklib_tpu.metrics.base import score_dataset
     zeros = [np.zeros(q.n, np.float32) for q in ds.queries]
     return score_dataset(scorer, ds, zeros)[0]
+
+
+@pytest.mark.parametrize("metric", ["ERR@10", "MAP", "P@5"])
+def test_lambdamart_trains_with_other_metrics(ranking_data, metric):
+    # the lambda kernel is metric-generic: exercise the other swap-delta
+    # kernels through actual training rounds
+    train, test = ranking_data
+    scorer = create_scorer(metric)
+    r = LambdaMART(n_trees=6, n_leaves=4, learning_rate=0.3)
+    r.fit(train, scorer)
+    assert np.isfinite(r.score_metric(test, scorer))
+    assert len(r.ensemble) == 6
