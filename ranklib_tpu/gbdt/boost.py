@@ -121,23 +121,30 @@ def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
     return tuple(out)
 
 
-def _bucket_metric_sum(scorer, buckets, scores_flat):
+def _bucket_metric_sum(scorer, buckets, scores_flat, axis_name=None):
     total = jnp.float32(0.0)
     for lab, msk, didx in buckets:
         sc = scores_flat[didx]
         total += scorer.score_from_scores(lab, sc, msk).sum()
+    if axis_name:
+        total = jax.lax.psum(total, axis_name)
     return total
 
 
 def make_round_step(scorer, *, n_bins: int, n_leaves: int,
                     min_leaf_support: int, learning_rate: float,
                     pointwise: bool, newton: bool, n_queries: int,
-                    n_vqueries: int, train_metric: bool = True):
+                    n_vqueries: int, train_metric: bool = True,
+                    axis_name: str | None = None):
     """Build the jitted one-round step: (state, t, data) → state.
 
     ``train_metric=False`` skips the per-round train-metric evaluation —
     it exists only for the reference's console table (validation drives
     early stopping), so silent runs save its sort cost.
+
+    ``axis_name``: set when the step runs per-device inside ``shard_map``
+    (gbdt.boost_dist) — histograms, node statistics, and metric sums are
+    then psum'd over that mesh axis.
     """
     M = 2 * n_leaves - 1
     lr = learning_rate
@@ -164,15 +171,16 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
         arr = grow_tree(data.binned_T, lam, n_bins=n_bins,
                         n_leaves=n_leaves,
                         min_leaf_support=min_leaf_support,
-                        doc_mask=data.doc_mask)
+                        doc_mask=data.doc_mask, axis_name=axis_name)
         out = leaf_outputs(arr.node_of_doc, lam, w, M, newton,
-                           doc_mask=data.doc_mask)
+                           doc_mask=data.doc_mask, axis_name=axis_name)
         scores = scores.at[:-1].add(lr * out[arr.node_of_doc])
 
         # ---- train metric ----------------------------------------------
         train_m = state.train_m
         if train_metric:
-            tm = _bucket_metric_sum(scorer, data.tb, scores) / n_queries
+            tm = _bucket_metric_sum(scorer, data.tb, scores,
+                                    axis_name) / n_queries
             train_m = state.train_m.at[t].set(tm)
 
         # ---- validation -------------------------------------------------
@@ -188,7 +196,8 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
                                 arr.left[node], arr.right[node])
                 node = jnp.where(arr.is_leaf[node], node, nxt)
             vscores = vscores.at[:-1].add(lr * out[node])
-            vm = _bucket_metric_sum(scorer, data.vb, vscores) / n_vqueries
+            vm = _bucket_metric_sum(scorer, data.vb, vscores,
+                                    axis_name) / n_vqueries
             val_m = state.val_m.at[t].set(vm)
 
         # ---- record tree on device -------------------------------------

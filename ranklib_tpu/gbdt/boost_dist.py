@@ -1,0 +1,186 @@
+"""Data-parallel fused boosting over a ``jax.sharding.Mesh``.
+
+Queries shard across a 1-D ``"batch"`` mesh axis; each device runs the
+SAME fused round (gbdt.boost.make_round_step) on its local shard with
+``axis_name`` set, so per-tree histograms and node statistics all-reduce
+with ``psum`` over ICI/DCN and every device takes identical split
+decisions (SURVEY.md §2 TPU-equivalents table, §5 communication row —
+histograms are F × bins × 2 floats ≈ 280 KB, which is why GBDT
+data-parallel scales). The lambda phase needs no communication at all:
+every pair matrix is query-local.
+
+Layout: per size-class, queries are dealt round-robin to devices and each
+device's row count is padded to the class maximum, so every shard has
+IDENTICAL bucket-chunk shapes — a requirement of ``shard_map``'s
+single-program model. Per-device flat doc arrays are padded to a common
+``Npad``. Multi-host: run ``jax.distributed.initialize()`` first; the
+same program then spans hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ranklib_tpu.data.dataset import Dataset, padded_size
+from ranklib_tpu.gbdt.binning import bin_features
+from ranklib_tpu.gbdt.boost import (
+    BoostData, BoostState, _PAIR_BUDGET, make_round_step, round_capacity,
+)
+
+AXIS = "batch"
+
+
+def _shard_queries(ds: Dataset, n_dev: int):
+    """Round-robin per size-class → per-device query-index lists plus the
+    uniform per-class row count."""
+    classes = {}
+    for qi, q in enumerate(ds.queries):
+        classes.setdefault(padded_size(q.n), []).append(qi)
+    per_dev = [[] for _ in range(n_dev)]        # [(D, qi), ...] per device
+    class_rows = {}
+    for D in sorted(classes):
+        idxs = classes[D]
+        rows = -(-len(idxs) // n_dev)           # ceil
+        class_rows[D] = rows
+        for j, qi in enumerate(idxs):
+            per_dev[j % n_dev].append((D, qi))
+    return per_dev, class_rows
+
+
+def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int):
+    """Stacked per-device BoostData (leading device axis on every leaf).
+
+    ``binned``: [N, F] int32 for the REAL docs (flatten order). Returns
+    (data, Npad) where every device's flat doc axis is padded to Npad.
+    """
+    from ranklib_tpu.data.dataset import flatten
+    from ranklib_tpu.models.gbdt import _pad_doc_count
+
+    _, labels_all, qptr = flatten(train)
+    F = binned.shape[1]
+    per_dev, class_rows = _shard_queries(train, n_dev)
+
+    Npad = _pad_doc_count(max(
+        sum(train.queries[qi].n for _, qi in dev) for dev in per_dev) or 1)
+
+    binned_T = np.zeros((n_dev, F, Npad), np.int32)
+    labels_flat = np.zeros((n_dev, Npad), np.float32)
+    doc_mask = np.zeros((n_dev, Npad), bool)
+    # per class: labels/mask/didx [n_dev, rows, D]
+    buckets = {D: (np.zeros((n_dev, rows, D), np.float32),
+                   np.zeros((n_dev, rows, D), bool),
+                   np.full((n_dev, rows, D), Npad, np.int32))
+               for D, rows in class_rows.items()}
+    row_ptr = {}
+
+    for dev, lst in enumerate(per_dev):
+        pos = 0
+        for D, qi in lst:
+            q = train.queries[qi]
+            s = qptr[qi]
+            binned_T[dev, :, pos: pos + q.n] = binned[s: s + q.n].T
+            labels_flat[dev, pos: pos + q.n] = q.labels
+            doc_mask[dev, pos: pos + q.n] = True
+            lab, msk, didx = buckets[D]
+            r = row_ptr.get((dev, D), 0)
+            row_ptr[(dev, D)] = r + 1
+            lab[dev, r, : q.n] = q.labels
+            msk[dev, r, : q.n] = True
+            didx[dev, r, : q.n] = np.arange(pos, pos + q.n, dtype=np.int32)
+            pos += q.n
+
+    tb = []
+    for D in sorted(buckets):
+        lab, msk, didx = buckets[D]
+        rows = lab.shape[1]
+        chunk = max(1, min(rows, _PAIR_BUDGET // (D * D)))
+        for lo in range(0, rows, chunk):
+            hi = min(lo + chunk, rows)
+            pad = chunk - (hi - lo)
+            tb.append(tuple(
+                jnp.asarray(np.pad(a[:, lo:hi], ((0, 0), (0, pad), (0, 0)),
+                                   constant_values=cv))
+                for a, cv in ((lab, 0), (msk, False), (didx, Npad))))
+
+    data = BoostData(
+        binned_T=jnp.asarray(binned_T),
+        labels_flat=jnp.asarray(labels_flat),
+        doc_mask=jnp.asarray(doc_mask),
+        tb=tuple(tb),
+        vbinned=None,
+        vb=(),
+    )
+    return data, Npad
+
+
+def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
+                         n_leaves, min_leaf_support, learning_rate,
+                         pointwise, newton, n_queries, train_metric=True,
+                         axis: str = AXIS):
+    """shard_map'd fused round: (stacked state, t, stacked data) → state.
+
+    State layout: scores/vscores sharded on the leading device axis;
+    metric histories and tree buffers replicated (identical on every
+    device because all statistics are psum'd). ``data`` (the stacked
+    BoostData) is needed here only to derive its PartitionSpec pytree.
+    """
+    step = make_round_step(
+        scorer, n_bins=n_bins, n_leaves=n_leaves,
+        min_leaf_support=min_leaf_support, learning_rate=learning_rate,
+        pointwise=pointwise, newton=newton, n_queries=n_queries,
+        n_vqueries=1, train_metric=train_metric, axis_name=axis)
+
+    def per_device(state, t, data):
+        sq = lambda x: x[0]
+        state = BoostState(scores=sq(state.scores), vscores=sq(state.vscores),
+                           tfeat=state.tfeat, tbin=state.tbin,
+                           tleft=state.tleft, tright=state.tright,
+                           tleaf=state.tleaf, tout=state.tout,
+                           tnodes=state.tnodes, train_m=state.train_m,
+                           val_m=state.val_m)
+        data = jax.tree.map(sq, data)
+        out = step(state, t, data)
+        return BoostState(scores=out.scores[None], vscores=out.vscores[None],
+                          tfeat=out.tfeat, tbin=out.tbin, tleft=out.tleft,
+                          tright=out.tright, tleaf=out.tleaf, tout=out.tout,
+                          tnodes=out.tnodes, train_m=out.train_m,
+                          val_m=out.val_m)
+
+    sh = P(axis)
+    rep = P()
+    state_specs = BoostState(scores=sh, vscores=sh, tfeat=rep, tbin=rep,
+                             tleft=rep, tright=rep, tleaf=rep, tout=rep,
+                             tnodes=rep, train_m=rep, val_m=rep)
+    data_specs = jax.tree.map(lambda _: sh, data)
+
+    mapped = jax.shard_map(per_device, mesh=mesh,
+                           in_specs=(state_specs, rep, data_specs),
+                           out_specs=state_specs, check_vma=False)
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
+                    mesh: Mesh, axis: str = AXIS) -> BoostState:
+    M = 2 * n_leaves - 1
+    CAP = round_capacity(n_trees)
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    dev = lambda a, s: jax.device_put(a, s)
+    return BoostState(
+        scores=dev(jnp.zeros((n_dev, Npad + 1), jnp.float32), sh),
+        vscores=dev(jnp.zeros((n_dev, 1), jnp.float32), sh),
+        tfeat=dev(jnp.zeros((CAP, M), jnp.int32), rep),
+        tbin=dev(jnp.zeros((CAP, M), jnp.int32), rep),
+        tleft=dev(jnp.full((CAP, M), -1, jnp.int32), rep),
+        tright=dev(jnp.full((CAP, M), -1, jnp.int32), rep),
+        tleaf=dev(jnp.zeros((CAP, M), bool), rep),
+        tout=dev(jnp.zeros((CAP, M), jnp.float32), rep),
+        tnodes=dev(jnp.zeros((CAP,), jnp.int32), rep),
+        train_m=dev(jnp.full((CAP,), jnp.nan, jnp.float32), rep),
+        val_m=dev(jnp.full((CAP,), jnp.nan, jnp.float32), rep),
+    )

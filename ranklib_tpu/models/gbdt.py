@@ -56,7 +56,12 @@ class LambdaMART(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None) -> None:
+            validation: Dataset | None = None, mesh=None) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` — queries shard
+        data-parallel over its first axis with psum'd histogram/metric
+        statistics (gbdt.boost_dist)."""
+        if mesh is not None and mesh.size > 1:
+            return self._fit_distributed(train, scorer, validation, mesh)
         feats, labels, _ = flatten(train)
         N, F = feats.shape
         # thresholds from REAL docs only, then pad the doc axis to a coarse
@@ -124,6 +129,48 @@ class LambdaMART(Ranker):
             keep = int(np.nanargmax(val_m[:built])) + 1
         self.ensemble = TreeEnsemble()
         for t in range(keep):
+            self.ensemble.add(
+                _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
+                             tleaf[t], tout[t], int(tnodes[t]), thresholds),
+                self.learning_rate)
+
+    def _fit_distributed(self, train: Dataset, scorer: MetricScorer,
+                         validation, mesh) -> None:
+        from ranklib_tpu.gbdt.boost_dist import (
+            build_sharded_data, init_dist_state, make_dist_round_step,
+        )
+
+        if validation is not None:
+            raise RankLibError(
+                "validation-based early stopping is not yet supported with "
+                "mesh training; hold out the validation set separately")
+        n_dev = mesh.size
+        feats, _, _ = flatten(train)
+        thresholds, _ = compute_thresholds(feats, self.n_threshold)
+        B = thresholds.shape[1]
+        binned = bin_features(feats, thresholds)
+        data, Npad = build_sharded_data(train, binned, n_dev)
+        step = make_dist_round_step(
+            scorer, mesh, data, n_bins=B, n_leaves=self.n_leaves,
+            min_leaf_support=self.min_leaf_support,
+            learning_rate=self.learning_rate, pointwise=self._POINTWISE,
+            newton=self._NEWTON, n_queries=len(train.queries),
+            train_metric=not is_silent())
+        state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad, mesh)
+
+        log(f"Training starts... [data-parallel over {n_dev} devices]")
+        log(f"{'#iter':<8}| {scorer.name + '-T':<11}")
+        silent = is_silent()
+        for t in range(self.n_trees):
+            state = step(state, t, data)
+            if not silent:
+                log(f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}")
+
+        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes) = jax.device_get(
+            (state.tfeat, state.tbin, state.tleft, state.tright,
+             state.tleaf, state.tout, state.tnodes))
+        self.ensemble = TreeEnsemble()
+        for t in range(self.n_trees):
             self.ensemble.add(
                 _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
                              tleaf[t], tout[t], int(tnodes[t]), thresholds),

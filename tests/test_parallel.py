@@ -95,3 +95,28 @@ def test_two_distributed_rounds_improve_metric():
         s, _, _ = step(b, l, m, s)
     m3 = metric(np.asarray(s))
     assert m3 >= m0
+
+
+def test_mesh_fit_matches_single_device():
+    """LambdaMART.fit(mesh=...) — the PRODUCT distributed path — must give
+    the same model quality as single-device training on the same data."""
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from tests.fixtures import synth_dataset
+
+    train = synth_dataset(n_queries=32, n_features=6, min_docs=8,
+                          max_docs=24, seed=9, w_seed=4, signal=3.0)
+    scorer = create_scorer("NDCG@10")
+
+    single = LambdaMART(n_trees=5, n_leaves=4, learning_rate=0.2)
+    single.fit(train, scorer)
+    m_single = single.score_metric(train, scorer)
+
+    dist = LambdaMART(n_trees=5, n_leaves=4, learning_rate=0.2)
+    dist.fit(train, scorer, mesh=make_mesh(8))
+    m_dist = dist.score_metric(train, scorer)
+
+    assert len(dist.ensemble) == 5
+    # same algorithm, psum'd stats: quality must match closely (float
+    # reduction order may flip near-tied splits)
+    assert abs(m_dist - m_single) < 0.03
+    assert m_dist > 0.8
