@@ -52,21 +52,19 @@ def _shard_queries(ds: Dataset, n_dev: int):
     return per_dev, class_rows
 
 
-def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int):
-    """Stacked per-device BoostData (leading device axis on every leaf).
-
-    ``binned``: [N, F] int32 for the REAL docs (flatten order). Returns
-    (data, Npad) where every device's flat doc axis is padded to Npad.
-    """
+def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
+    """Per-device padded flat arrays + uniform bucket chunks for one
+    dataset. Returns (binned_T [n_dev,F,Npad], labels_flat, doc_mask,
+    chunks tuple, Npad)."""
     from ranklib_tpu.data.dataset import flatten
     from ranklib_tpu.models.gbdt import _pad_doc_count
 
-    _, labels_all, qptr = flatten(train)
+    _, _, qptr = flatten(ds)
     F = binned.shape[1]
-    per_dev, class_rows = _shard_queries(train, n_dev)
+    per_dev, class_rows = _shard_queries(ds, n_dev)
 
     Npad = _pad_doc_count(max(
-        sum(train.queries[qi].n for _, qi in dev) for dev in per_dev) or 1)
+        sum(ds.queries[qi].n for _, qi in dev) for dev in per_dev) or 1)
 
     binned_T = np.zeros((n_dev, F, Npad), np.int32)
     labels_flat = np.zeros((n_dev, Npad), np.float32)
@@ -81,7 +79,7 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int):
     for dev, lst in enumerate(per_dev):
         pos = 0
         for D, qi in lst:
-            q = train.queries[qi]
+            q = ds.queries[qi]
             s = qptr[qi]
             binned_T[dev, :, pos: pos + q.n] = binned[s: s + q.n].T
             labels_flat[dev, pos: pos + q.n] = q.labels
@@ -94,7 +92,7 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int):
             didx[dev, r, : q.n] = np.arange(pos, pos + q.n, dtype=np.int32)
             pos += q.n
 
-    tb = []
+    chunks = []
     for D in sorted(buckets):
         lab, msk, didx = buckets[D]
         rows = lab.shape[1]
@@ -102,26 +100,46 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int):
         for lo in range(0, rows, chunk):
             hi = min(lo + chunk, rows)
             pad = chunk - (hi - lo)
-            tb.append(tuple(
+            chunks.append(tuple(
                 jnp.asarray(np.pad(a[:, lo:hi], ((0, 0), (0, pad), (0, 0)),
                                    constant_values=cv))
                 for a, cv in ((lab, 0), (msk, False), (didx, Npad))))
+    return binned_T, labels_flat, doc_mask, tuple(chunks), Npad
 
+
+def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
+                       validation: Dataset | None = None,
+                       vbinned: np.ndarray | None = None):
+    """Stacked per-device BoostData (leading device axis on every leaf).
+
+    ``binned`` / ``vbinned``: [N, F] int32 for the REAL docs (flatten
+    order). Returns (data, Npad, Nvpad); every device's flat doc axes pad
+    to the common Npad / Nvpad.
+    """
+    binned_T, labels_flat, doc_mask, tb, Npad = _shard_arrays(
+        train, binned, n_dev)
+    vb = ()
+    vbin_dev = None
+    Nvpad = 0
+    if validation is not None:
+        vbinned_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned, n_dev)
+        # traversal wants doc-major [Nvpad, F] per device
+        vbin_dev = np.ascontiguousarray(vbinned_T.transpose(0, 2, 1))
     data = BoostData(
         binned_T=jnp.asarray(binned_T),
         labels_flat=jnp.asarray(labels_flat),
         doc_mask=jnp.asarray(doc_mask),
-        tb=tuple(tb),
-        vbinned=None,
-        vb=(),
+        tb=tb,
+        vbinned=jnp.asarray(vbin_dev) if vbin_dev is not None else None,
+        vb=vb,
     )
-    return data, Npad
+    return data, Npad, Nvpad
 
 
 def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
                          n_leaves, min_leaf_support, learning_rate,
-                         pointwise, newton, n_queries, train_metric=True,
-                         axis: str = AXIS):
+                         pointwise, newton, n_queries, n_vqueries=1,
+                         train_metric=True, axis: str = AXIS):
     """shard_map'd fused round: (stacked state, t, stacked data) → state.
 
     State layout: scores/vscores sharded on the leading device axis;
@@ -133,7 +151,7 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
         scorer, n_bins=n_bins, n_leaves=n_leaves,
         min_leaf_support=min_leaf_support, learning_rate=learning_rate,
         pointwise=pointwise, newton=newton, n_queries=n_queries,
-        n_vqueries=1, train_metric=train_metric, axis_name=axis)
+        n_vqueries=n_vqueries, train_metric=train_metric, axis_name=axis)
 
     def per_device(state, t, data):
         sq = lambda x: x[0]
@@ -165,7 +183,8 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
 
 
 def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
-                    mesh: Mesh, axis: str = AXIS) -> BoostState:
+                    mesh: Mesh, Nvpad: int = 0,
+                    axis: str = AXIS) -> BoostState:
     M = 2 * n_leaves - 1
     CAP = round_capacity(n_trees)
     sh = NamedSharding(mesh, P(axis))
@@ -173,7 +192,7 @@ def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
     dev = lambda a, s: jax.device_put(a, s)
     return BoostState(
         scores=dev(jnp.zeros((n_dev, Npad + 1), jnp.float32), sh),
-        vscores=dev(jnp.zeros((n_dev, 1), jnp.float32), sh),
+        vscores=dev(jnp.zeros((n_dev, Nvpad + 1), jnp.float32), sh),
         tfeat=dev(jnp.zeros((CAP, M), jnp.int32), rep),
         tbin=dev(jnp.zeros((CAP, M), jnp.int32), rep),
         tleft=dev(jnp.full((CAP, M), -1, jnp.int32), rep),

@@ -140,37 +140,61 @@ class LambdaMART(Ranker):
             build_sharded_data, init_dist_state, make_dist_round_step,
         )
 
-        if validation is not None:
-            raise RankLibError(
-                "validation-based early stopping is not yet supported with "
-                "mesh training; hold out the validation set separately")
         n_dev = mesh.size
         feats, _, _ = flatten(train)
         thresholds, _ = compute_thresholds(feats, self.n_threshold)
         B = thresholds.shape[1]
         binned = bin_features(feats, thresholds)
-        data, Npad = build_sharded_data(train, binned, n_dev)
+        vbinned = None
+        if validation is not None:
+            vfeats, _, _ = flatten(validation)
+            vbinned = bin_features(vfeats, thresholds)
+        data, Npad, Nvpad = build_sharded_data(train, binned, n_dev,
+                                               validation, vbinned)
+        silent = is_silent()
         step = make_dist_round_step(
             scorer, mesh, data, n_bins=B, n_leaves=self.n_leaves,
             min_leaf_support=self.min_leaf_support,
             learning_rate=self.learning_rate, pointwise=self._POINTWISE,
             newton=self._NEWTON, n_queries=len(train.queries),
-            train_metric=not is_silent())
-        state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad, mesh)
+            n_vqueries=(len(validation.queries) if validation is not None
+                        else 1),
+            train_metric=not silent)
+        state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad,
+                                mesh, Nvpad)
 
         log(f"Training starts... [data-parallel over {n_dev} devices]")
-        log(f"{'#iter':<8}| {scorer.name + '-T':<11}")
-        silent = is_silent()
+        head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
+        if validation is not None:
+            head += f"| {scorer.name + '-V':<11}"
+        log(head)
+        check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
+        built = 0
         for t in range(self.n_trees):
             state = step(state, t, data)
+            built = t + 1
             if not silent:
-                log(f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}")
+                line = f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}"
+                if validation is not None:
+                    line += f"| {float(state.val_m[t]):<11.4f}"
+                log(line)
+            if (validation is not None and self.early_stop > 0
+                    and (t + 1) % check == 0):
+                hist = np.asarray(state.val_m[: t + 1])
+                best = int(np.nanargmax(hist))
+                if t - best >= self.early_stop:
+                    log(f"Early stop at round {t + 1}")
+                    break
 
-        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes) = jax.device_get(
-            (state.tfeat, state.tbin, state.tleft, state.tright,
-             state.tleaf, state.tout, state.tnodes))
+        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes, val_m) = \
+            jax.device_get((state.tfeat, state.tbin, state.tleft,
+                            state.tright, state.tleaf, state.tout,
+                            state.tnodes, state.val_m))
+        keep = built
+        if validation is not None and built:
+            keep = int(np.nanargmax(val_m[:built])) + 1
         self.ensemble = TreeEnsemble()
-        for t in range(self.n_trees):
+        for t in range(keep):
             self.ensemble.add(
                 _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
                              tleaf[t], tout[t], int(tnodes[t]), thresholds),

@@ -120,3 +120,18 @@ def test_mesh_fit_matches_single_device():
     # reduction order may flip near-tied splits)
     assert abs(m_dist - m_single) < 0.03
     assert m_dist > 0.8
+
+
+def test_mesh_fit_with_validation_early_stop():
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from tests.fixtures import synth_dataset
+
+    train = synth_dataset(n_queries=32, n_features=6, min_docs=8,
+                          max_docs=24, seed=9, w_seed=4, signal=3.0)
+    val = synth_dataset(n_queries=16, n_features=6, min_docs=8,
+                        max_docs=24, seed=10, w_seed=4, signal=3.0)
+    scorer = create_scorer("NDCG@10")
+    r = LambdaMART(n_trees=10, n_leaves=4, learning_rate=0.3, early_stop=3)
+    r.fit(train, scorer, validation=val, mesh=make_mesh(8))
+    assert 1 <= len(r.ensemble) <= 10
+    assert r.score_metric(val, scorer) > 0.7
