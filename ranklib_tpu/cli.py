@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-silent", action="store_true")
     p.add_argument("-thread", type=int, default=-1,
                    help="accepted for compatibility; parallelism is XLA's")
+    p.add_argument("-dp", type=int, default=0,
+                   help="data-parallel devices for tree-ranker training "
+                        "(extension; 0 = single device). Queries shard over "
+                        "a mesh with psum'd histogram statistics")
     p.add_argument("-randomSeed", type=int, default=0)
     p.add_argument("-eventlog", metavar="file",
                    help="structured JSONL event log (extension over RankLib)")

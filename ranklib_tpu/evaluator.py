@@ -85,7 +85,7 @@ def evaluate_train(args) -> Ranker:
     elif args.tvs and args.tvs > 0:
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
-                          args.hparams)
+                          args.hparams, n_dp=getattr(args, "dp", 0))
     m_train, _ = score_dataset(train_scorer, train, ranker.eval_dataset(train))
     log(f"{train_scorer.name} on training data: {m_train:.4f}")
     if validation is not None:
@@ -119,7 +119,8 @@ def evaluate_kcv(args) -> None:
     for fold, (tr, va, te) in enumerate(splits):
         log("")
         log(f"Fold {fold + 1} / {args.kcv}...")
-        ranker = train_ranker(args.ranker, tr, train_scorer, va, args.hparams)
+        ranker = train_ranker(args.ranker, tr, train_scorer, va, args.hparams,
+                              n_dp=getattr(args, "dp", 0))
         m_tr, _ = score_dataset(train_scorer, tr, ranker.eval_dataset(tr))
         m_te, _ = score_dataset(test_scorer, te, ranker.eval_dataset(te))
         scores_train.append(m_tr)

@@ -49,7 +49,7 @@ class RFRanker(Ranker):
                 "Random Forests supports -rtype 0 (MART) or 6 (LambdaMART)")
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None) -> None:
+            validation: Dataset | None = None, mesh=None) -> None:
         rng = np.random.default_rng(self.seed)
         cls = MART if self.ranker_type == 0 else LambdaMART
         log("Training starts...")
@@ -64,7 +64,7 @@ class RFRanker(Ranker):
                          learning_rate=self.learning_rate, early_stop=0)
             set_silent(True)          # per-bag round tables are noise
             try:
-                ranker.fit(bag_data, scorer)
+                ranker.fit(bag_data, scorer, mesh=mesh)
             finally:
                 set_silent(was_silent)
             self.ensembles.append(ranker.ensemble)

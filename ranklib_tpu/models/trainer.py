@@ -22,11 +22,24 @@ def train_ranker(
     scorer: MetricScorer,
     validation: Dataset | None = None,
     hparams: dict | None = None,
+    n_dp: int = 0,
 ) -> Ranker:
+    """``n_dp > 1`` requests data-parallel training over that many devices
+    (rankers that support a ``mesh`` kwarg — the GBDT family)."""
     cls = get_ranker_class(ranker_type)
     ranker = cls(**(hparams or {}))
+    kwargs = {}
+    if n_dp and n_dp > 1:
+        import inspect
+
+        if "mesh" in inspect.signature(ranker.fit).parameters:
+            from ranklib_tpu.parallel.dist import make_mesh
+
+            kwargs["mesh"] = make_mesh(n_dp)
+        else:
+            log(f"({ranker.NAME} has no data-parallel path; -dp ignored)")
     t0 = time.perf_counter()
-    ranker.fit(train, scorer, validation)
+    ranker.fit(train, scorer, validation, **kwargs)
     elapsed = time.perf_counter() - t0
     log("")
     log(f"Training time: {elapsed:.2f} seconds")
