@@ -33,6 +33,7 @@ import numpy as np
 from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
 from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
 from ranklib_tpu.gbdt.lambdas import lambda_weights
+from ranklib_tpu.ops.lambda_kernel import lambda_weights_fused, supports_fused
 
 
 def round_capacity(n_trees: int) -> int:
@@ -148,6 +149,8 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
     """
     M = 2 * n_leaves - 1
     lr = learning_rate
+    # fused Pallas pair kernel for separable metrics on TPU; XLA otherwise
+    lam_fn = lambda_weights_fused if supports_fused(scorer) else lambda_weights
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: BoostState, t, data: BoostData) -> BoostState:
@@ -162,7 +165,7 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
             lam_f = jnp.zeros_like(scores)
             w_f = jnp.zeros_like(scores)
             for lab, msk, didx in data.tb:
-                l_, w_ = lambda_weights(scorer, lab, scores[didx], msk)
+                l_, w_ = lam_fn(scorer, lab, scores[didx], msk)
                 lam_f = lam_f.at[didx].add(jnp.where(msk, l_, 0.0))
                 w_f = w_f.at[didx].add(jnp.where(msk, w_, 0.0))
             lam, w = lam_f[:-1], w_f[:-1]

@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused lambda-gradient pair sums.
+
+The XLA lambda path (gbdt.lambdas.lambda_weights) materializes a dozen
+[B, D, D] temporaries in HBM per bucket — ~5 GB of traffic per boosting
+round at MSLR scale. This kernel computes the whole pair block in VMEM
+from per-POSITION vectors and writes only the [B, D] results.
+
+It applies to metrics whose swap delta is PRODUCT-SEPARABLE over ranked
+positions:
+
+    |Δ_ij| = |A_i − A_j| · |B_i − B_j|
+
+which covers the reference's gain×discount family
+(ref: metric/NDCGScorer.java:~150 — Δ = (gain_i−gain_j)(disc_i−disc_j)/idealDCG):
+
+* NDCG@k: A = (2^label − 1)/idealDCG,  B = truncated 1/log2(pos+2)
+* DCG@k:  A = 2^label − 1,             B = truncated discount
+* P@k:    A = rel/k_eff,               B = inside-cutoff indicator
+
+ERR/MAP/RR/BEST deltas are not separable; those metrics keep the XLA
+path. Per pair (winner i, loser j by label):
+
+    rho = sigmoid(s_j − s_i)
+    lam_i += rho·|Δ|,  lam_j −= rho·|Δ|,  w_{i,j} += rho(1−rho)·|Δ|
+
+Grid = one program per query; the j-axis is tiled so the [D, TJ] pair
+block stays in VMEM for any bucket size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TJ = 512          # pair-block column tile
+
+
+_QB = 8            # queries per program (sublane-aligned block rows)
+
+
+def _kernel(a_ref, b_ref, l_ref, s_ref, v_ref, lam_ref, w_ref):
+    D = a_ref.shape[1]
+    TJ = min(D, _TJ)
+
+    for q in range(_QB):                       # static unroll over queries
+        ai = jnp.transpose(a_ref[q:q + 1, :])  # [D, 1]
+        bi = jnp.transpose(b_ref[q:q + 1, :])
+        li = jnp.transpose(l_ref[q:q + 1, :])
+        si = jnp.transpose(s_ref[q:q + 1, :])
+        vi = jnp.transpose(v_ref[q:q + 1, :])
+
+        lam_row = jnp.zeros((D, 1), jnp.float32)   # winner shares
+        w_row = jnp.zeros((D, 1), jnp.float32)
+        lam_col_parts = []                          # loser shares per j tile
+        w_col_parts = []
+
+        for c in range(D // TJ):               # static unroll over j tiles
+            lo, hi = c * TJ, (c + 1) * TJ
+            aj = a_ref[q:q + 1, lo:hi]         # [1, TJ]
+            bj = b_ref[q:q + 1, lo:hi]
+            lj = l_ref[q:q + 1, lo:hi]
+            sj = s_ref[q:q + 1, lo:hi]
+            vj = v_ref[q:q + 1, lo:hi]
+
+            delta = jnp.abs(ai - aj) * jnp.abs(bi - bj)      # [D, TJ]
+            p = jnp.where(li > lj, vi * vj, 0.0)
+            rho = jax.nn.sigmoid(sj - si)
+            m = p * rho * delta
+            ww = p * (rho * (1.0 - rho)) * delta
+
+            lam_row += jnp.sum(m, axis=1, keepdims=True)
+            w_row += jnp.sum(ww, axis=1, keepdims=True)
+            lam_col_parts.append(jnp.sum(m, axis=0, keepdims=True))
+            w_col_parts.append(jnp.sum(ww, axis=0, keepdims=True))
+
+        lam_col = (lam_col_parts[0] if len(lam_col_parts) == 1
+                   else jnp.concatenate(lam_col_parts, axis=1))
+        w_col = (w_col_parts[0] if len(w_col_parts) == 1
+                 else jnp.concatenate(w_col_parts, axis=1))
+        lam_ref[q:q + 1, :] = jnp.transpose(lam_row) - lam_col
+        w_ref[q:q + 1, :] = jnp.transpose(w_row) + w_col
+
+
+SEPARABLE_METRICS = ("NDCG", "DCG", "P")
+
+
+def separable_vectors(scorer, L, n):
+    """(A, B) per-position vectors for a separable metric; L is RANKED
+    labels [B, D], n true doc counts [B]. Returns None when the metric's
+    swap delta is not product-separable."""
+    from ranklib_tpu.metrics import scorers as S
+
+    if scorer.metric not in SEPARABLE_METRICS:
+        return None
+    D = L.shape[-1]
+    valid = (jnp.arange(D)[None, :] < n[:, None]).astype(jnp.float32)
+    if scorer.metric == "P":
+        rel = (L > 0).astype(jnp.float32) * valid
+        ke = jnp.minimum(jnp.int32(scorer.k), n).astype(jnp.float32)
+        inv_k = jnp.where(ke > 0, 1.0 / jnp.where(ke > 0, ke, 1.0), 0.0)
+        ink = S._ink(scorer.k, n, D)
+        return rel * inv_k[:, None], ink
+    gain = (jnp.exp2(L) - 1.0) * valid
+    disc = S._ink(scorer.k, n, D) * S._discount(D)[None, :]
+    if scorer.metric == "DCG":
+        return gain, disc
+    ideal = S.dcg_score(S._ideal(L, n), n, scorer.k)
+    inv = jnp.where(ideal > 0, 1.0 / jnp.where(ideal > 0, ideal, 1.0), 0.0)
+    return gain * inv[:, None], disc
+
+
+@functools.partial(jax.jit, static_argnames=("scorer", "interpret"))
+def lambda_weights_fused(scorer, labels, scores, mask, interpret=False):
+    """Drop-in replacement for gbdt.lambdas.lambda_weights for separable
+    metrics; same contract: [B, D] inputs → (lam, w) in original order."""
+    n = mask.sum(axis=-1).astype(jnp.int32)
+    key = jnp.where(mask, -scores, jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True)
+    L = jnp.take_along_axis(labels, order, axis=-1)
+    S_ = jnp.take_along_axis(scores, order, axis=-1)
+    V = jnp.take_along_axis(mask.astype(jnp.float32), order, axis=-1)
+
+    A, Bv = separable_vectors(scorer, L, n)
+    B, D = L.shape
+    Bp = ((B + _QB - 1) // _QB) * _QB
+    if Bp > B:
+        # padded query rows: V = 0 → every pair contribution vanishes
+        pad = ((0, Bp - B), (0, 0))
+        A, Bv, L, S_, V = (jnp.pad(x, pad) for x in (A, Bv, L, S_, V))
+    spec = pl.BlockSpec((_QB, D), lambda q: (q, 0), memory_space=pltpu.VMEM)
+    lam_r, w_r = pl.pallas_call(
+        _kernel,
+        grid=(Bp // _QB,),
+        in_specs=[spec] * 5,
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((Bp, D), jnp.float32),
+                   jax.ShapeDtypeStruct((Bp, D), jnp.float32)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * Bp * D * D, transcendentals=Bp * D * D,
+            bytes_accessed=5 * Bp * D * 4 + 2 * Bp * D * 4),
+    )(A, Bv, L, S_, V)
+    lam_r = lam_r[:B]
+    w_r = w_r[:B]
+
+    inv = jnp.argsort(order, axis=-1)
+    lam = jnp.take_along_axis(lam_r, inv, axis=-1)
+    w = jnp.take_along_axis(w_r, inv, axis=-1)
+    z = mask.astype(jnp.float32)
+    return lam * z, w * z
+
+
+def supports_fused(scorer) -> bool:
+    """Opt-in via RANKLIB_TPU_FUSED_LAMBDA=1.
+
+    Measured on v5e: the fused kernel matches the XLA path (5.9 ms vs
+    5.1 ms on a [256, 256] bucket) — XLA already fuses the pair-block
+    elementwise chain well, and both are VPU-bound, so the kernel is kept
+    as infrastructure (it halves HBM traffic, which may matter on
+    bandwidth-constrained parts) but is not the default.
+    """
+    import os
+
+    return (os.environ.get("RANKLIB_TPU_FUSED_LAMBDA") == "1"
+            and scorer.metric in SEPARABLE_METRICS
+            and jax.default_backend() in ("tpu", "axon"))
