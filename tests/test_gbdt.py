@@ -234,3 +234,21 @@ def test_lambdamart_trains_with_other_metrics(ranking_data, metric):
     r.fit(train, scorer)
     assert np.isfinite(r.score_metric(test, scorer))
     assert len(r.ensemble) == 6
+
+
+def test_matmul_eval_matches_traversal():
+    # the serving path (matmul-only) must agree exactly with pointer
+    # traversal on random structurally-valid trees
+    import __graft_entry__ as g
+    from ranklib_tpu.gbdt.ensemble import _ensemble_eval
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    ens = g._synthetic_ensemble(n_trees=37, n_leaves=7, n_features=12,
+                                rng=rng)
+    X = rng.normal(size=(257, 12)).astype(np.float32)
+    got = ens.eval_matrix(X)
+    feat, thr, lft, rgt, leaf, out, w, depth = ens._pack()
+    want = np.asarray(_ensemble_eval(jnp.asarray(X), feat, thr, lft, rgt,
+                                     leaf, out, w, depth))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
