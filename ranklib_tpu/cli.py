@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-silent", action="store_true")
     p.add_argument("-thread", type=int, default=-1,
                    help="accepted for compatibility; parallelism is XLA's")
+    p.add_argument("-ckpt", type=int, default=0,
+                   help="checkpoint the model every N boosting rounds "
+                        "(extension; tree rankers)")
+    p.add_argument("-resume", metavar="file",
+                   help="warm-start tree training from a saved model "
+                        "(extension; continues toward -tree total)")
     p.add_argument("-dp", type=int, default=0,
                    help="data-parallel devices for tree-ranker training "
                         "(extension; 0 = single device). Queries shard over "
@@ -109,6 +115,7 @@ _HPARAM_ROUTES = [
     ("shrinkage", {0, 6, 8}, "learning_rate"),
     ("tc", {0, 6, 8}, "n_threshold"),
     ("tc", {2}, "n_threshold"),
+    ("ckpt", {0, 6}, "ckpt_every"),
     ("mls", {0, 6, 8}, "min_leaf_support"),
     ("estop", {0, 6}, "early_stop"),
     ("round", {2, 3}, "n_rounds"),
@@ -132,6 +139,10 @@ def collect_hparams(args) -> dict:
         v = getattr(args, flag, None)
         if v is not None and args.ranker in rankers:
             hp[attr] = v
+    if hp.get("ckpt_every"):
+        hp["ckpt_path"] = (args.save + ".ckpt") if args.save else "model.ckpt"
+    if getattr(args, "resume", None) and args.ranker in (0, 6):
+        hp["_resume_from"] = args.resume
     if args.randomSeed:
         hp.setdefault("seed", args.randomSeed) if args.ranker in (8,) else None
     return hp

@@ -25,6 +25,7 @@ ensemble accumulating on device. Hyperparameter flags/defaults:
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, flatten
@@ -52,6 +53,8 @@ class LambdaMART(Ranker):
         self.n_threshold = 256
         self.min_leaf_support = 1
         self.early_stop = 100
+        self.ckpt_every = 0          # save a checkpoint every N rounds
+        self.ckpt_path = "model.ckpt"
         self.ensemble = TreeEnsemble()
         super().__init__(**hp)
 
@@ -80,6 +83,23 @@ class LambdaMART(Ranker):
 
         data, Npad, Nvpad = make_boost_data(
             train, binned, labels_pad, N, validation, vbinned)
+
+        # warm start: a loaded/partial ensemble seeds the model scores and
+        # training continues toward n_trees total (resume-after-crash /
+        # incremental training; the reference's only resume semantics is
+        # its validation-best rollback, SURVEY.md §5 checkpoint row)
+        prior = TreeEnsemble()
+        rounds = self.n_trees
+        init_scores = init_vscores = None
+        if len(self.ensemble):
+            prior = self.ensemble
+            rounds = max(0, self.n_trees - len(prior))
+            init_scores = prior.eval_matrix(feats[:N])
+            if validation is not None:
+                init_vscores = prior.eval_matrix(vfeats)
+            log(f"Warm start from {len(prior)} trees "
+                f"({rounds} rounds to go)")
+
         silent = is_silent()
         step = make_round_step(
             scorer, n_bins=B, n_leaves=self.n_leaves,
@@ -90,7 +110,14 @@ class LambdaMART(Ranker):
             n_vqueries=len(validation.queries) if validation is not None else 1,
             # the per-round train metric only feeds the console table
             train_metric=not silent)
-        state = init_state(self.n_trees, self.n_leaves, Npad, Nvpad)
+        state = init_state(rounds, self.n_leaves, Npad, Nvpad)
+        if init_scores is not None:
+            state = state._replace(
+                scores=state.scores.at[:N].set(jnp.asarray(init_scores)))
+        if init_vscores is not None:
+            state = state._replace(
+                vscores=state.vscores.at[:len(init_vscores)].set(
+                    jnp.asarray(init_vscores)))
 
         log("Training starts...")
         head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
@@ -98,10 +125,24 @@ class LambdaMART(Ranker):
             head += f"| {scorer.name + '-V':<11}"
         log(head)
 
+        def export(state, upto, keep):
+            arrs = jax.device_get((state.tfeat, state.tbin, state.tleft,
+                                   state.tright, state.tleaf, state.tout,
+                                   state.tnodes))
+            ens = TreeEnsemble()
+            for tree, w in zip(prior.trees, prior.weights):
+                ens.add(tree, w)
+            for i in range(min(keep, upto)):
+                ens.add(_export_tree(arrs[0][i], arrs[1][i], arrs[2][i],
+                                     arrs[3][i], arrs[4][i], arrs[5][i],
+                                     int(arrs[6][i]), thresholds),
+                        self.learning_rate)
+            return ens
+
         # silent (bench/production) mode: only sync at early-stop checkpoints
         check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
         built = 0
-        for t in range(self.n_trees):
+        for t in range(rounds):
             state = step(state, t, data)
             built = t + 1
             if not silent:
@@ -109,6 +150,9 @@ class LambdaMART(Ranker):
                 if validation is not None:
                     line += f"| {float(state.val_m[t]):<11.4f}"
                 log(line)
+            if self.ckpt_every and built % self.ckpt_every == 0:
+                self.ensemble = export(state, built, built)
+                self.save(self.ckpt_path)
             if (validation is not None and self.early_stop > 0
                     and (t + 1) % check == 0):
                 hist = np.asarray(state.val_m[: t + 1])
@@ -118,21 +162,13 @@ class LambdaMART(Ranker):
                         f"(no validation gain in {self.early_stop} rounds)")
                     break
 
-        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes, val_m) = \
-            jax.device_get((state.tfeat, state.tbin, state.tleft,
-                            state.tright, state.tleaf, state.tout,
-                            state.tnodes, state.val_m))
         keep = built
         if validation is not None and built:
             # rollback to the best validation round (ref: LambdaMART learn()
             # post-loop ensemble truncation)
+            val_m = jax.device_get(state.val_m)
             keep = int(np.nanargmax(val_m[:built])) + 1
-        self.ensemble = TreeEnsemble()
-        for t in range(keep):
-            self.ensemble.add(
-                _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
-                             tleaf[t], tout[t], int(tnodes[t]), thresholds),
-                self.learning_rate)
+        self.ensemble = export(state, built, keep)
 
     def _fit_distributed(self, train: Dataset, scorer: MetricScorer,
                          validation, mesh) -> None:

@@ -27,7 +27,19 @@ def train_ranker(
     """``n_dp > 1`` requests data-parallel training over that many devices
     (rankers that support a ``mesh`` kwarg — the GBDT family)."""
     cls = get_ranker_class(ranker_type)
-    ranker = cls(**(hparams or {}))
+    hparams = dict(hparams or {})
+    resume = hparams.pop("_resume_from", None)
+    ranker = cls(**hparams)
+    if resume:
+        from ranklib_tpu.models.base import load_ranker_file
+
+        loaded = load_ranker_file(resume)
+        if type(loaded) is not type(ranker):
+            from ranklib_tpu.utils.errors import RankLibError
+
+            raise RankLibError(
+                f"-resume model is a {loaded.NAME}, not a {ranker.NAME}")
+        ranker.ensemble = loaded.ensemble      # warm start (tree rankers)
     kwargs = {}
     if n_dp and n_dp > 1:
         import inspect

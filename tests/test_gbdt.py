@@ -252,3 +252,27 @@ def test_matmul_eval_matches_traversal():
     want = np.asarray(_ensemble_eval(jnp.asarray(X), feat, thr, lft, rgt,
                                      leaf, out, w, depth))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_warm_start_and_checkpoint(tmp_path, ranking_data):
+    train, test = ranking_data
+    scorer = create_scorer("NDCG@10")
+    ck = tmp_path / "ck.txt"
+    # train 10 trees with checkpoints every 4 rounds
+    r = LambdaMART(n_trees=10, n_leaves=4, learning_rate=0.2,
+                   ckpt_every=4, ckpt_path=str(ck))
+    r.fit(train, scorer)
+    assert ck.exists()
+    ck_model = load_ranker_file(str(ck))
+    assert len(ck_model.ensemble) in (4, 8)
+
+    # resume from the checkpoint to the full 10 trees
+    r2 = load_ranker_file(str(ck))
+    r2.n_trees = 10
+    r2.fit(train, scorer)
+    assert len(r2.ensemble) == 10
+    # warm-started model must be in the same quality ballpark as the
+    # straight-through run (identical up to checkpoint, greedy after)
+    m1 = r.score_metric(test, scorer)
+    m2 = r2.score_metric(test, scorer)
+    assert abs(m1 - m2) < 0.05
