@@ -49,7 +49,12 @@ def main() -> int:
     from tests.fixtures import synth_dataset
 
     set_silent(True)
-    train = synth_dataset(n_queries=1500, n_features=136, min_docs=80,
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # CPU fallback (chip held by another process): shrink so the bench
+    # still completes and prints an honest (slower) number
+    nq = 1500 if on_tpu else 120
+    trees = 102 if on_tpu else 12
+    train = synth_dataset(n_queries=nq, n_features=136, min_docs=80,
                           max_docs=160, gmax=4, seed=3, w_seed=11, signal=2.5)
     n_docs = train.n_docs
     scorer = create_scorer("NDCG@10")
@@ -65,9 +70,9 @@ def main() -> int:
 
     timed_fit(2)                   # cold: compiles every jit kernel
     t_small = timed_fit(2)         # warm: fixed setup + 2 rounds
-    t_big = timed_fit(102)         # warm: fixed setup + 102 rounds
+    t_big = timed_fit(trees)       # warm: fixed setup + `trees` rounds
     steady = max(t_big - t_small, 1e-9)
-    doctrees_per_sec = n_docs * 100 / steady
+    doctrees_per_sec = n_docs * (trees - 2) / steady
 
     print(json.dumps({
         "metric": "lambdamart_train_throughput",
