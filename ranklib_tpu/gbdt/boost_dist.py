@@ -19,15 +19,12 @@ same program then spans hosts.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ranklib_tpu.data.dataset import Dataset, padded_size
-from ranklib_tpu.gbdt.binning import bin_features
 from ranklib_tpu.gbdt.boost import (
     BoostData, BoostState, _PAIR_BUDGET, make_round_step, round_capacity,
 )

@@ -37,7 +37,7 @@ from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import is_silent, log
+from ranklib_tpu.utils.logging import event, is_silent, log
 
 
 @register_ranker
@@ -146,10 +146,15 @@ class LambdaMART(Ranker):
             state = step(state, t, data)
             built = t + 1
             if not silent:
-                line = f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}"
+                tm = float(state.train_m[t])
+                line = f"{t + 1:<8}| {tm:<11.4f}"
+                vm = None
                 if validation is not None:
-                    line += f"| {float(state.val_m[t]):<11.4f}"
+                    vm = float(state.val_m[t])
+                    line += f"| {vm:<11.4f}"
                 log(line)
+                event("round", ranker=self.NAME, round=t + 1,
+                      train_metric=tm, val_metric=vm)
             if self.ckpt_every and built % self.ckpt_every == 0:
                 self.ensemble = export(state, built, built)
                 self.save(self.ckpt_path)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, bucketize
-from ranklib_tpu.metrics.base import MetricScorer, score_dataset
+from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )

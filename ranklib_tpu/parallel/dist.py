@@ -21,8 +21,6 @@ riding ICI within a slice and DCN across slices.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
