@@ -23,18 +23,34 @@ def synth_dataset(
     seed: int = 0,
     signal: float = 2.0,
     w_seed: int | None = None,
+    nonlinear: bool = False,
 ) -> Dataset:
     """``w_seed`` pins the planted signal so train/test sets drawn with
-    different ``seed`` values still share the same ground-truth ranker."""
+    different ``seed`` values still share the same ground-truth ranker.
+
+    ``nonlinear=True`` plants threshold/interaction structure (axis-aligned
+    regions + pairwise products) instead of a dense linear signal — the
+    regime where tree rankers should dominate linear ones."""
     rng = np.random.default_rng(seed)
     w_rng = np.random.default_rng(seed if w_seed is None else w_seed)
     w_true = w_rng.normal(size=n_features)
     w_true /= np.linalg.norm(w_true)
+    k = max(4, n_features // 8)
+    nl_idx = w_rng.permutation(n_features)[: 2 * k]
+    nl_thr = w_rng.normal(size=k) * 0.5
+    nl_w = w_rng.normal(size=k)
+    pair_w = w_rng.normal(size=k)
     queries = []
     for qi in range(n_queries):
         n = int(rng.integers(min_docs, max_docs + 1))
         feats = rng.normal(size=(n, n_features)).astype(np.float32)
-        raw = signal * feats @ w_true + rng.normal(size=n)
+        if nonlinear:
+            a = feats[:, nl_idx[:k]]
+            b = feats[:, nl_idx[k:]]
+            raw = signal * ((a > nl_thr) @ nl_w + (a * b) @ pair_w) \
+                / np.sqrt(2 * k) + rng.normal(size=n)
+        else:
+            raw = signal * feats @ w_true + rng.normal(size=n)
         # map continuous raw score to graded labels 0..gmax by quantile
         qtiles = np.quantile(raw, np.linspace(0, 1, gmax + 2)[1:-1])
         labels = np.digitize(raw, qtiles).astype(np.float32)

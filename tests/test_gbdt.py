@@ -276,3 +276,22 @@ def test_warm_start_and_checkpoint(tmp_path, ranking_data):
     m1 = r.score_metric(test, scorer)
     m2 = r2.score_metric(test, scorer)
     assert abs(m1 - m2) < 0.05
+
+
+def test_lambdamart_beats_linear_on_nonlinear_data():
+    # the quality property that defines the GBDT family: on
+    # threshold/interaction signal, trees must clearly beat linear
+    from ranklib_tpu.models.linear import LinearRegRank
+
+    kw = dict(n_features=16, min_docs=10, max_docs=24, gmax=2, w_seed=11,
+              signal=3.0, nonlinear=True)
+    train = synth_dataset(n_queries=60, seed=3, **kw)
+    test = synth_dataset(n_queries=30, seed=5, **kw)
+    scorer = create_scorer("NDCG@10")
+    lin = LinearRegRank()
+    lin.fit(train, scorer)
+    lm = LambdaMART(n_trees=40, n_leaves=8, learning_rate=0.3, early_stop=0)
+    lm.fit(train, scorer)
+    m_lin = lin.score_metric(test, scorer)
+    m_lm = lm.score_metric(test, scorer)
+    assert m_lm > m_lin + 0.05, (m_lm, m_lin)
