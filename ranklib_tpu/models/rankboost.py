@@ -166,15 +166,18 @@ class RankBoost(Ranker):
     def eval_dataset(self, ds: Dataset):
         if not self.weaks:
             raise RankLibError("Model not trained/loaded")
-        out = []
-        for q in ds.queries:
-            s = np.zeros(q.n, np.float32)
-            F = q.feats.shape[1]
-            for fid, theta, alpha in self.weaks:
-                v = q.feats[:, fid - 1] if fid <= F else np.zeros(q.n)
-                s += alpha * (v > theta)
-            out.append(s)
-        return out
+        from ranklib_tpu.data.dataset import flatten
+
+        feats, _, qptr = flatten(ds)
+        F = feats.shape[1]
+        fids = np.array([min(w[0] - 1, F - 1) for w in self.weaks])
+        inrange = np.array([w[0] <= F for w in self.weaks], np.float32)
+        thetas = np.array([w[1] for w in self.weaks], np.float32)
+        alphas = np.array([w[2] for w in self.weaks], np.float32) * inrange
+        # H(d) = Σ_t α_t · [v_{f_t}(d) > θ_t] — one gather + one matvec
+        flat = (feats[:, fids] > thetas[None, :]).astype(np.float32) @ alphas
+        return [flat[qptr[i]: qptr[i + 1]].astype(np.float32)
+                for i in range(len(ds.queries))]
 
     # ---- serialization -----------------------------------------------------
     def model_str(self) -> str:
