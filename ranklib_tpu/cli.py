@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-randomSeed", type=int, default=0)
     p.add_argument("-eventlog", metavar="file",
                    help="structured JSONL event log (extension over RankLib)")
+    p.add_argument("-profile", metavar="dir",
+                   help="write a jax.profiler trace of training to DIR "
+                        "(extension; view with TensorBoard)")
     # ranker hyperparameters (None = use ranker default)
     p.add_argument("-epoch", type=int)
     p.add_argument("-layer", type=int)

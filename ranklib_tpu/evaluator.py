@@ -85,7 +85,8 @@ def evaluate_train(args) -> Ranker:
     elif args.tvs and args.tvs > 0:
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
-                          args.hparams, n_dp=getattr(args, "dp", 0))
+                          args.hparams, n_dp=getattr(args, "dp", 0),
+                          profile_dir=getattr(args, "profile", None))
     m_train, _ = score_dataset(train_scorer, train, ranker.eval_dataset(train))
     log(f"{train_scorer.name} on training data: {m_train:.4f}")
     if validation is not None:

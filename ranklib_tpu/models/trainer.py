@@ -23,9 +23,11 @@ def train_ranker(
     validation: Dataset | None = None,
     hparams: dict | None = None,
     n_dp: int = 0,
+    profile_dir: str | None = None,
 ) -> Ranker:
     """``n_dp > 1`` requests data-parallel training over that many devices
-    (rankers that support a ``mesh`` kwarg — the GBDT family)."""
+    (rankers that support a ``mesh`` kwarg — the GBDT family).
+    ``profile_dir`` wraps the fit in a jax.profiler trace."""
     cls = get_ranker_class(ranker_type)
     hparams = dict(hparams or {})
     resume = hparams.pop("_resume_from", None)
@@ -51,7 +53,14 @@ def train_ranker(
         else:
             log(f"({ranker.NAME} has no data-parallel path; -dp ignored)")
     t0 = time.perf_counter()
-    ranker.fit(train, scorer, validation, **kwargs)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            ranker.fit(train, scorer, validation, **kwargs)
+        log(f"Profiler trace written to: {profile_dir}")
+    else:
+        ranker.fit(train, scorer, validation, **kwargs)
     elapsed = time.perf_counter() - t0
     log("")
     log(f"Training time: {elapsed:.2f} seconds")

@@ -62,3 +62,19 @@ def test_out_of_range_bins_ignored_by_xla_path():
     h = np.asarray(hist_xla(jnp_arr(binned_T), grad, mask, 8))
     assert h[0, 0, 1] == 1 and h[0, 7, 1] == 1
     assert h[..., 1].sum() == 2
+
+
+def test_subtraction_trick_property():
+    """parent_hist − right_child_hist == left_child_hist computed directly
+    (the reference's FeatureHistogram construct-from-parent/sibling)."""
+    rng = np.random.default_rng(7)
+    N, F, B = 512, 5, 8
+    binned_T = rng.integers(0, B, size=(F, N)).astype(np.int32)
+    grad = rng.normal(size=N).astype(np.float32)
+    parent = rng.random(N) > 0.2                   # parent members
+    right = parent & (rng.random(N) > 0.5)
+    left = parent & ~right
+    hp = np.asarray(hist_xla(jnp.asarray(binned_T), grad, parent, B))
+    hr = np.asarray(hist_xla(jnp.asarray(binned_T), grad, right, B))
+    hl = np.asarray(hist_xla(jnp.asarray(binned_T), grad, left, B))
+    np.testing.assert_allclose(hp - hr, hl, atol=1e-4)
