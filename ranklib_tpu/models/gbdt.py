@@ -120,8 +120,16 @@ class LambdaMART(Ranker):
                     jnp.asarray(init_vscores)))
 
         log("Training starts...")
+        self._boost_loop(step, state, data, scorer, validation is not None,
+                         rounds, thresholds, prior)
+
+    def _boost_loop(self, step, state, data, scorer, has_val: bool,
+                    rounds: int, thresholds, prior: TreeEnsemble) -> None:
+        """Shared round loop (single-device and mesh paths): console table,
+        JSONL events, periodic checkpoints, early stop, best-round
+        rollback, ensemble export."""
         head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
-        if validation is not None:
+        if has_val:
             head += f"| {scorer.name + '-V':<11}"
         log(head)
 
@@ -139,6 +147,7 @@ class LambdaMART(Ranker):
                         self.learning_rate)
             return ens
 
+        silent = is_silent()
         # silent (bench/production) mode: only sync at early-stop checkpoints
         check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
         built = 0
@@ -149,7 +158,7 @@ class LambdaMART(Ranker):
                 tm = float(state.train_m[t])
                 line = f"{t + 1:<8}| {tm:<11.4f}"
                 vm = None
-                if validation is not None:
+                if has_val:
                     vm = float(state.val_m[t])
                     line += f"| {vm:<11.4f}"
                 log(line)
@@ -158,8 +167,7 @@ class LambdaMART(Ranker):
             if self.ckpt_every and built % self.ckpt_every == 0:
                 self.ensemble = export(state, built, built)
                 self.save(self.ckpt_path)
-            if (validation is not None and self.early_stop > 0
-                    and (t + 1) % check == 0):
+            if has_val and self.early_stop > 0 and (t + 1) % check == 0:
                 hist = np.asarray(state.val_m[: t + 1])
                 best = int(np.nanargmax(hist))
                 if t - best >= self.early_stop:
@@ -168,7 +176,7 @@ class LambdaMART(Ranker):
                     break
 
         keep = built
-        if validation is not None and built:
+        if has_val and built:
             # rollback to the best validation round (ref: LambdaMART learn()
             # post-loop ensemble truncation)
             val_m = jax.device_get(state.val_m)
@@ -205,41 +213,8 @@ class LambdaMART(Ranker):
                                 mesh, Nvpad)
 
         log(f"Training starts... [data-parallel over {n_dev} devices]")
-        head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
-        if validation is not None:
-            head += f"| {scorer.name + '-V':<11}"
-        log(head)
-        check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
-        built = 0
-        for t in range(self.n_trees):
-            state = step(state, t, data)
-            built = t + 1
-            if not silent:
-                line = f"{t + 1:<8}| {float(state.train_m[t]):<11.4f}"
-                if validation is not None:
-                    line += f"| {float(state.val_m[t]):<11.4f}"
-                log(line)
-            if (validation is not None and self.early_stop > 0
-                    and (t + 1) % check == 0):
-                hist = np.asarray(state.val_m[: t + 1])
-                best = int(np.nanargmax(hist))
-                if t - best >= self.early_stop:
-                    log(f"Early stop at round {t + 1}")
-                    break
-
-        (tfeat, tbin, tleft, tright, tleaf, tout, tnodes, val_m) = \
-            jax.device_get((state.tfeat, state.tbin, state.tleft,
-                            state.tright, state.tleaf, state.tout,
-                            state.tnodes, state.val_m))
-        keep = built
-        if validation is not None and built:
-            keep = int(np.nanargmax(val_m[:built])) + 1
-        self.ensemble = TreeEnsemble()
-        for t in range(keep):
-            self.ensemble.add(
-                _export_tree(tfeat[t], tbin[t], tleft[t], tright[t],
-                             tleaf[t], tout[t], int(tnodes[t]), thresholds),
-                self.learning_rate)
+        self._boost_loop(step, state, data, scorer, validation is not None,
+                         self.n_trees, thresholds, TreeEnsemble())
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
