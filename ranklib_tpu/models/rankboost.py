@@ -10,61 +10,148 @@ thresholds: ``-tc`` (10) evenly spaced values per feature
 (learning/boosting/RBWeakRanker.java).
 
 TPU-first shape: D lives as masked [B, D, D] pair matrices per query
-bucket. The weak-ranker search runs through the SAME pre-binned histogram
-machinery as the GBDT engine: the pair potential
+bucket chunk. The weak-ranker search runs through the SAME pre-binned
+histogram machinery as the GBDT engine: the pair potential
 π(d) = Σ_y D(d,y) − Σ_x D(x,d) is histogrammed by (feature, bin) in one
 segment-sum, and r(f, θ_t) = Σ_{bins > t} hist[f, ·] is a reversed
 cumulative sum — no per-candidate pass over docs.
+
+Every round is ONE fused jitted step with donated buffers (weak pick,
+α, D reweighting + global renormalization, score updates, train and
+validation metrics all on device) — the host dispatches rounds
+asynchronously and reads the weak-ranker arrays and metric histories
+back in a single transfer after the last round, the same zero-sync
+architecture as gbdt.boost (each blocking round trip through the TPU
+tunnel costs ~30 ms, which would otherwise dominate a 300-round fit).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
-from ranklib_tpu.metrics.base import MetricScorer, score_dataset
+from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.gbdt.boost import (
+    _bucket_metric_sum, _device_buckets, round_capacity,
+)
+from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
+from ranklib_tpu.utils.logging import event, is_silent, log
+
+
+class RBData(NamedTuple):
+    """Static-per-training device arrays (passed, not captured)."""
+
+    binned_T: jnp.ndarray        # [F, N] int32 (bin = #thresholds < value)
+    tb: tuple                    # train buckets: ((labels, mask, didx), ...)
+    vq_T: jnp.ndarray            # [F, Nv] int32 validation docs, same bins
+    vb: tuple                    # validation buckets (may be empty)
+
+
+class RBState(NamedTuple):
+    """Donated carry: pair distributions + scores + weak-ranker record."""
+
+    Dmats: tuple                 # per train chunk [Bc, D, D] f32
+    scores: jnp.ndarray          # [N + 1] f32
+    vscores: jnp.ndarray         # [Nv + 1] f32 (size 1 when no val)
+    wf: jnp.ndarray              # [CAP] int32 picked feature
+    wt: jnp.ndarray              # [CAP] int32 picked threshold index
+    walpha: jnp.ndarray          # [CAP] f32
+    wact: jnp.ndarray            # [CAP] bool (False once degenerate)
+    active: jnp.ndarray          # [] bool
+    train_m: jnp.ndarray         # [CAP] f32
+    val_m: jnp.ndarray           # [CAP] f32
 
 
 @jax.jit
-def _pair_potential(Dmat, mask):
-    """π[b, d] = Σ_y D[b, d, y] − Σ_x D[b, x, d] (winner-row minus
-    loser-column mass)."""
-    return (Dmat.sum(axis=2) - Dmat.sum(axis=1)) * mask
+def _chunk_pairs(labels, mask):
+    """Valid (winner, loser) pair indicator for one padded chunk."""
+    ok = mask[:, :, None] & mask[:, None, :]
+    return ((labels[:, :, None] > labels[:, None, :]) & ok).astype(jnp.float32)
 
 
-def _hist_potential(binned, pot, n_bins: int):
-    """hist[f, b] = Σ_d π(d)·[bin(d, f) = b] — one segment-sum."""
-    N, F = binned.shape
-    ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * n_bins + binned).reshape(-1)
-    data = jnp.broadcast_to(pot[:, None], (N, F)).reshape(-1)
-    return jax.ops.segment_sum(data, ids, num_segments=F * n_bins).reshape(F, n_bins)
+def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
+                 n_vqueries: int, train_metric: bool = True):
+    """Build the jitted one-round step: (state, t, data) → state."""
+    T = n_thresholds
 
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: RBState, t, data: RBData) -> RBState:
+        N = data.binned_T.shape[1]
 
-@functools.partial(jax.jit, static_argnames=("n_bins",))
-def _pick_weak(hist, n_bins: int):
-    """r(f, t) = Σ_{b > t} hist[f, b]; returns (r*, f*, t*)."""
-    rev = jnp.flip(jnp.cumsum(jnp.flip(hist, axis=1), axis=1), axis=1)
-    r = jnp.concatenate([rev[:, 1:], jnp.zeros_like(rev[:, :1])], axis=1)
-    flat = r.reshape(-1)
-    idx = jnp.argmax(flat)
-    return flat[idx], (idx // n_bins).astype(jnp.int32), (idx % n_bins).astype(jnp.int32)
+        # ---- pair potential π(d), scattered to flat doc order ----------
+        pot_flat = jnp.zeros((N + 1,), jnp.float32)
+        for (lab, msk, didx), Dmat in zip(data.tb, state.Dmats):
+            pot = (Dmat.sum(axis=2) - Dmat.sum(axis=1)) * msk
+            pot_flat = pot_flat.at[didx].add(pot)
 
+        # ---- weak-ranker search: histogram + reversed cumsum -----------
+        # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist
+        F = data.binned_T.shape[0]
+        ids = (jnp.arange(F, dtype=jnp.int32)[:, None] * (T + 1)
+               + data.binned_T).reshape(-1)
+        hist = jax.ops.segment_sum(
+            jnp.broadcast_to(pot_flat[:N][None, :], (F, N)).reshape(-1),
+            ids, num_segments=F * (T + 1)).reshape(F, T + 1)
+        rev = jnp.flip(jnp.cumsum(jnp.flip(hist, axis=1), axis=1), axis=1)
+        r_all = jnp.concatenate([rev[:, 1:], jnp.zeros_like(rev[:, :1])],
+                                axis=1)
+        flat = r_all.reshape(-1)
+        idx = jnp.argmax(flat)
+        f_s = (idx // (T + 1)).astype(jnp.int32)
+        t_s = (idx % (T + 1)).astype(jnp.int32)
+        r = jnp.clip(flat[idx], -0.999999, 0.999999)
 
-@jax.jit
-def _update_D(Dmat, q, alpha):
-    """Unnormalized D ← D·exp(α(q_y − q_x)); returns (D', local sum)."""
-    f = jnp.exp(alpha * (q[:, None, :] - q[:, :, None]))
-    Dn = Dmat * f
-    return Dn, Dn.sum()
+        # t_s == T means the all-zero column won the argmax: every real
+        # candidate has r ≤ 0 — no useful weak ranker; the round (and all
+        # later ones) becomes a no-op and the host truncates via wact
+        active = state.active & (t_s < T)
+        alpha = jnp.where(active, 0.5 * jnp.log((1.0 + r) / (1.0 - r)), 0.0)
+
+        # ---- strong-model score update ---------------------------------
+        q_flat = (data.binned_T[f_s] > t_s).astype(jnp.float32)
+        scores = state.scores.at[:-1].add(alpha * q_flat)
+        q_pad = jnp.concatenate([q_flat, jnp.zeros((1,), jnp.float32)])
+
+        # ---- D ← D·exp(α(q_y − q_x)) / Z (α = 0 → exact no-op) ---------
+        newD = []
+        total = jnp.float32(0.0)
+        for (lab, msk, didx), Dmat in zip(data.tb, state.Dmats):
+            q = q_pad[didx] * msk
+            Dn = Dmat * jnp.exp(alpha * (q[:, None, :] - q[:, :, None]))
+            newD.append(Dn)
+            total += Dn.sum()
+        newD = tuple(Dn / total for Dn in newD)
+
+        # ---- metrics ----------------------------------------------------
+        train_m = state.train_m
+        if train_metric:
+            tm = _bucket_metric_sum(scorer, data.tb, scores) / n_queries
+            train_m = train_m.at[t].set(tm)
+        vscores = state.vscores
+        val_m = state.val_m
+        if data.vb:
+            vq = (data.vq_T[f_s] > t_s).astype(jnp.float32)
+            vscores = vscores.at[:-1].add(alpha * vq)
+            vm = _bucket_metric_sum(scorer, data.vb, vscores) / n_vqueries
+            val_m = val_m.at[t].set(vm)
+
+        return RBState(
+            Dmats=newD, scores=scores, vscores=vscores,
+            wf=state.wf.at[t].set(f_s), wt=state.wt.at[t].set(t_s),
+            walpha=state.walpha.at[t].set(alpha),
+            wact=state.wact.at[t].set(active),
+            active=active, train_m=train_m, val_m=val_m,
+        )
+
+    return step
 
 
 @register_ranker
@@ -92,82 +179,91 @@ class RankBoost(Ranker):
         binned = np.zeros((N, F), np.int32)
         for f in range(F):
             binned[:, f] = np.searchsorted(grid[f], feats[:, f], side="left")
-        binned_j = jnp.asarray(binned)
-        n_bins = T + 1
 
-        buckets = bucketize(train, with_feats=False)
-        _, _, qptr = flatten(train)
-        views = []           # (didx, P0 valid-pair mask, mask)
-        n_pairs = 0.0
-        for b in buckets:
-            didx = np.full((b.B, b.D), N, np.int32)
-            for row, qi in enumerate(b.qidx):
-                s, e = qptr[qi], qptr[qi + 1]
-                didx[row, : e - s] = np.arange(s, e, dtype=np.int32)
-            L = b.labels
-            P = (L[:, :, None] > L[:, None, :]) & b.mask[:, :, None] & b.mask[:, None, :]
-            n_pairs += float(P.sum())
-            views.append((jnp.asarray(didx), jnp.asarray(P, jnp.float32),
-                          jnp.asarray(b.mask, jnp.float32), b.qidx))
+        tb = _device_buckets(train, sentinel=N)
+        # initial D: uniform over correctly-ordered pairs
+        pair_chunks = [_chunk_pairs(lab, msk) for lab, msk, _ in tb]
+        n_pairs = float(np.sum([float(P.sum()) for P in pair_chunks]))
         if n_pairs == 0:
             raise RankLibError("RankBoost: no correctly-ordered pairs in data")
-        Dmats = [P / n_pairs for _, P, _, _ in views]
+        Dmats = tuple(P / n_pairs for P in pair_chunks)
+
+        vb = ()
+        vq_T = jnp.zeros((F, 0), jnp.int32)
+        Nv = 0
+        if validation is not None:
+            vfeats, _, _ = flatten(validation)
+            Nv = vfeats.shape[0]
+            vbinned = np.zeros((Nv, F), np.int32)
+            for f in range(F):
+                vbinned[:, f] = np.searchsorted(grid[f], vfeats[:, f],
+                                                side="left")
+            vq_T = jnp.asarray(np.ascontiguousarray(vbinned.T))
+            vb = _device_buckets(validation, sentinel=Nv)
+
+        data = RBData(
+            binned_T=jnp.asarray(np.ascontiguousarray(binned.T)),
+            tb=tb, vq_T=vq_T, vb=vb)
+        silent = is_silent()
+        step = make_rb_step(
+            scorer, n_thresholds=T, n_queries=len(train.queries),
+            n_vqueries=len(validation.queries) if validation is not None else 1,
+            train_metric=not silent)
+        CAP = round_capacity(self.n_rounds)
+        state = RBState(
+            Dmats=Dmats,
+            scores=jnp.zeros((N + 1,), jnp.float32),
+            vscores=jnp.zeros((Nv + 1,), jnp.float32),
+            wf=jnp.zeros((CAP,), jnp.int32),
+            wt=jnp.zeros((CAP,), jnp.int32),
+            walpha=jnp.zeros((CAP,), jnp.float32),
+            wact=jnp.zeros((CAP,), bool),
+            active=jnp.asarray(True),
+            train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+        )
 
         log("Training starts...")
-        log(f"{'#iter':<8}| {scorer.name + '-T':<11}")
-        self.weaks = []
-        scores_flat = jnp.zeros((N + 1,), jnp.float32)
-        best_val = -np.inf
-        best_len = 0
+        head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
+        if validation is not None:
+            head += f"| {scorer.name + '-V':<11}"
+        log(head)
         for t in range(self.n_rounds):
-            pot_flat = jnp.zeros((N + 1,), jnp.float32)
-            for (didx, _, mask, _), Dmat in zip(views, Dmats):
-                pot = _pair_potential(Dmat, mask)
-                pot_flat = pot_flat.at[didx].add(pot)
-            hist = _hist_potential(binned_j, pot_flat[:N], n_bins)
-            r, f_s, t_s = _pick_weak(hist, n_bins)
-            r = float(np.clip(np.asarray(r), -0.999999, 0.999999))
-            f_i, t_i = int(np.asarray(f_s)), int(np.asarray(t_s))
-            if t_i >= T:      # degenerate: q ≡ 0 everywhere
-                log(f"Stop at round {t + 1}: no useful weak ranker")
+            state = step(state, t, data)
+            if not silent:
+                if not bool(state.wact[t]):
+                    log(f"Stop at round {t + 1}: no useful weak ranker")
+                    break
+                tm = float(state.train_m[t])
+                line = f"{t + 1:<8}| {tm:<11.4f}"
+                vm = None
+                if validation is not None:
+                    vm = float(state.val_m[t])
+                    line += f"| {vm:<11.4f}"
+                log(line)
+                event("round", ranker=self.NAME, round=t + 1,
+                      train_metric=tm, val_metric=vm)
+
+        # single readback of the whole training history
+        wf, wt, walpha, wact, val_m = jax.device_get(
+            (state.wf, state.wt, state.walpha, state.wact, state.val_m))
+        built = 0
+        for t in range(self.n_rounds):
+            if not wact[t]:
                 break
-            alpha = 0.5 * np.log((1.0 + r) / (1.0 - r))
-            theta = float(grid[f_i, t_i])
-            self.weaks.append((f_i + 1, theta, alpha))
-
-            q_flat = (binned_j[:, f_i] > t_i).astype(jnp.float32)
-            scores_flat = scores_flat.at[:N].add(alpha * q_flat)
-            q_pad = jnp.concatenate([q_flat, jnp.zeros((1,), jnp.float32)])
-            total = 0.0
-            newD = []
-            for (didx, _, mask, _), Dmat in zip(views, Dmats):
-                q = q_pad[didx] * mask
-                Dn, s = _update_D(Dmat, q, alpha)
-                newD.append(Dn)
-                total += float(s)
-            Dmats = [Dn / total for Dn in newD]
-
-            m_train = self._metric(train, scorer, scores_flat, qptr)
-            log(f"{t + 1:<8}| {m_train:<11.4f}")
-            if validation is not None:
-                m_val = self.score_metric(validation, scorer)
-                if m_val > best_val:
-                    best_val = m_val
-                    best_len = len(self.weaks)
-        if validation is not None and best_len:
-            self.weaks = self.weaks[:best_len]
-
-    def _metric(self, ds, scorer, scores_flat, qptr) -> float:
-        sc = np.asarray(scores_flat[:-1])
-        per_q = [sc[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
-        return score_dataset(scorer, ds, per_q)[0]
+            built = t + 1
+        keep = built
+        if validation is not None and built:
+            keep = int(np.nanargmax(val_m[:built])) + 1
+        self.weaks = [
+            (int(wf[t]) + 1, float(grid[int(wf[t]), int(wt[t])]),
+             float(walpha[t]))
+            for t in range(keep)]
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
         if not self.weaks:
             raise RankLibError("Model not trained/loaded")
-        from ranklib_tpu.data.dataset import flatten
-
         feats, _, qptr = flatten(ds)
         F = feats.shape[1]
         fids = np.array([min(w[0] - 1, F - 1) for w in self.weaks])
