@@ -72,8 +72,36 @@ class MetricScorer:
         return self._swap(L, n)
 
     def score_from_scores(self, labels, scores, mask):
-        """Rank by scores (stable desc) then score → [B]."""
+        """Rank by scores (stable desc) then score → [B].
+
+        Truncated metrics (everything but MAP) take a ``lax.top_k`` fast
+        path when k < D: per-round metric evaluation inside the fused
+        training steps is otherwise bound by the full [B, D] sort.
+        ``lax.top_k`` breaks ties in favor of the lower index — exactly
+        the stable-descending contract of the reference's MergeSorter
+        (ref: utilities/MergeSorter.java:~20), so both paths agree
+        bit-for-bit (tests/test_metrics.py topk-parity cases).
+        """
         n = mask.sum(axis=-1).astype(jnp.int32)
+        D = labels.shape[-1]
+        k = self.k
+        if self.metric != "MAP" and self.uses_k and 0 < k < D:
+            nk = jnp.minimum(n, k)
+            pos_ok = jnp.arange(k)[None, :] < nk[:, None]
+            _, idx = jax.lax.top_k(jnp.where(mask, scores, -jnp.inf), k)
+            Lk = jnp.where(pos_ok,
+                           jnp.take_along_axis(labels, idx, axis=-1), 0.0)
+            if self.metric == "NDCG":
+                # true ideal = top-k *labels* over the whole list, not the
+                # re-sorted top-k-by-score (they differ whenever a high
+                # label falls outside the predicted top k)
+                Li, _ = jax.lax.top_k(jnp.where(mask, labels, -jnp.inf), k)
+                Li = jnp.where(pos_ok, Li, 0.0)
+                ideal = S.dcg_score(Li, nk, k)
+                dcg = S.dcg_score(Lk, nk, k)
+                return jnp.where(ideal > 0,
+                                 dcg / jnp.where(ideal > 0, ideal, 1.0), 0.0)
+            return self._score(Lk, nk)
         return self._score(rank_labels(labels, scores, mask), n)
 
     # ---- host helpers ----------------------------------------------------

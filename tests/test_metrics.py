@@ -203,3 +203,28 @@ def test_score_from_scores_stable_ties():
     got = float(s.score_from_scores(labels, scores, mask)[0])
     want = np_ndcg([2, 0, 1], 10)
     assert got == pytest.approx(want, rel=1e-6)
+
+
+@pytest.mark.parametrize("metric", [m for m in ORACLES if m != "MAP"])
+def test_topk_fast_path_matches_full_sort(metric):
+    """score_from_scores' lax.top_k path (k < D) must agree bit-for-bit
+    with the full stable-sort path, including score ties."""
+    import jax.numpy as jnp
+    from ranklib_tpu.ops.sorting import rank_labels
+
+    rng = np.random.default_rng(11)
+    for k in (1, 3, 5):
+        scorer = MetricScorer(metric, k)
+        for trial in range(6):
+            B, D = 4, int(rng.integers(k + 1, 20))
+            labels = rng.integers(0, 4, size=(B, D)).astype(np.float32)
+            # quantized scores force plenty of ties
+            scores = np.round(rng.random((B, D)).astype(np.float32) * 4) / 4
+            n = rng.integers(1, D + 1, size=B)
+            mask = np.arange(D)[None, :] < n[:, None]
+            labels[~mask] = 0
+            Lj, sj, mj = jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(mask)
+            fast = np.asarray(scorer.score_from_scores(Lj, sj, mj))
+            nn = jnp.asarray(n.astype(np.int32))
+            slow = np.asarray(scorer._score(rank_labels(Lj, sj, mj), nn))
+            assert np.allclose(fast, slow, atol=1e-6), (metric, k, trial)
