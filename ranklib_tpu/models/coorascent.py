@@ -9,12 +9,16 @@ metric gain exceeds the tolerance; best restart wins. Optional L2 penalty
 `-reg` subtracts λΣw² from the objective.
 
 TPU redesign: the reference evaluates ONE candidate weight vector at a time
-(25 sequential metric evaluations per coordinate). Here the entire
-geometric ladder for a coordinate — both signs, all magnitudes — is scored
-in a single batched matmul + vmapped metric call
-(:class:`LinearMetricEvaluator`), so each coordinate costs one device
-round-trip. The search loop itself stays on host: it is inherently
-sequential and metric-driven (SURVEY.md §7 "hard parts").
+(25 sequential metric evaluations per coordinate). Here a full SWEEP over
+all coordinates is one jitted ``lax.scan``, with every restart advancing in
+lockstep (vmapped [R, ...] state) and every candidate in a coordinate's
+geometric ladder — both signs, sign flip, zeroing — scored by one batched
+matmul + vmapped metric call per bucket chunk. The host syncs once per
+sweep (on the per-restart improved flags), not once per coordinate: through
+the ~30 ms TPU tunnel the reference's structure would pay minutes of pure
+latency per fit. Lockstep restarts are semantically identical to the
+reference's independent restarts: a converged restart re-evaluates the same
+candidates and keeps finding no gain (deterministic fixed point).
 
 Hyperparameters (reference flags): -r nRestart=5, -i nMaxIteration=25
 (line-search depth per coordinate), -tolerance 0.001, -reg off.
@@ -22,6 +26,10 @@ Hyperparameters (reference flags): -r nRestart=5, -i nMaxIteration=25
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset
@@ -32,6 +40,64 @@ from ranklib_tpu.models.base import (
 from ranklib_tpu.ops.batched_eval import LinearMetricEvaluator
 from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log
+
+
+def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
+               tolerance: float, n_queries: int, step_base: float,
+               step_scale: float):
+    """Build the jitted one-sweep fn: (w, cur, order_T, buckets) →
+    (w, cur, improved). Shapes: w [R, F], cur [R], order_T [F, R]."""
+    F = n_features
+
+    def mean_metric(Wc, buckets):
+        """Wc [R, C, F] → mean metric [R, C] over all queries."""
+        R, C = Wc.shape[0], Wc.shape[1]
+        Wf = Wc.reshape(R * C, F)
+        total = jnp.zeros((R * C,), jnp.float32)
+        for feats, labels, mask in buckets:
+            sc = jnp.einsum("bdf,cf->bdc", feats, Wf,
+                            preferred_element_type=jnp.float32)
+            vals = jax.vmap(
+                lambda s: scorer.score_from_scores(labels, s, mask),
+                in_axes=2, out_axes=1)(sc)
+            total += vals.sum(axis=0)
+        return total.reshape(R, C) / n_queries
+
+    def coordinate_step(carry, f, buckets):
+        w, cur, improved = carry                       # [R, F], [R], [R]
+        R = w.shape[0]
+        rr = jnp.arange(R)
+        w_f = w[rr, f]
+        base = step_base * jnp.maximum(jnp.abs(w_f), 0.05)
+        mags = base[:, None] * (step_scale ** jnp.arange(depth,
+                                                         dtype=jnp.float32))
+        deltas = jnp.concatenate(
+            [mags, -mags, -w_f[:, None], -2.0 * w_f[:, None]], axis=1)
+        onehot = (jnp.arange(F)[None, :] == f[:, None]).astype(jnp.float32)
+        Wc = w[:, None, :] + deltas[:, :, None] * onehot[:, None, :]
+        norms = jnp.abs(Wc).sum(axis=2)                # [R, C]
+        ok = norms > 1e-12
+        Wc = Wc / jnp.where(ok, norms, 1.0)[:, :, None]
+        vals = mean_metric(Wc, buckets)
+        if reg is not None:
+            vals = vals - reg * (Wc * Wc).sum(axis=2)
+        vals = jnp.where(ok, vals, -jnp.inf)
+        cbest = jnp.argmax(vals, axis=1)               # [R]
+        vbest = vals[rr, cbest]
+        gain = vbest > cur + tolerance
+        w = jnp.where(gain[:, None], Wc[rr, cbest], w)
+        cur = jnp.where(gain, vbest, cur)
+        return (w, cur, improved | gain), None
+
+    @jax.jit
+    def sweep(w, cur, order_T, buckets):
+        improved = jnp.zeros(w.shape[0], bool)
+        (w, cur, improved), _ = jax.lax.scan(
+            functools.partial(coordinate_step, buckets=buckets),
+            (w, cur, improved), order_T)
+        return w, cur, improved
+
+    return sweep
 
 
 @register_ranker
@@ -50,62 +116,52 @@ class CoorAscent(Ranker):
         self.weights = None           # np.float64 [F], Σ|w| = 1
         super().__init__(**hp)
 
-    # ---- objective -------------------------------------------------------
-    def _penalty(self, W: np.ndarray) -> np.ndarray:
-        if self.reg is None:
-            return np.zeros(W.shape[1], np.float64)
-        return self.reg * (W * W).sum(axis=0)
-
-    def _candidate_grid(self, w_f: float) -> np.ndarray:
-        """Geometric ladder of absolute deltas, both signs, plus sign flip
-        and zeroing of the coordinate."""
-        depth = max(4, self.n_max_iteration)
-        base = self.STEP_BASE * max(abs(w_f), 0.05)
-        mags = base * (self.STEP_SCALE ** np.arange(depth))
-        deltas = np.concatenate([mags, -mags, [-w_f, -2.0 * w_f]])
-        return np.unique(deltas[np.isfinite(deltas)])
-
     def fit(self, train: Dataset, scorer: MetricScorer, validation=None):
         F = train.n_features
+        R = self.n_restart
         ev = LinearMetricEvaluator(train, scorer)
-        ev_val = LinearMetricEvaluator(validation, scorer) if validation else None
+        buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
+        # same deterministic per-restart orders as the reference's shuffle
+        order_T = jnp.asarray(np.stack(
+            [np.random.default_rng(r).permutation(F) for r in range(R)],
+            axis=1).astype(np.int32))                  # [F, R]
+        depth = max(4, self.n_max_iteration)
 
-        global_best_w, global_best_m = None, -np.inf
-        log(f"Training starts... [{self.NAME}] optimizing {scorer.name}")
-        for restart in range(self.n_restart):
-            rng = np.random.default_rng(restart)
-            order = rng.permutation(F)
-            w = np.full(F, 1.0 / F, dtype=np.float64)
-            cur = float(ev.mean_metric(w[:, None])[0] - self._penalty(w[:, None])[0])
-            log(f"[+] Random restart #{restart + 1}/{self.n_restart}...")
-            for sweep in range(self.max_passes):
-                improved = False
-                for f in order:
-                    deltas = self._candidate_grid(w[f])
-                    C = len(deltas)
-                    W = np.repeat(w[:, None], C, axis=1)
-                    W[f, :] += deltas
-                    # re-normalize Σ|w| = 1 (skip all-zero candidates)
-                    norms = np.abs(W).sum(axis=0)
-                    ok = norms > 1e-12
-                    W[:, ok] /= norms[ok]
-                    vals = ev.mean_metric(W) - self._penalty(W)
-                    vals[~ok] = -np.inf
-                    best = int(np.argmax(vals))
-                    if vals[best] > cur + self.tolerance:
-                        w = W[:, best].copy()
-                        cur = float(vals[best])
-                        improved = True
-                log(f"  pass {sweep + 1}: {scorer.name} = {cur:.4f}")
-                if not improved:
-                    break
-            if cur > global_best_m:
-                global_best_m, global_best_w = cur, w.copy()
-        self.weights = global_best_w
+        sweep = make_sweep(
+            scorer, n_features=F, depth=depth, reg=self.reg,
+            tolerance=self.tolerance, n_queries=len(train.queries),
+            step_base=self.STEP_BASE, step_scale=self.STEP_SCALE)
+
+        w = jnp.full((R, F), 1.0 / F, jnp.float32)
+        cur0 = float(ev.mean_metric(np.full((F, 1), 1.0 / F, np.float32))[0])
+        if self.reg is not None:
+            cur0 -= self.reg * (1.0 / F)     # Σ(1/F)² over F coordinates
+        cur = jnp.full((R,), cur0, jnp.float32)
+
+        log(f"Training starts... [{self.NAME}] optimizing {scorer.name} "
+            f"({R} restarts in lockstep)")
+        for sweep_i in range(self.max_passes):
+            w, cur, improved = sweep(w, cur, order_T, buckets)
+            imp = np.asarray(improved)                 # ONE sync per sweep
+            curs = np.asarray(cur)
+            log(f"  pass {sweep_i + 1}: {scorer.name} = "
+                f"{float(curs.max()):.4f} "
+                f"({int(imp.sum())}/{R} restarts improving)")
+            if not imp.any():
+                break
+        curs = np.asarray(cur, np.float64)
+        ws = np.asarray(w, np.float64)
+        best = int(np.argmax(curs))
+        # final f64 renormalization: device math is f32, the model-file
+        # invariant Σ|w| = 1 is kept at double precision like the reference
+        wbest = ws[best]
+        norm = np.abs(wbest).sum()
+        self.weights = wbest / (norm if norm > 0 else 1.0)
         log("-" * 40)
         log(f"Finished successfully. {scorer.name} on training data: "
-            f"{global_best_m:.4f}")
-        if ev_val is not None:
+            f"{curs[best]:.4f}")
+        if validation is not None:
+            ev_val = LinearMetricEvaluator(validation, scorer)
             vm = float(ev_val.mean_metric(self.weights[:, None])[0])
             log(f"{scorer.name} on validation data: {vm:.4f}")
 

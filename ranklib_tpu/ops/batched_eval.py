@@ -21,7 +21,6 @@ import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, bucketize
 from ranklib_tpu.metrics.base import MetricScorer
-from ranklib_tpu.ops.sorting import rank_labels
 
 
 @functools.partial(jax.jit, static_argnames=("scorer",))
@@ -29,18 +28,16 @@ def _bucket_candidate_metrics(scorer, feats, labels, mask, W):
     """feats [B,D,F], W [F,C] → per-query metric [B, C]."""
     scores = jnp.einsum("bdf,fc->bdc", feats, W,
                         preferred_element_type=jnp.float32)
-    n = mask.sum(axis=-1).astype(jnp.int32)
 
     def one_candidate(sc):  # sc: [B, D]
-        return scorer.score_ranked(rank_labels(labels, sc, mask), n)
+        return scorer.score_from_scores(labels, sc, mask)
 
     return jax.vmap(one_candidate, in_axes=2, out_axes=1)(scores)
 
 
-@functools.partial(jax.jit, static_argnames=("scorer",))
-def _bucket_score_metrics(scorer, labels, mask, scores):
-    n = mask.sum(axis=-1).astype(jnp.int32)
-    return scorer.score_ranked(rank_labels(labels, scores, mask), n)
+# padded docs per bucket chunk: bounds the [rows, D, C] candidate-score
+# temporary to ~256 MB f32 even at C = 512 candidates (rows·D ≤ 2^17)
+_DOC_BUDGET = 1 << 17
 
 
 class LinearMetricEvaluator:
@@ -52,14 +49,21 @@ class LinearMetricEvaluator:
         self.n_features = ds.n_features
         self.buckets = []
         for b in bucketize(ds):
-            self.buckets.append(
-                (
-                    jnp.asarray(b.feats),
-                    jnp.asarray(b.labels),
-                    jnp.asarray(b.mask),
-                    b.qidx,
+            rows = max(1, min(b.B, _DOC_BUDGET // b.D))
+            for lo in range(0, b.B, rows):
+                hi = min(lo + rows, b.B)
+                pad = rows - (hi - lo)
+                self.buckets.append(
+                    (
+                        jnp.asarray(np.pad(b.feats[lo:hi],
+                                           ((0, pad), (0, 0), (0, 0)))),
+                        jnp.asarray(np.pad(b.labels[lo:hi],
+                                           ((0, pad), (0, 0)))),
+                        jnp.asarray(np.pad(b.mask[lo:hi],
+                                           ((0, pad), (0, 0)))),
+                        b.qidx[lo:hi],
+                    )
                 )
-            )
 
     def mean_metric(self, W: np.ndarray) -> np.ndarray:
         """W: [F, C] candidate weights → [C] macro-averaged metric."""
@@ -80,5 +84,5 @@ class LinearMetricEvaluator:
         out = np.zeros((self.n_queries, W.shape[1]), np.float64)
         for feats, labels, mask, qidx in self.buckets:
             vals = _bucket_candidate_metrics(self.scorer, feats, labels, mask, Wd)
-            out[qidx] = np.asarray(vals)
+            out[qidx] = np.asarray(vals)[: len(qidx)]
         return out
