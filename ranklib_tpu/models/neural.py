@@ -32,19 +32,21 @@ loop stays on host.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, bucketize
+from ranklib_tpu.gbdt.boost import round_capacity
 from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )
-from ranklib_tpu.ops.sorting import rank_labels, rank_perm
+from ranklib_tpu.ops.sorting import rank_perm
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
+from ranklib_tpu.utils.logging import is_silent, log
 
 
 def _init_params(key, layer_sizes):
@@ -111,39 +113,74 @@ _LOSSES = {
 }
 
 
-@functools.partial(jax.jit, static_argnames=("loss_name", "scorer", "lr"))
-def _epoch_on_bucket(params, feats, labels, mask, loss_name, scorer, lr):
-    """Sequential per-query SGD over one padded bucket (lax.scan)."""
-    loss_fn = _LOSSES[loss_name]
-
-    def body(p, row):
-        f, l, m = row
-        g = jax.grad(loss_fn)(p, f, l, m, scorer)
-        p = jax.tree.map(lambda a, b: a - lr * b, p, g)
-        return p, jnp.float32(0)
-
-    params, _ = jax.lax.scan(body, params, (feats, labels, mask))
-    return params
-
-
 @jax.jit
 def _bucket_scores_fwd(params, feats):
     return _forward(params, feats)
 
 
-@functools.partial(jax.jit, static_argnames=("scorer",))
-def _bucket_metric(params, feats, labels, mask, scorer):
-    s = _forward(params, feats)
-    n = mask.sum(axis=-1).astype(jnp.int32)
-    return scorer.score_ranked(rank_labels(labels, s, mask), n)
-
-
-@jax.jit
-def _bucket_misordered(params, feats, labels, mask):
+def _misordered(params, feats, labels, mask):
     s = _forward(params, feats)
     pm = jax.vmap(_pair_mask)(labels, mask)
     bad = (s[:, :, None] <= s[:, None, :]).astype(jnp.float32)
     return jnp.sum(pm * bad)
+
+
+class NNState(NamedTuple):
+    """Donated carry of the fused epoch step."""
+
+    params: tuple                # ((W, b), ...)
+    best_params: tuple           # snapshot of the best-on-validation epoch
+    best_val: jnp.ndarray        # []
+    val_m: jnp.ndarray           # [CAP]
+    mis: jnp.ndarray             # [CAP] mis-ordered pair counts (console)
+
+
+def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
+                    track_mis: bool):
+    """One jitted epoch: per-query SGD scans over every bucket, validation
+    metric + best-weight snapshot on device — the host dispatches epochs
+    asynchronously and reads everything back once after the last one (the
+    same zero-sync architecture as gbdt.boost; a blocking round trip
+    through the TPU tunnel costs ~30 ms, ruinous at ListNet's 1500
+    epochs)."""
+    loss_fn = _LOSSES[loss_name]
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: NNState, t, tb, vb) -> NNState:
+        params = state.params
+
+        def body(p, row):
+            f, l, m = row
+            g = jax.grad(loss_fn)(p, f, l, m, scorer)
+            return jax.tree.map(lambda a, b: a - lr * b, p, g), None
+
+        for f, l, m in tb:
+            params, _ = jax.lax.scan(body, params, (f, l, m))
+
+        mis = state.mis
+        if track_mis:
+            mis = mis.at[t].set(
+                sum(_misordered(params, f, l, m) for f, l, m in tb))
+
+        best_params, best_val, val_m = (
+            state.best_params, state.best_val, state.val_m)
+        if vb:
+            tot = jnp.float32(0.0)
+            for f, l, m in vb:
+                tot += scorer.score_from_scores(l, _forward(params, f),
+                                                m).sum()
+            val = tot / n_val_q
+            val_m = state.val_m.at[t].set(val)
+            better = val > state.best_val
+            best_params = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), params,
+                state.best_params)
+            best_val = jnp.where(better, val, state.best_val)
+
+        return NNState(params=params, best_params=best_params,
+                       best_val=best_val, val_m=val_m, mis=mis)
+
+    return step
 
 
 @register_ranker
@@ -167,42 +204,49 @@ class RankNet(Ranker):
     def fit(self, train: Dataset, scorer: MetricScorer, validation=None):
         F = train.n_features
         self.n_features = F
-        params = _init_params(jax.random.PRNGKey(self.seed), self._layer_sizes(F))
-        buckets = [
+        params = tuple(_init_params(jax.random.PRNGKey(self.seed),
+                                    self._layer_sizes(F)))
+        tb = tuple(
             (jnp.asarray(b.feats), jnp.asarray(b.labels), jnp.asarray(b.mask))
             for b in bucketize(train)
-        ]
-        vbuckets = None
+        )
+        vb = ()
         if validation is not None:
-            vbuckets = [
-                (jnp.asarray(b.feats), jnp.asarray(b.labels), jnp.asarray(b.mask))
+            vb = tuple(
+                (jnp.asarray(b.feats), jnp.asarray(b.labels),
+                 jnp.asarray(b.mask))
                 for b in bucketize(validation)
-            ]
-        n_val_q = len(validation.queries) if validation is not None else 0
+            )
+        n_val_q = len(validation.queries) if validation is not None else 1
         lr = float(self.learning_rate)
 
         log(f"Training starts... [{self.NAME}] {self.n_epoch} epochs, "
             f"lr={lr:g}, layers={self._layer_sizes(F)}")
         log(f"{'#epoch':<8}| {'# mis-ordered pairs':<20}| {'validation':<10}")
-        best_val, best_params = -np.inf, params
+        silent = is_silent()
+        step = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
+                               track_mis=not silent)
+        CAP = round_capacity(self.n_epoch)
+        state = NNState(
+            params=params,
+            # distinct buffers: params and best_params live in one donated
+            # pytree and may not alias
+            best_params=jax.tree.map(jnp.copy, params),
+            best_val=jnp.float32(-np.inf),
+            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            mis=jnp.full((CAP,), jnp.nan, jnp.float32),
+        )
         for epoch in range(1, self.n_epoch + 1):
-            for f, l, m in buckets:
-                params = _epoch_on_bucket(params, f, l, m, self.LOSS, scorer, lr)
-            if validation is not None:
-                tot = 0.0
-                for f, l, m in vbuckets:
-                    tot += float(jnp.sum(_bucket_metric(params, f, l, m, scorer)))
-                val = tot / n_val_q
-                if val > best_val:
-                    best_val, best_params = val, params
-            if epoch % max(1, self.n_epoch // 10) == 0 or epoch == 1:
-                mis = sum(float(_bucket_misordered(params, f, l, m))
-                          for f, l, m in buckets)
-                vtxt = f"{best_val:.4f}" if validation is not None else "-"
-                log(f"{epoch:<8}| {mis:<20.0f}| {vtxt:<10}")
-        if validation is not None:
-            params = best_params  # restore best-on-validation snapshot
-        self.params = [(np.asarray(W), np.asarray(b)) for W, b in params]
+            state = step(state, epoch - 1, tb, vb)
+            if not silent and (epoch % max(1, self.n_epoch // 10) == 0
+                               or epoch == 1):
+                vtxt = "-"
+                if validation is not None:
+                    vtxt = f"{float(state.best_val):.4f}"
+                log(f"{epoch:<8}| {float(state.mis[epoch - 1]):<20.0f}"
+                    f"| {vtxt:<10}")
+        final = state.best_params if validation is not None else state.params
+        self.params = [(np.asarray(W), np.asarray(b)) for W, b in final]
 
     # ---- scoring -----------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
