@@ -16,22 +16,121 @@ descending). Per round, with per-query weights P(q) (uniform init):
 TPU-first shape: ranking every query by every feature never changes, so
 the per-(query, feature) weak-metric matrix S[Q, F] is computed ONCE with
 the batched candidate evaluator (feats @ I — one MXU pass per bucket).
-Every round is then a couple of [Q]·[Q, F] reductions on host-sized data;
-per-round H metrics reuse the same evaluator since H is linear.
+Every round is then ONE fused jitted step with donated state: feature
+pick (with the noeq/consec guards as masking), α, the strong-model
+per-query metric (for both the console table and the P reweighting),
+validation metric, and all stop/backtrack conditions evaluated on device
+as an active flag — the host dispatches rounds asynchronously and reads
+the whole history back in a single transfer (same zero-sync architecture
+as gbdt.boost; a blocking round trip through the TPU tunnel costs
+~30 ms).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset
+from ranklib_tpu.gbdt.boost import round_capacity
 from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
     Ranker, model_header, parse_model_params, register_ranker,
 )
 from ranklib_tpu.ops.batched_eval import LinearMetricEvaluator
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
+from ranklib_tpu.utils.logging import event, is_silent, log
+
+
+class AdaState(NamedTuple):
+    """Donated carry of the fused AdaRank round step."""
+
+    P: jnp.ndarray               # [Q] query weights
+    w: jnp.ndarray               # [F] accumulated α per feature
+    last_fid: jnp.ndarray        # [] int32 (-1 initially)
+    consec: jnp.ndarray          # [] int32 consecutive picks of last_fid
+    prev_train: jnp.ndarray      # [] f32
+    active: jnp.ndarray          # [] bool
+    hfid: jnp.ndarray            # [CAP] int32 picked feature per round
+    halpha: jnp.ndarray          # [CAP] f32
+    hact: jnp.ndarray            # [CAP] bool round kept
+    train_m: jnp.ndarray         # [CAP] f32
+    val_m: jnp.ndarray           # [CAP] f32
+
+
+def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
+                  n_queries: int, n_vqueries: int):
+    """Build the jitted one-round step: (state, t, S, tb, vb) → state.
+
+    ``tb``/``vb``: tuples of (feats, labels, mask, qidx) device buckets;
+    qidx scatters per-query metrics back to Dataset order for P.
+    """
+
+    def _perq_and_mean(wvec, buckets, nq):
+        """Per-query metric of the linear model wvec, scattered to Dataset
+        order ([nq]); padded chunk rows carry sentinel qidx = nq."""
+        perq = jnp.zeros((nq + 1,), jnp.float32)
+        for feats, labels, mask, qidx in buckets:
+            sc = jnp.einsum("bdf,f->bd", feats, wvec,
+                            preferred_element_type=jnp.float32)
+            vals = scorer.score_from_scores(labels, sc, mask)
+            perq = perq.at[qidx].set(vals)
+        perq = perq[:-1]
+        return perq, perq.mean()
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: AdaState, t, S, tb, vb) -> AdaState:
+        F = state.w.shape[0]
+        weighted = state.P @ S                         # [F]
+        # noeq / consecutive-pick guard: mask the last feature out
+        blocked = (jnp.arange(F) == state.last_fid) & (
+            jnp.bool_(no_eq) | (state.consec >= max_sel))
+        fid = jnp.argmax(jnp.where(blocked, -jnp.inf, weighted))
+        s = S[:, fid]
+        num = state.P @ (1.0 + s)
+        den = state.P @ (1.0 - s)
+        degenerate = (num <= 0) | (den <= 0)
+        alpha = 0.5 * jnp.log(jnp.where(degenerate, 1.0, num / den))
+        w_new = state.w.at[fid].add(alpha)
+
+        perq, m_train = _perq_and_mean(w_new, tb, n_queries)
+        backtrack = m_train < state.prev_train
+        keep = state.active & ~degenerate & ~backtrack
+
+        w = jnp.where(keep, w_new, state.w)
+        e = jnp.exp(-perq)
+        P = jnp.where(keep, e / e.sum(), state.P)
+        last_fid = jnp.where(keep, fid.astype(jnp.int32), state.last_fid)
+        consec = jnp.where(
+            keep,
+            jnp.where(fid.astype(jnp.int32) == state.last_fid,
+                      state.consec + 1, 1),
+            state.consec)
+        # tolerance stop: the round is KEPT, later rounds become no-ops
+        tol_stop = keep & (m_train - state.prev_train < tolerance) & (t > 0)
+        active = keep & ~tol_stop
+        prev_train = jnp.where(keep, m_train, state.prev_train)
+
+        val_m = state.val_m
+        if vb:
+            _, vm = _perq_and_mean(w, vb, n_vqueries)
+            val_m = val_m.at[t].set(vm)
+
+        return AdaState(
+            P=P, w=w, last_fid=last_fid, consec=consec,
+            prev_train=prev_train, active=active,
+            hfid=state.hfid.at[t].set(fid.astype(jnp.int32)),
+            halpha=state.halpha.at[t].set(alpha),
+            hact=state.hact.at[t].set(keep),
+            train_m=state.train_m.at[t].set(m_train),
+            val_m=val_m,
+        )
+
+    return step
 
 
 @register_ranker
@@ -54,80 +153,75 @@ class AdaRank(Ranker):
         ev = LinearMetricEvaluator(train, scorer)
         # S[q, f]: metric of query q ranked by feature f alone — one batched
         # candidate pass (feats @ I on the MXU), computed once
-        S = ev.per_query_matrix(np.eye(F, dtype=np.float32))
+        S = jnp.asarray(ev.per_query_matrix(np.eye(F, dtype=np.float32)),
+                        jnp.float32)
+        def _device_qidx(evaluator, nq):
+            out = []
+            for f, l, m, q in evaluator.buckets:
+                qpad = np.full(f.shape[0], nq, np.int32)   # sentinel slot
+                qpad[: len(q)] = q
+                out.append((f, l, m, jnp.asarray(qpad)))
+            return tuple(out)
 
-        P = np.full(Q, 1.0 / Q)
-        w = np.zeros(F, np.float64)
-        self.history = []
-        last_fid = -1
-        consec = 0
-        prev_train = -np.inf
-        best_val = -np.inf
-        best_len = 0
+        tb = _device_qidx(ev, Q)
+        vb = ()
+        n_vq = 1
+        if validation is not None:
+            vev = LinearMetricEvaluator(validation, scorer)
+            n_vq = len(validation.queries)
+            vb = _device_qidx(vev, n_vq)
+
+        step = make_ada_step(
+            scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
+            tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq)
+        CAP = round_capacity(self.n_rounds)
+        state = AdaState(
+            P=jnp.full((Q,), 1.0 / Q, jnp.float32),
+            w=jnp.zeros((F,), jnp.float32),
+            last_fid=jnp.int32(-1), consec=jnp.int32(0),
+            prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
+            hfid=jnp.zeros((CAP,), jnp.int32),
+            halpha=jnp.zeros((CAP,), jnp.float32),
+            hact=jnp.zeros((CAP,), bool),
+            train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+        )
 
         log("Training starts...")
         head = f"{'#iter':<8}| {'Feature':<8}| {scorer.name + '-T':<11}"
         if validation is not None:
             head += f"| {scorer.name + '-V':<11}"
         log(head)
-        vev = LinearMetricEvaluator(validation, scorer) if validation is not None else None
-
+        silent = is_silent()
         for t in range(self.n_rounds):
-            weighted = P @ S                       # [F]
-            order = np.argsort(-weighted, kind="stable")
-            fid0 = -1
-            for f in order:
-                if f == last_fid and (
-                        self.no_eq or consec >= self.max_sel_count):
-                    continue
-                fid0 = int(f)
-                break
-            if fid0 < 0:
-                break
-            s = S[:, fid0]
-            num = float(P @ (1.0 + s))
-            den = float(P @ (1.0 - s))
-            if den <= 0 or num <= 0:
-                log(f"Stop at round {t + 1}: degenerate alpha")
-                break
-            alpha = 0.5 * np.log(num / den)
-            w_new = w.copy()
-            w_new[fid0] += alpha
+            state = step(state, t, S, tb, vb)
+            if not silent:
+                if not bool(state.hact[t]):
+                    log(f"Stop at round {t + 1} (degenerate or rolled back)")
+                    break
+                tm = float(state.train_m[t])
+                line = f"{t + 1:<8}| {int(state.hfid[t]) + 1:<8}| {tm:<11.4f}"
+                vm = None
+                if validation is not None:
+                    vm = float(state.val_m[t])
+                    line += f"| {vm:<11.4f}"
+                log(line)
+                event("round", ranker=self.NAME, round=t + 1,
+                      train_metric=tm, val_metric=vm)
+                if not bool(state.active):
+                    break
 
-            per_q = ev.per_query_metric(w_new.astype(np.float32))
-            m_train = float(per_q.mean())
-            line = f"{t + 1:<8}| {fid0 + 1:<8}| {m_train:<11.4f}"
-
-            if m_train < prev_train:
-                # backtrack: drop the pick that hurt (ref: AdaRank learn()
-                # reverts the last weak ranker when the train metric drops)
-                log(line + "  (rolled back)")
-                break
-            improved = m_train - prev_train
-            w = w_new
-            self.history.append((fid0 + 1, alpha))
-            consec = consec + 1 if fid0 == last_fid else 1
-            last_fid = fid0
-            # reweight queries: hard ones (low metric under H) gain mass
-            e = np.exp(-per_q)
-            P = e / e.sum()
-
-            if validation is not None:
-                m_val = float(vev.per_query_metric(w.astype(np.float32)).mean())
-                line += f"| {m_val:<11.4f}"
-                if m_val > best_val:
-                    best_val = m_val
-                    best_len = len(self.history)
-            log(line)
-            if improved < self.tolerance and t > 0:
-                break
-            prev_train = m_train
-
-        if validation is not None and best_len:
-            self.history = self.history[:best_len]
-            w = np.zeros(F, np.float64)
-            for fid, alpha in self.history:
-                w[fid - 1] += alpha
+        hfid, halpha, hact, val_m = jax.device_get(
+            (state.hfid, state.halpha, state.hact, state.val_m))
+        kept = [t for t in range(self.n_rounds) if hact[t]]
+        self.history = [(int(hfid[t]) + 1, float(halpha[t])) for t in kept]
+        if validation is not None and kept:
+            vals = val_m[kept]
+            best = int(np.nanargmax(vals))
+            self.history = self.history[: best + 1]
+        w = np.zeros(F, np.float64)
+        for fid, alpha in self.history:
+            w[fid - 1] += alpha
         self.weights = w
 
     # ---- scoring ---------------------------------------------------------

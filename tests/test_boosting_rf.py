@@ -113,3 +113,32 @@ def test_combiner_merges_bags(tmp_path, data):
     assert len(merged.ensembles) == 6
     scores = merged.eval_dataset(test)
     assert all(np.isfinite(s).all() for s in scores)
+
+
+def test_boosters_validation_rollback(data):
+    """With a validation set, both boosters truncate to the best-validation
+    round (ref: Ranker best-on-validation semantics) — the kept model must
+    score validation at least as well as the full-length run's final round."""
+    train, test = data
+    vali = synth_dataset(n_queries=8, n_features=8, min_docs=8, max_docs=20,
+                         seed=7, w_seed=9, signal=3.0)
+    scorer = create_scorer("NDCG@10")
+
+    rb_full = RankBoost(n_rounds=25, n_threshold=10)
+    rb_full.fit(train, scorer)
+    rb = RankBoost(n_rounds=25, n_threshold=10)
+    rb.fit(train, scorer, validation=vali)
+    assert 1 <= len(rb.weaks) <= len(rb_full.weaks)
+    assert rb.score_metric(vali, scorer) >= rb_full.score_metric(vali, scorer) - 1e-6
+    # truncated prefix must equal the full run's prefix (same deterministic rounds)
+    for (f1, t1, a1), (f2, t2, a2) in zip(rb.weaks, rb_full.weaks):
+        assert f1 == f2 and t1 == pytest.approx(t2) and a1 == pytest.approx(a2, rel=1e-5)
+
+    ada_full = AdaRank(n_rounds=20, tolerance=0.0)
+    ada_full.fit(train, scorer)
+    ada = AdaRank(n_rounds=20, tolerance=0.0)
+    ada.fit(train, scorer, validation=vali)
+    assert 1 <= len(ada.history) <= len(ada_full.history)
+    assert ada.score_metric(vali, scorer) >= ada_full.score_metric(vali, scorer) - 1e-6
+    for (f1, a1), (f2, a2) in zip(ada.history, ada_full.history):
+        assert f1 == f2 and a1 == pytest.approx(a2, rel=1e-5)
