@@ -69,6 +69,7 @@ class BoostState(NamedTuple):
     tnodes: jnp.ndarray          # [CAP] int32
     train_m: jnp.ndarray         # [CAP] f32
     val_m: jnp.ndarray           # [CAP] f32
+    impacts: jnp.ndarray         # [F] f32 cumulative deviance reduction
 
 
 def make_boost_data(train: Dataset, binned_pad: np.ndarray,
@@ -214,15 +215,18 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
             tout=state.tout.at[t].set(out),
             tnodes=state.tnodes.at[t].set(arr.n_nodes),
             train_m=train_m, val_m=val_m,
+            impacts=state.impacts + arr.impacts,
         )
 
     return step
 
 
-def init_state(n_trees: int, n_leaves: int, Npad: int, Nvpad: int) -> BoostState:
+def init_state(n_trees: int, n_leaves: int, Npad: int, Nvpad: int,
+               n_features: int) -> BoostState:
     M = 2 * n_leaves - 1
     CAP = round_capacity(n_trees)
     return BoostState(
+        impacts=jnp.zeros((n_features,), jnp.float32),
         scores=jnp.zeros((Npad + 1,), jnp.float32),
         vscores=jnp.zeros((Nvpad + 1,), jnp.float32),
         tfeat=jnp.zeros((CAP, M), jnp.int32),

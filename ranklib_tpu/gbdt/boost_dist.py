@@ -157,20 +157,20 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
                            tleft=state.tleft, tright=state.tright,
                            tleaf=state.tleaf, tout=state.tout,
                            tnodes=state.tnodes, train_m=state.train_m,
-                           val_m=state.val_m)
+                           val_m=state.val_m, impacts=state.impacts)
         data = jax.tree.map(sq, data)
         out = step(state, t, data)
         return BoostState(scores=out.scores[None], vscores=out.vscores[None],
                           tfeat=out.tfeat, tbin=out.tbin, tleft=out.tleft,
                           tright=out.tright, tleaf=out.tleaf, tout=out.tout,
                           tnodes=out.tnodes, train_m=out.train_m,
-                          val_m=out.val_m)
+                          val_m=out.val_m, impacts=out.impacts)
 
     sh = P(axis)
     rep = P()
     state_specs = BoostState(scores=sh, vscores=sh, tfeat=rep, tbin=rep,
                              tleft=rep, tright=rep, tleaf=rep, tout=rep,
-                             tnodes=rep, train_m=rep, val_m=rep)
+                             tnodes=rep, train_m=rep, val_m=rep, impacts=rep)
     data_specs = jax.tree.map(lambda _: sh, data)
 
     mapped = jax.shard_map(per_device, mesh=mesh,
@@ -180,7 +180,7 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
 
 
 def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
-                    mesh: Mesh, Nvpad: int = 0,
+                    mesh: Mesh, Nvpad: int = 0, n_features: int = 1,
                     axis: str = AXIS) -> BoostState:
     M = 2 * n_leaves - 1
     CAP = round_capacity(n_trees)
@@ -188,6 +188,7 @@ def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
     rep = NamedSharding(mesh, P())
     dev = lambda a, s: jax.device_put(a, s)
     return BoostState(
+        impacts=dev(jnp.zeros((n_features,), jnp.float32), rep),
         scores=dev(jnp.zeros((n_dev, Npad + 1), jnp.float32), sh),
         vscores=dev(jnp.zeros((n_dev, Nvpad + 1), jnp.float32), sh),
         tfeat=dev(jnp.zeros((CAP, M), jnp.int32), rep),

@@ -43,6 +43,7 @@ class TreeArrays(NamedTuple):
     is_leaf: jnp.ndarray      # [M] bool
     n_nodes: jnp.ndarray      # [] int32 slots in use
     node_of_doc: jnp.ndarray  # [N] int32 leaf slot of each training doc
+    impacts: jnp.ndarray      # [F] f32 deviance reduction per split feature
 
 
 # backend-selected histogram: Pallas one-hot-matmul kernel on TPU,
@@ -134,10 +135,12 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
     is_leaf = jnp.zeros((M,), bool).at[0].set(True)
     node_of_doc = jnp.zeros((N,), jnp.int32)
     n_nodes = jnp.int32(1)
+    impacts = jnp.zeros((F,), jnp.float32)
 
     def body(_, st):
         (hist, stats, deviance, best_gain, best_f, best_b, splittable,
-         feature, sbin, left, right, is_leaf, node_of_doc, n_nodes) = st
+         feature, sbin, left, right, is_leaf, node_of_doc, n_nodes,
+         impacts) = st
 
         cand = jnp.where(is_leaf & splittable, deviance, -jnp.inf)
         leaf = jnp.argmax(cand).astype(jnp.int32)
@@ -145,6 +148,13 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
 
         f_s = best_f[leaf]
         b_s = best_b[leaf]
+        # feature impact: deviance reduced by this split = (S_L²/c_L +
+        # S_R²/c_R) − S²/c (ref: LambdaMART impacts[] accumulation)
+        parent_term = jnp.where(
+            stats[leaf, 2] > 0,
+            stats[leaf, 0] ** 2 / jnp.maximum(stats[leaf, 2], 1.0), 0.0)
+        impacts = impacts.at[f_s].add(
+            jnp.where(valid, best_gain[leaf] - parent_term, 0.0))
         la = n_nodes
         ra = n_nodes + 1
 
@@ -197,14 +207,16 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
         n_nodes = n_nodes + jnp.where(valid, jnp.int32(2), jnp.int32(0))
 
         return (hist, stats, deviance, best_gain, best_f, best_b, splittable,
-                feature, sbin, left, right, is_leaf, node_of_doc, n_nodes)
+                feature, sbin, left, right, is_leaf, node_of_doc, n_nodes,
+                impacts)
 
     st = (hist, stats, deviance, best_gain, best_f, best_b, splittable,
-          feature, sbin, left, right, is_leaf, node_of_doc, n_nodes)
+          feature, sbin, left, right, is_leaf, node_of_doc, n_nodes, impacts)
     st = jax.lax.fori_loop(0, n_leaves - 1, body, st)
     (hist, stats, deviance, best_gain, best_f, best_b, splittable,
-     feature, sbin, left, right, is_leaf, node_of_doc, n_nodes) = st
-    return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes, node_of_doc)
+     feature, sbin, left, right, is_leaf, node_of_doc, n_nodes, impacts) = st
+    return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes,
+                      node_of_doc, impacts)
 
 
 def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool,

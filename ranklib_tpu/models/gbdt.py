@@ -56,6 +56,7 @@ class LambdaMART(Ranker):
         self.ckpt_every = 0          # save a checkpoint every N rounds
         self.ckpt_path = "model.ckpt"
         self.ensemble = TreeEnsemble()
+        self.feature_impacts = None  # [F] deviance reduction, set by fit()
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer,
@@ -110,7 +111,7 @@ class LambdaMART(Ranker):
             n_vqueries=len(validation.queries) if validation is not None else 1,
             # the per-round train metric only feeds the console table
             train_metric=not silent)
-        state = init_state(rounds, self.n_leaves, Npad, Nvpad)
+        state = init_state(rounds, self.n_leaves, Npad, Nvpad, F)
         if init_scores is not None:
             state = state._replace(
                 scores=state.scores.at[:N].set(jnp.asarray(init_scores)))
@@ -182,6 +183,17 @@ class LambdaMART(Ranker):
             val_m = jax.device_get(state.val_m)
             keep = int(np.nanargmax(val_m[:built])) + 1
         self.ensemble = export(state, built, keep)
+        # per-feature deviance reduction over all splits (ref: LambdaMART
+        # impacts[] — printed after training, SURVEY.md §2 row 6)
+        self.feature_impacts = np.asarray(jax.device_get(state.impacts),
+                                          np.float64)
+        if not silent and self.feature_impacts.any():
+            top = np.argsort(-self.feature_impacts)[:10]
+            log("-- Feature impacts (top 10, deviance reduced)")
+            for f in top:
+                if self.feature_impacts[f] <= 0:
+                    break
+                log(f"  Feature {f + 1} : {self.feature_impacts[f]:.6g}")
 
     def _fit_distributed(self, train: Dataset, scorer: MetricScorer,
                          validation, mesh) -> None:
@@ -210,7 +222,7 @@ class LambdaMART(Ranker):
                         else 1),
             train_metric=not silent)
         state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad,
-                                mesh, Nvpad)
+                                mesh, Nvpad, n_features=feats.shape[1])
 
         log(f"Training starts... [data-parallel over {n_dev} devices]")
         self._boost_loop(step, state, data, scorer, validation is not None,

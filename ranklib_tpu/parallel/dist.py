@@ -72,7 +72,7 @@ def make_train_step(scorer, n_bins: int, n_leaves: int,
     repl = P()
     tree_specs = TreeArrays(
         feature=repl, bin=repl, left=repl, right=repl, is_leaf=repl,
-        n_nodes=repl, node_of_doc=sharded)
+        n_nodes=repl, node_of_doc=sharded, impacts=repl)
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded),

@@ -295,3 +295,25 @@ def test_lambdamart_beats_linear_on_nonlinear_data():
     m_lin = lin.score_metric(test, scorer)
     m_lm = lm.score_metric(test, scorer)
     assert m_lm > m_lin + 0.05, (m_lm, m_lin)
+
+
+def test_feature_impacts_accumulate():
+    """Impacts: nonnegative deviance reductions, mass only on features the
+    ensemble actually split on (ref: LambdaMART impacts[])."""
+    from tests.fixtures import synth_dataset
+    from ranklib_tpu.metrics.base import create_scorer
+    from ranklib_tpu.models.gbdt import MART
+
+    ds = synth_dataset(n_queries=12, n_features=6, min_docs=8, max_docs=16,
+                       seed=3, w_seed=4, signal=3.0)
+    r = MART(n_trees=5, n_leaves=4, learning_rate=0.2)
+    r.fit(ds, create_scorer("NDCG@10"))
+    imp = r.feature_impacts
+    assert imp is not None and imp.shape == (6,)
+    assert (imp >= -1e-5).all()
+    assert imp.sum() > 0
+    used = {int(f) for t in r.ensemble.trees
+            for f, leaf in zip(t.feature, t.is_leaf) if not leaf}
+    unused = set(range(6)) - used
+    for f in unused:
+        assert imp[f] == pytest.approx(0.0, abs=1e-6)
