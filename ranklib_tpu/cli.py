@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-missingZero", action="store_true")
     p.add_argument("-validate", metavar="file")
     p.add_argument("-tvs", type=float, default=-1.0)
+    p.add_argument("-tts", type=float, default=-1.0,
+                   help="train-test split ratio x: first x of the training "
+                        "queries train, the rest test (overrides -tvs and "
+                        "an explicit -test file, like the reference)")
     p.add_argument("-test", metavar="file")
     p.add_argument("-norm", choices=["sum", "zscore", "linear"])
     p.add_argument("-sparse", action="store_true",

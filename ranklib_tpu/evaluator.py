@@ -78,11 +78,19 @@ def evaluate_train(args) -> Ranker:
     must_rel = train_scorer.needs_rel
     train = _prepare(args.train, args.norm, feature_fids, must_rel,
                      qrel=args.qrel)
+    split_test = None
+    tts = getattr(args, "tts", -1.0)
+    if tts and tts > 0:
+        # -tts: carve the test set out of the training file; it overrides
+        # -tvs and an explicit -test file (ref: Evaluator -tts precedence)
+        train, split_test = split_tvs(train, tts)
+        log(f"Train-test split: {len(train.queries)} / "
+            f"{len(split_test.queries)} queries")
     validation = None
     if args.validate:
         validation = _prepare(args.validate, args.norm, feature_fids, must_rel,
                               n_features=train.n_features, qrel=args.qrel)
-    elif args.tvs and args.tvs > 0:
+    elif args.tvs and args.tvs > 0 and not (tts and tts > 0):
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
                           args.hparams, n_dp=getattr(args, "dp", 0),
@@ -93,9 +101,10 @@ def evaluate_train(args) -> Ranker:
         m_val, _ = score_dataset(train_scorer, validation,
                                  ranker.eval_dataset(validation))
         log(f"{train_scorer.name} on validation data: {m_val:.4f}")
-    if args.test:
-        test = _prepare(args.test, args.norm, feature_fids, False,
-                        n_features=train.n_features, qrel=args.qrel)
+    if args.test or split_test is not None:
+        test = split_test if split_test is not None else _prepare(
+            args.test, args.norm, feature_fids, False,
+            n_features=train.n_features, qrel=args.qrel)
         m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
         log(f"{test_scorer.name} on test data: {m_test:.4f}")
         if args.idv:

@@ -102,3 +102,18 @@ def test_cli_eventlog(tmp_path, letor):
     recs = [json.loads(x) for x in ev.read_text().splitlines()] \
         if ev.read_text().strip() else []
     assert isinstance(recs, list)
+
+
+def test_tts_split_flow(tmp_path):
+    """-tts carves test out of the training file and overrides -tvs
+    (ref: Evaluator -tts precedence)."""
+    from tests.fixtures import synth_dataset, write_letor_text
+    from ranklib_tpu.cli import main
+
+    train = tmp_path / "train.txt"
+    write_letor_text(synth_dataset(n_queries=20, n_features=6, seed=21,
+                                   signal=3.0), str(train))
+    rc = main(["-train", str(train), "-ranker", "9", "-tts", "0.7",
+               "-metric2t", "NDCG@10", "-save", str(tmp_path / "m.txt")])
+    assert rc == 0
+    assert (tmp_path / "m.txt").read_text().startswith("## Linear Regression")
