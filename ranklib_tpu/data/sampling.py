@@ -14,7 +14,7 @@ from ranklib_tpu.data.dataset import Dataset
 
 def sample_queries(ds: Dataset, rate: float, rng: np.random.Generator,
                    with_replacement: bool = True):
-    """Return (sampled Dataset, out-of-bag Dataset)."""
+    """Return (sampled Dataset, out-of-bag Dataset, sampled indices)."""
     Q = len(ds.queries)
     size = int(rate * Q)
     if with_replacement:
@@ -25,7 +25,8 @@ def sample_queries(ds: Dataset, rate: float, rng: np.random.Generator,
     chosen[np.unique(idx)] = True
     sampled = [ds.queries[i] for i in idx]
     oob = [ds.queries[i] for i in range(Q) if not chosen[i]]
-    return Dataset(sampled, ds.n_features), Dataset(oob, ds.n_features) if oob else None
+    return (Dataset(sampled, ds.n_features),
+            Dataset(oob, ds.n_features) if oob else None, idx)
 
 
 def sample_features(n_features: int, rate: float, rng: np.random.Generator):

@@ -49,6 +49,7 @@ class BoostData(NamedTuple):
     binned_T: jnp.ndarray        # [F, Npad] int32
     labels_flat: jnp.ndarray     # [Npad] f32 (pads 0)
     doc_mask: jnp.ndarray        # [Npad] bool
+    feat_mask: jnp.ndarray       # [F] bool (RF bags: feature subsample)
     tb: tuple                    # train buckets: ((labels, mask, didx), ...)
     vbinned: jnp.ndarray | None  # [Nvpad, F] int32 doc-major (traversal)
     vb: tuple                    # validation buckets (may be empty)
@@ -75,9 +76,10 @@ class BoostState(NamedTuple):
 def make_boost_data(train: Dataset, binned_pad: np.ndarray,
                     labels_pad: np.ndarray, n_real: int,
                     validation: Dataset | None,
-                    vbinned: np.ndarray | None) -> tuple:
+                    vbinned: np.ndarray | None,
+                    feature_mask: np.ndarray | None = None) -> tuple:
     """Build (BoostData, Npad, Nvpad). ``binned_pad``: [Npad, F]."""
-    Npad = binned_pad.shape[0]
+    Npad, F = binned_pad.shape
     tb = _device_buckets(train, sentinel=n_real)
     vb = ()
     Nvpad = 0
@@ -88,6 +90,8 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
         binned_T=jnp.asarray(np.ascontiguousarray(binned_pad.T)),
         labels_flat=jnp.asarray(labels_pad),
         doc_mask=jnp.asarray(np.arange(Npad) < n_real),
+        feat_mask=jnp.asarray(np.ones(F, bool) if feature_mask is None
+                              else feature_mask),
         tb=tb,
         vbinned=jnp.asarray(vbinned) if vbinned is not None else None,
         vb=vb,
@@ -175,7 +179,8 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
         arr = grow_tree(data.binned_T, lam, n_bins=n_bins,
                         n_leaves=n_leaves,
                         min_leaf_support=min_leaf_support,
-                        doc_mask=data.doc_mask, axis_name=axis_name)
+                        doc_mask=data.doc_mask, axis_name=axis_name,
+                        feature_mask=data.feat_mask)
         out = leaf_outputs(arr.node_of_doc, lam, w, M, newton,
                            doc_mask=data.doc_mask, axis_name=axis_name)
         scores = scores.at[:-1].add(lr * out[arr.node_of_doc])

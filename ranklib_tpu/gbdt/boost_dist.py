@@ -106,7 +106,8 @@ def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
 
 def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
                        validation: Dataset | None = None,
-                       vbinned: np.ndarray | None = None):
+                       vbinned: np.ndarray | None = None,
+                       feature_mask: np.ndarray | None = None):
     """Stacked per-device BoostData (leading device axis on every leaf).
 
     ``binned`` / ``vbinned``: [N, F] int32 for the REAL docs (flatten
@@ -122,10 +123,13 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
         vbinned_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned, n_dev)
         # traversal wants doc-major [Nvpad, F] per device
         vbin_dev = np.ascontiguousarray(vbinned_T.transpose(0, 2, 1))
+    F = binned.shape[1]
+    fm = np.ones(F, bool) if feature_mask is None else feature_mask
     data = BoostData(
         binned_T=jnp.asarray(binned_T),
         labels_flat=jnp.asarray(labels_flat),
         doc_mask=jnp.asarray(doc_mask),
+        feat_mask=jnp.asarray(np.tile(fm, (n_dev, 1))),
         tb=tb,
         vbinned=jnp.asarray(vbin_dev) if vbin_dev is not None else None,
         vb=vb,

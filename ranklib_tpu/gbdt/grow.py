@@ -58,12 +58,14 @@ def _hist(binned, grad, mask, n_bins):
     return _hist_for_mask(binned, grad, mask, n_bins)
 
 
-def _best_split(hist, S, C, mls):
+def _best_split(hist, S, C, mls, fmask=None):
     """Scan all (feature, bin) candidates of one node's histogram.
 
     Returns (gain, feature, bin, valid). Maximizes S_L²/c_L + S_R²/c_R over
     candidates with both sides >= minLeafSupport; first max wins on ties
-    (feature-major order, matching the reference's scan order).
+    (feature-major order, matching the reference's scan order). ``fmask``:
+    optional [F] bool — features outside the mask never split (RF bags'
+    feature subsampling as data, so every bag shares one compiled step).
     """
     F, B, _ = hist.shape
     c_l = jnp.cumsum(hist[..., 1], axis=1)
@@ -71,6 +73,8 @@ def _best_split(hist, S, C, mls):
     c_r = C - c_l
     s_r = S - s_l
     ok = (c_l >= mls) & (c_r >= mls)
+    if fmask is not None:
+        ok = ok & fmask[:, None]
     gain = jnp.where(
         ok,
         s_l * s_l / jnp.maximum(c_l, 1.0) + s_r * s_r / jnp.maximum(c_r, 1.0),
@@ -85,7 +89,8 @@ def _best_split(hist, S, C, mls):
     static_argnames=("n_bins", "n_leaves", "min_leaf_support", "axis_name"))
 def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
               min_leaf_support: int = 1, doc_mask=None,
-              axis_name: str | None = None) -> TreeArrays:
+              axis_name: str | None = None,
+              feature_mask=None) -> TreeArrays:
     """Grow one regression tree on pseudo-responses ``grad``.
 
     binned_T: [F, N] int32 pre-binned features, FEATURE-MAJOR (docs on the
@@ -116,7 +121,7 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
     S0 = allr(jnp.sum(gm))
     SQ0 = allr(jnp.sum(gm * gm))
     C0 = allr(jnp.sum(dmask.astype(jnp.float32)))
-    g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls)
+    g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls, feature_mask)
 
     hist = jnp.zeros((M, F, B, 2), jnp.float32).at[0].set(root_hist)
     stats = jnp.zeros((M, 3), jnp.float32).at[0].set(jnp.stack([S0, SQ0, C0]))
@@ -180,8 +185,8 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
         def dev(SQ, S, C):
             return jnp.where(C > 0, SQ - S * S / jnp.maximum(C, 1.0), -jnp.inf)
 
-        g_l, f_l, b_l, ok_l = _best_split(hist_l, S_l, C_l, mls)
-        g_r, f_r, b_r, ok_r = _best_split(hist_r, S_r, C_r, mls)
+        g_l, f_l, b_l, ok_l = _best_split(hist_l, S_l, C_l, mls, feature_mask)
+        g_r, f_r, b_r, ok_r = _best_split(hist_r, S_r, C_r, mls, feature_mask)
 
         def upd(arr, idx, val):
             return arr.at[idx].set(jnp.where(valid, val, arr[idx]))

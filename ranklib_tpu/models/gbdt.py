@@ -60,21 +60,39 @@ class LambdaMART(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None, mesh=None) -> None:
+            validation: Dataset | None = None, mesh=None,
+            feature_mask: np.ndarray | None = None,
+            prebinned=None) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` — queries shard
         data-parallel over its first axis with psum'd histogram/metric
-        statistics (gbdt.boost_dist)."""
+        statistics (gbdt.boost_dist).
+
+        ``feature_mask``: optional [F] bool — features outside the mask are
+        never split on (RF feature bagging). ``prebinned``: optional
+        (thresholds [F, B], binned [N, F]) computed by the caller for this
+        dataset's docs in flatten order — RF bags share one global binning
+        so 300 bags skip 300 host re-binnings and one compiled step serves
+        them all.
+        """
         if mesh is not None and mesh.size > 1:
-            return self._fit_distributed(train, scorer, validation, mesh)
+            return self._fit_distributed(train, scorer, validation, mesh,
+                                         feature_mask, prebinned)
         feats, labels, _ = flatten(train)
         N, F = feats.shape
         # thresholds from REAL docs only, then pad the doc axis to a coarse
         # grid so RF bags / CV folds of varying size reuse one compilation
-        thresholds, _ = compute_thresholds(feats, self.n_threshold)
+        if prebinned is not None:
+            thresholds, binned_real = prebinned
+        else:
+            thresholds, _ = compute_thresholds(feats, self.n_threshold)
+            binned_real = None
         B = thresholds.shape[1]
         Npad = _pad_doc_count(N)
-        binned = bin_features(
-            np.pad(feats, ((0, Npad - N), (0, 0))), thresholds)
+        if binned_real is None:
+            binned = bin_features(
+                np.pad(feats, ((0, Npad - N), (0, 0))), thresholds)
+        else:
+            binned = np.pad(binned_real, ((0, Npad - N), (0, 0)))
         labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
 
         vbinned = None
@@ -83,7 +101,7 @@ class LambdaMART(Ranker):
             vbinned = bin_features(vfeats, thresholds)
 
         data, Npad, Nvpad = make_boost_data(
-            train, binned, labels_pad, N, validation, vbinned)
+            train, binned, labels_pad, N, validation, vbinned, feature_mask)
 
         # warm start: a loaded/partial ensemble seeds the model scores and
         # training continues toward n_trees total (resume-after-crash /
@@ -196,22 +214,27 @@ class LambdaMART(Ranker):
                 log(f"  Feature {f + 1} : {self.feature_impacts[f]:.6g}")
 
     def _fit_distributed(self, train: Dataset, scorer: MetricScorer,
-                         validation, mesh) -> None:
+                         validation, mesh, feature_mask=None,
+                         prebinned=None) -> None:
         from ranklib_tpu.gbdt.boost_dist import (
             build_sharded_data, init_dist_state, make_dist_round_step,
         )
 
         n_dev = mesh.size
         feats, _, _ = flatten(train)
-        thresholds, _ = compute_thresholds(feats, self.n_threshold)
+        if prebinned is not None:
+            thresholds, binned = prebinned
+        else:
+            thresholds, _ = compute_thresholds(feats, self.n_threshold)
+            binned = bin_features(feats, thresholds)
         B = thresholds.shape[1]
-        binned = bin_features(feats, thresholds)
         vbinned = None
         if validation is not None:
             vfeats, _, _ = flatten(validation)
             vbinned = bin_features(vfeats, thresholds)
         data, Npad, Nvpad = build_sharded_data(train, binned, n_dev,
-                                               validation, vbinned)
+                                               validation, vbinned,
+                                               feature_mask)
         silent = is_silent()
         step = make_dist_round_step(
             scorer, mesh, data, n_bins=B, n_leaves=self.n_leaves,

@@ -40,6 +40,7 @@ class RFRanker(Ranker):
         self.n_trees = 1
         self.n_leaves = 100
         self.learning_rate = 0.1
+        self.n_threshold = 256
         self.seed = 0
         self.ensembles: list[TreeEnsemble] = []
         self._merged = None
@@ -50,26 +51,41 @@ class RFRanker(Ranker):
 
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None, mesh=None) -> None:
+        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+
         rng = np.random.default_rng(self.seed)
         cls = MART if self.ranker_type == 0 else LambdaMART
         log("Training starts...")
+        # one global binning serves every bag: a bag is a doc-row gather of
+        # the shared integer bin matrix plus a feature mask, so all bags
+        # reuse one compiled boosting step and skip per-bag host binning
+        feats_full, _, qptr = flatten(train)
+        thresholds, _ = compute_thresholds(feats_full, self.n_threshold)
+        binned_full = bin_features(feats_full, thresholds)
         self.ensembles = []
         was_silent = is_silent()
         for bag in range(self.n_bags):
-            sampled, _ = sample_queries(train, self.sub_sampling_rate, rng)
+            sampled, _, qidx = sample_queries(train, self.sub_sampling_rate,
+                                              rng)
             fids = sample_features(train.n_features,
                                    self.feature_sampling_rate, rng)
-            bag_data = sampled.subset_features(fids)
+            fmask = np.zeros(train.n_features, bool)
+            fmask[[f - 1 for f in fids]] = True
+            rows = np.concatenate(
+                [np.arange(qptr[i], qptr[i + 1]) for i in qidx])
             ranker = cls(n_trees=self.n_trees, n_leaves=self.n_leaves,
-                         learning_rate=self.learning_rate, early_stop=0)
+                         learning_rate=self.learning_rate, early_stop=0,
+                         n_threshold=self.n_threshold)
             set_silent(True)          # per-bag round tables are noise
             try:
-                ranker.fit(bag_data, scorer, mesh=mesh)
+                ranker.fit(sampled, scorer, mesh=mesh, feature_mask=fmask,
+                           prebinned=(thresholds, binned_full[rows]))
             finally:
                 set_silent(was_silent)
             self.ensembles.append(ranker.ensemble)
-            m = self._bag_metric(bag_data, scorer, ranker)
-            log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
+            if not was_silent:
+                m = self._bag_metric(sampled, scorer, ranker)
+                log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
         self._merged = None
 
     @staticmethod
