@@ -80,7 +80,8 @@ def evaluate_train(args) -> Ranker:
                      qrel=args.qrel)
     split_test = None
     tts = getattr(args, "tts", -1.0)
-    if tts and tts > 0:
+    has_tts = bool(tts) and tts > 0
+    if has_tts:
         # -tts: carve the test set out of the training file; it overrides
         # -tvs and an explicit -test file (ref: Evaluator -tts precedence)
         train, split_test = split_tvs(train, tts)
@@ -90,7 +91,7 @@ def evaluate_train(args) -> Ranker:
     if args.validate:
         validation = _prepare(args.validate, args.norm, feature_fids, must_rel,
                               n_features=train.n_features, qrel=args.qrel)
-    elif args.tvs and args.tvs > 0 and not (tts and tts > 0):
+    elif args.tvs and args.tvs > 0 and not has_tts:
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
                           args.hparams, n_dp=getattr(args, "dp", 0),

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.gbdt.binning import bin_features
 from ranklib_tpu.gbdt.boost import (
     _bucket_metric_sum, _device_buckets, round_capacity,
 )
@@ -88,7 +89,7 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
 
         # ---- pair potential π(d), scattered to flat doc order ----------
         pot_flat = jnp.zeros((N + 1,), jnp.float32)
-        for (lab, msk, didx), Dmat in zip(data.tb, state.Dmats):
+        for (_, msk, didx), Dmat in zip(data.tb, state.Dmats):
             pot = (Dmat.sum(axis=2) - Dmat.sum(axis=1)) * msk
             pot_flat = pot_flat.at[didx].add(pot)
 
@@ -123,7 +124,7 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
         # ---- D ← D·exp(α(q_y − q_x)) / Z (α = 0 → exact no-op) ---------
         newD = []
         total = jnp.float32(0.0)
-        for (lab, msk, didx), Dmat in zip(data.tb, state.Dmats):
+        for (_, msk, didx), Dmat in zip(data.tb, state.Dmats):
             q = q_pad[didx] * msk
             Dn = Dmat * jnp.exp(alpha * (q[:, None, :] - q[:, :, None]))
             newD.append(Dn)
@@ -176,14 +177,12 @@ class RankBoost(Ranker):
         grid = lo[:, None] + (hi - lo)[:, None] * (
             np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
         # bin = #thresholds strictly below value → q_t(d) = [bin > t]
-        binned = np.zeros((N, F), np.int32)
-        for f in range(F):
-            binned[:, f] = np.searchsorted(grid[f], feats[:, f], side="left")
+        binned = bin_features(feats, grid)
 
         tb = _device_buckets(train, sentinel=N)
         # initial D: uniform over correctly-ordered pairs
         pair_chunks = [_chunk_pairs(lab, msk) for lab, msk, _ in tb]
-        n_pairs = float(np.sum([float(P.sum()) for P in pair_chunks]))
+        n_pairs = float(sum(P.sum() for P in pair_chunks))   # one sync
         if n_pairs == 0:
             raise RankLibError("RankBoost: no correctly-ordered pairs in data")
         Dmats = tuple(P / n_pairs for P in pair_chunks)
@@ -194,11 +193,8 @@ class RankBoost(Ranker):
         if validation is not None:
             vfeats, _, _ = flatten(validation)
             Nv = vfeats.shape[0]
-            vbinned = np.zeros((Nv, F), np.int32)
-            for f in range(F):
-                vbinned[:, f] = np.searchsorted(grid[f], vfeats[:, f],
-                                                side="left")
-            vq_T = jnp.asarray(np.ascontiguousarray(vbinned.T))
+            vq_T = jnp.asarray(
+                np.ascontiguousarray(bin_features(vfeats, grid).T))
             vb = _device_buckets(validation, sentinel=Nv)
 
         data = RBData(
