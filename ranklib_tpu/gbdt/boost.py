@@ -48,7 +48,8 @@ class BoostData(NamedTuple):
 
     binned_T: jnp.ndarray        # [F, Npad] int32
     labels_flat: jnp.ndarray     # [Npad] f32 (pads 0)
-    doc_mask: jnp.ndarray        # [Npad] bool
+    doc_mask: jnp.ndarray        # [Npad] bool, or f32 doc weights (RF
+                                 #   bags: with-replacement multiplicity)
     feat_mask: jnp.ndarray       # [F] bool (RF bags: feature subsample)
     tb: tuple                    # train buckets: ((labels, mask, didx), ...)
     vbinned: jnp.ndarray | None  # [Nvpad, F] int32 doc-major (traversal)
@@ -163,10 +164,13 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
 
         # ---- pseudo-responses ------------------------------------------
         if pointwise:
-            lam = jnp.where(data.doc_mask,
+            lam = jnp.where(data.doc_mask > 0,
                             data.labels_flat - scores[:-1], 0.0)
             w = jnp.ones_like(lam)
         else:
+            # per-doc bag multiplicity (weighted RF bags) is applied by
+            # grow_tree/leaf_outputs via doc_mask weights, so lambdas stay
+            # per-unique-doc here
             lam_f = jnp.zeros_like(scores)
             w_f = jnp.zeros_like(scores)
             for lab, msk, didx in data.tb:

@@ -97,8 +97,10 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
     lane axis — the Pallas histogram layout; split-column reads become row
     gathers); grad: [N] float32.
 
-    doc_mask: optional [N] bool — docs excluded from every histogram and
-    count (padding slots in the padded layout).
+    doc_mask: optional [N] bool mask OR f32 doc weights — weight 0 (or
+    False) excludes a doc from every histogram and count; integer weights
+    encode with-replacement multiplicity (RF bags), equivalent to
+    physically duplicating the doc's rows.
 
     axis_name: when set, the docs axis is sharded over that mesh axis and
     every histogram / node statistic is all-reduced with ``lax.psum`` —
@@ -115,12 +117,12 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
     def allr(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    dmask = jnp.ones((N,), dtype=bool) if doc_mask is None else doc_mask
-    root_hist = allr(_hist(binned_T, grad, dmask, B))
-    gm = jnp.where(dmask, grad, 0.0)
-    S0 = allr(jnp.sum(gm))
-    SQ0 = allr(jnp.sum(gm * gm))
-    C0 = allr(jnp.sum(dmask.astype(jnp.float32)))
+    dw = (jnp.ones((N,), jnp.float32) if doc_mask is None
+          else doc_mask.astype(jnp.float32))
+    root_hist = allr(_hist(binned_T, grad, dw, B))
+    S0 = allr(jnp.sum(dw * grad))
+    SQ0 = allr(jnp.sum(dw * grad * grad))
+    C0 = allr(jnp.sum(dw))
     g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls, feature_mask)
 
     hist = jnp.zeros((M, F, B, 2), jnp.float32).at[0].set(root_hist)
@@ -170,14 +172,13 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
         node_of_doc = jnp.where(valid, new_assign, node_of_doc)
 
         # right child directly, left by subtraction (parent − sibling)
-        mask_r = in_node & (~go_left) & valid & dmask
-        hist_r = allr(_hist(binned_T, grad, mask_r, B))
+        w_r = dw * (in_node & (~go_left) & valid)
+        hist_r = allr(_hist(binned_T, grad, w_r, B))
         hist_l = hist[leaf] - hist_r
 
-        mr = mask_r
-        S_r = allr(jnp.sum(jnp.where(mr, grad, 0.0)))
-        SQ_r = allr(jnp.sum(jnp.where(mr, grad * grad, 0.0)))
-        C_r = allr(jnp.sum(mr.astype(jnp.float32)))
+        S_r = allr(jnp.sum(w_r * grad))
+        SQ_r = allr(jnp.sum(w_r * grad * grad))
+        C_r = allr(jnp.sum(w_r))
         S_l = stats[leaf, 0] - S_r
         SQ_l = stats[leaf, 1] - SQ_r
         C_l = stats[leaf, 2] - C_r
@@ -228,17 +229,18 @@ def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool,
                  doc_mask=None, axis_name: str | None = None):
     """Per-slot outputs: Newton step Σλ/Σw (LambdaMART,
     ref: LambdaMART.updateTreeOutput:~400) or mean response Σλ/count
-    (MART, ref: learning/tree/MART.java:~15)."""
-    if doc_mask is not None:
-        lam = jnp.where(doc_mask, lam, 0.0)
+    (MART, ref: learning/tree/MART.java:~15). ``doc_mask``: bool mask or
+    f32 doc weights (multiplicities), like grow_tree."""
+    dw = None if doc_mask is None else doc_mask.astype(lam.dtype)
+    if dw is not None:
+        lam = lam * dw
     s1 = jax.ops.segment_sum(lam, node_of_doc, num_segments=n_slots)
     if newton:
-        if doc_mask is not None:
-            w = jnp.where(doc_mask, w, 0.0)
+        if dw is not None:
+            w = w * dw
         s2 = jax.ops.segment_sum(w, node_of_doc, num_segments=n_slots)
     else:
-        ones = jnp.ones_like(lam) if doc_mask is None \
-            else doc_mask.astype(lam.dtype)
+        ones = jnp.ones_like(lam) if dw is None else dw
         s2 = jax.ops.segment_sum(ones, node_of_doc, num_segments=n_slots)
     if axis_name:
         s1 = jax.lax.psum(s1, axis_name)

@@ -51,14 +51,91 @@ class RFRanker(Ranker):
 
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None, mesh=None) -> None:
+        if mesh is not None and mesh.size > 1:
+            return self._fit_bags_rebuild(train, scorer, mesh)
+        import jax
+        import jax.numpy as jnp
+
+        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+        from ranklib_tpu.gbdt.boost import (
+            init_state, make_boost_data, make_round_step,
+        )
+        from ranklib_tpu.models.gbdt import _export_tree, _pad_doc_count
+
+        rng = np.random.default_rng(self.seed)
+        log("Training starts...")
+        # Weighted bags over ONE device-resident dataset: with-replacement
+        # query sampling becomes an [N] f32 multiplicity vector (weight k ≡
+        # the doc duplicated k times in every histogram/count/leaf sum) and
+        # feature subsampling an [F] mask — per bag the host ships a few
+        # hundred KB and re-dispatches the SAME compiled fused round, no
+        # re-binning, no re-bucketing (the reference trains each bag as a
+        # separate MART run, RFRanker.java:~25).
+        feats, labels, qptr = flatten(train)
+        N, F = feats.shape
+        Q = len(train.queries)
+        doc_counts = np.diff(qptr)
+        thresholds, _ = compute_thresholds(feats, self.n_threshold)
+        B = thresholds.shape[1]
+        Npad = _pad_doc_count(N)
+        binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
+                              thresholds)
+        labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
+        data, Npad, _ = make_boost_data(train, binned, labels_pad, N,
+                                        None, None)
+        pointwise = self.ranker_type == 0
+        step = make_round_step(
+            scorer, n_bins=B, n_leaves=self.n_leaves, min_leaf_support=1,
+            learning_rate=self.learning_rate, pointwise=pointwise,
+            newton=not pointwise, n_queries=Q, n_vqueries=1,
+            train_metric=False)
+
+        self.ensembles = []
+        silent = is_silent()
+        for bag in range(self.n_bags):
+            sampled, _, qidx = sample_queries(train, self.sub_sampling_rate,
+                                              rng)
+            fids = sample_features(F, self.feature_sampling_rate, rng)
+            fmask = np.zeros(F, bool)
+            fmask[[f - 1 for f in fids]] = True
+            mult = np.bincount(qidx, minlength=Q).astype(np.float32)
+            doc_w = np.zeros(Npad, np.float32)
+            doc_w[:N] = np.repeat(mult, doc_counts)
+            bag_data = data._replace(doc_mask=jnp.asarray(doc_w),
+                                     feat_mask=jnp.asarray(fmask))
+            state = init_state(self.n_trees, self.n_leaves, Npad, 0, F)
+            for t in range(self.n_trees):
+                state = step(state, t, bag_data)
+            arrs = jax.device_get((state.tfeat, state.tbin, state.tleft,
+                                   state.tright, state.tleaf, state.tout,
+                                   state.tnodes))
+            ens = TreeEnsemble()
+            for i in range(self.n_trees):
+                ens.add(_export_tree(arrs[0][i], arrs[1][i], arrs[2][i],
+                                     arrs[3][i], arrs[4][i], arrs[5][i],
+                                     int(arrs[6][i]), thresholds),
+                        self.learning_rate)
+            self.ensembles.append(ens)
+            if not silent:
+                from ranklib_tpu.metrics.base import score_dataset
+                sfeats, _, sqptr = flatten(sampled)
+                flat = ens.eval_matrix(sfeats)
+                scores = [flat[sqptr[i]: sqptr[i + 1]]
+                          for i in range(len(sampled.queries))]
+                m, _ = score_dataset(scorer, sampled, scores)
+                log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
+        self._merged = None
+
+    def _fit_bags_rebuild(self, train: Dataset, scorer: MetricScorer,
+                          mesh) -> None:
+        """Mesh path: each bag trains through the full (distributed)
+        LambdaMART/MART fit on its sampled subset, sharing the global
+        binning via ``prebinned``."""
         from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
 
         rng = np.random.default_rng(self.seed)
         cls = MART if self.ranker_type == 0 else LambdaMART
         log("Training starts...")
-        # one global binning serves every bag: a bag is a doc-row gather of
-        # the shared integer bin matrix plus a feature mask, so all bags
-        # reuse one compiled boosting step and skip per-bag host binning
         feats_full, _, qptr = flatten(train)
         thresholds, _ = compute_thresholds(feats_full, self.n_threshold)
         binned_full = bin_features(feats_full, thresholds)

@@ -79,7 +79,9 @@ def hist_pallas(binned_T, grad, mask, n_bins: int):
     """Masked 2-channel histogram on TPU: [F, B, 2] (sum, count).
 
     binned_T: [F, N] int32 feature-major bins (bins < n_bins; out-of-range
-    bins contribute nothing); grad: [N] f32; mask: [N] bool.
+    bins contribute nothing); grad: [N] f32; mask: [N] bool OR f32 doc
+    weights (count channel = Σw, sum channel = Σw·grad — RF bags encode
+    with-replacement sampling as integer multiplicities).
     """
     F, N = binned_T.shape
     B = int(n_bins)
@@ -129,8 +131,8 @@ def hist_xla(binned_T, grad, mask, n_bins: int):
     ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * B
            + jnp.minimum(binned, B - 1)).reshape(-1)
     keep = (binned < B).reshape(-1)
-    g = jnp.where(mask, grad, 0.0)
-    m = mask.astype(jnp.float32)
+    m = mask.astype(jnp.float32)          # bool mask or f32 doc weights
+    g = grad * m
     data = jnp.stack(
         [jnp.broadcast_to(g[:, None], (N, F)).reshape(-1),
          jnp.broadcast_to(m[:, None], (N, F)).reshape(-1)], axis=-1)

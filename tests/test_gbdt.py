@@ -317,3 +317,32 @@ def test_feature_impacts_accumulate():
     unused = set(range(6)) - used
     for f in unused:
         assert imp[f] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_weighted_docs_equal_duplication():
+    """grow_tree with doc weight k must produce the same tree as physically
+    duplicating the doc k times (the RF weighted-bag contract)."""
+    import jax.numpy as jnp
+    from ranklib_tpu.gbdt.grow import grow_tree
+
+    rng = np.random.default_rng(0)
+    N, F, B = 64, 5, 8
+    binned = rng.integers(0, B, size=(N, F)).astype(np.int32)
+    grad = rng.normal(size=N).astype(np.float32)
+    mult = rng.integers(1, 4, size=N)
+
+    # physical duplication
+    rows = np.repeat(np.arange(N), mult)
+    t_dup = grow_tree(jnp.asarray(binned[rows].T), jnp.asarray(grad[rows]),
+                      n_bins=B, n_leaves=5)
+    # weighted
+    t_w = grow_tree(jnp.asarray(binned.T), jnp.asarray(grad),
+                    n_bins=B, n_leaves=5,
+                    doc_mask=jnp.asarray(mult.astype(np.float32)))
+
+    assert int(t_dup.n_nodes) == int(t_w.n_nodes)
+    n = int(t_w.n_nodes)
+    assert np.array_equal(np.asarray(t_dup.feature[:n]), np.asarray(t_w.feature[:n]))
+    assert np.array_equal(np.asarray(t_dup.bin[:n]), np.asarray(t_w.bin[:n]))
+    assert np.allclose(np.asarray(t_dup.impacts), np.asarray(t_w.impacts),
+                       rtol=1e-4, atol=1e-4)
