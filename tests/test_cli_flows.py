@@ -117,3 +117,31 @@ def test_tts_split_flow(tmp_path):
                "-metric2t", "NDCG@10", "-save", str(tmp_path / "m.txt")])
     assert rc == 0
     assert (tmp_path / "m.txt").read_text().startswith("## Linear Regression")
+
+
+def test_python_api_roundtrip(tmp_path):
+    """api.read/train/evaluate/save/load/rank/score — the documented
+    programmatic surface."""
+    import ranklib_tpu.api as rl
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    p = tmp_path / "train.txt"
+    write_letor_text(synth_dataset(n_queries=12, n_features=6, seed=2,
+                                   signal=3.0), str(p))
+    ds = rl.read(str(p))
+    model = rl.train(ds, ranker="Linear Regression", metric="NDCG@10")
+    m = rl.evaluate(model, ds, metric="NDCG@10")
+    assert m > 0.8
+    mean, pq = rl.evaluate(model, ds, metric="NDCG@10", per_query=True)
+    assert len(pq) == 12 and abs(mean - m) < 1e-9
+    mp = tmp_path / "m.txt"
+    rl.save(model, str(mp))
+    model2 = rl.load(str(mp))
+    s1, s2 = rl.score(model, ds), rl.score(model2, ds)
+    for a, b in zip(s1, s2):
+        assert np.allclose(a, b, atol=1e-6)
+    perms = rl.rank(model, ds)
+    assert all(len(pm) == q.n for pm, q in zip(perms, ds.queries))
+    # integer ranker id + hyperparams route
+    lm = rl.train(ds, ranker=6, n_trees=3, n_leaves=4)
+    assert rl.evaluate(lm, ds) > 0.5
