@@ -195,7 +195,12 @@ class AdaRank(Ranker):
         silent = is_silent()
         for t in range(self.n_rounds):
             state = step(state, t, S, tb, vb)
-            if not silent:
+            if silent:
+                # periodic cheap sync: stop dispatching no-op rounds once
+                # the on-device active flag dropped (tolerance/backtrack)
+                if (t + 1) % 50 == 0 and not bool(state.active):
+                    break
+            else:
                 if not bool(state.hact[t]):
                     log(f"Stop at round {t + 1} (degenerate or rolled back)")
                     break

@@ -81,7 +81,10 @@ def _chunk_pairs(labels, mask):
 def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
                  n_vqueries: int, train_metric: bool = True):
     """Build the jitted one-round step: (state, t, data) → state."""
+    from ranklib_tpu.ops.histogram import histogram_fn
+
     T = n_thresholds
+    histfn = histogram_fn()      # Pallas one-hot matmul on TPU, else XLA
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RBState, t, data: RBData) -> RBState:
@@ -94,13 +97,11 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
             pot_flat = pot_flat.at[didx].add(pot)
 
         # ---- weak-ranker search: histogram + reversed cumsum -----------
-        # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist
-        F = data.binned_T.shape[0]
-        ids = (jnp.arange(F, dtype=jnp.int32)[:, None] * (T + 1)
-               + data.binned_T).reshape(-1)
-        hist = jax.ops.segment_sum(
-            jnp.broadcast_to(pot_flat[:N][None, :], (F, N)).reshape(-1),
-            ids, num_segments=F * (T + 1)).reshape(F, T + 1)
+        # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist —
+        # same shape as the GBDT engine's histogram phase, so it reuses the
+        # Pallas MXU kernel instead of an [N·F]-element XLA scatter
+        hist = histfn(data.binned_T, pot_flat[:N],
+                      jnp.ones((N,), bool), T + 1)[..., 0]
         rev = jnp.flip(jnp.cumsum(jnp.flip(hist, axis=1), axis=1), axis=1)
         r_all = jnp.concatenate([rev[:, 1:], jnp.zeros_like(rev[:, :1])],
                                 axis=1)
@@ -226,7 +227,12 @@ class RankBoost(Ranker):
         log(head)
         for t in range(self.n_rounds):
             state = step(state, t, data)
-            if not silent:
+            if silent:
+                # periodic cheap sync: stop dispatching no-op rounds after
+                # a degenerate weak-ranker pick ended training on device
+                if (t + 1) % 50 == 0 and not bool(state.active):
+                    break
+            else:
                 if not bool(state.wact[t]):
                     log(f"Stop at round {t + 1}: no useful weak ranker")
                     break
