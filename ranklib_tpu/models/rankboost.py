@@ -81,10 +81,16 @@ def _chunk_pairs(labels, mask):
 def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
                  n_vqueries: int, train_metric: bool = True):
     """Build the jitted one-round step: (state, t, data) → state."""
-    from ranklib_tpu.ops.histogram import histogram_fn
+    from ranklib_tpu.ops.histogram import hist_xla
 
     T = n_thresholds
-    histfn = histogram_fn()      # Pallas one-hot matmul on TPU, else XLA
+    # NOTE: deliberately the XLA segment-sum, NOT the Pallas kernel — the
+    # remote Mosaic compiler hangs indefinitely on this kernel when B is
+    # small and odd (T+1 = 11 with the default -tc 10; reproduced twice on
+    # v5e even with minimal 128-aligned tiling). The scatter here is over
+    # T+1 ≈ 11 segments per feature and measured fine (300 rounds @179K
+    # docs × 136 feats = 83 s total). Revisit after a jax/libtpu bump.
+    histfn = hist_xla
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RBState, t, data: RBData) -> RBState:

@@ -65,13 +65,17 @@ def _hist_kernel(bins_ref, gm_ref, out_ref):
 
 
 def _tile_features(F: int, B: int) -> int:
-    """Feature-tile width: TF·B lane-aligned, ≈2048 output lanes, and a
-    sublane-friendly multiple of 8."""
-    TF = max(1, min(F, 2048 // B if B <= 2048 else 1))
-    TF = max(8, (TF // 8) * 8)
-    while (TF * B) % 128:
-        TF += 8
-    return TF
+    """Feature-tile width: TF·B lane-aligned (multiple of 128), TF a
+    sublane-friendly multiple of 8, ≈2048 output lanes. Computed as the
+    smallest aligned granularity ≥ the lane target, so odd B (e.g.
+    RankBoost's 11 bins) takes the minimal 128-multiple instead of
+    walking far past it."""
+    import math
+
+    g = 128 // math.gcd(B, 128)          # TF must be a multiple of this
+    g = g * 8 // math.gcd(g, 8)          # ... and of 8 (sublanes)
+    target = max(1, 2048 // B if B <= 2048 else 1)
+    return max(g, (target // g) * g)
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins",))
