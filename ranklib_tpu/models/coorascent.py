@@ -39,7 +39,7 @@ from ranklib_tpu.models.base import (
 )
 from ranklib_tpu.ops.batched_eval import LinearMetricEvaluator
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
+from ranklib_tpu.utils.logging import event, log
 
 
 def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
@@ -147,6 +147,9 @@ class CoorAscent(Ranker):
             log(f"  pass {sweep_i + 1}: {scorer.name} = "
                 f"{float(curs.max()):.4f} "
                 f"({int(imp.sum())}/{R} restarts improving)")
+            event("sweep", ranker=self.NAME, sweep=sweep_i + 1,
+                  best_metric=float(curs.max()),
+                  improving=int(imp.sum()))
             if not imp.any():
                 break
         curs = np.asarray(cur, np.float64)

@@ -46,7 +46,7 @@ from ranklib_tpu.models.base import (
 )
 from ranklib_tpu.ops.sorting import rank_perm
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import is_silent, log
+from ranklib_tpu.utils.logging import event, is_silent, log
 
 
 def _init_params(key, layer_sizes):
@@ -240,11 +240,13 @@ class RankNet(Ranker):
             state = step(state, epoch - 1, tb, vb)
             if not silent and (epoch % max(1, self.n_epoch // 10) == 0
                                or epoch == 1):
-                vtxt = "-"
-                if validation is not None:
-                    vtxt = f"{float(state.best_val):.4f}"
-                log(f"{epoch:<8}| {float(state.mis[epoch - 1]):<20.0f}"
-                    f"| {vtxt:<10}")
+                mis = float(state.mis[epoch - 1])
+                vm = (float(state.best_val)
+                      if validation is not None else None)
+                vtxt = f"{vm:.4f}" if vm is not None else "-"
+                log(f"{epoch:<8}| {mis:<20.0f}| {vtxt:<10}")
+                event("epoch", ranker=self.NAME, epoch=epoch,
+                      misordered_pairs=mis, best_val=vm)
         final = state.best_params if validation is not None else state.params
         self.params = [(np.asarray(W), np.asarray(b)) for W, b in final]
 
