@@ -135,3 +135,22 @@ def test_mesh_fit_with_validation_early_stop():
     r.fit(train, scorer, validation=val, mesh=make_mesh(8))
     assert 1 <= len(r.ensemble) <= 10
     assert r.score_metric(val, scorer) > 0.7
+
+
+def test_multiprocess_distributed_smoke():
+    """REAL multi-process (jax.distributed + Gloo) validation: two
+    separate processes over a global 8-device mesh must grow the same
+    tree as single-device (tools/multihost_smoke.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)     # the tool sets its own device count
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_smoke.py"),
+         "--port", "19881"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST SMOKE: PASS" in out.stdout

@@ -1,0 +1,152 @@
+"""REAL multi-process validation of the distributed training path.
+
+`tests/test_parallel.py` proves the psum'd tree grower bit-matches the
+single-device grower on a single-process 8-device mesh. This tool runs
+the SAME check across genuinely separate processes wired together with
+``jax.distributed.initialize`` (Gloo collectives standing in for
+ICI/DCN) — the actual multi-host program shape of
+``parallel/dist.py``'s design (SURVEY.md §5 communication row): on a
+real multi-host v5e slice the identical code runs with
+``jax.distributed.initialize()`` picking up the TPU coordinator.
+
+Usage (launcher spawns the workers):
+
+    python tools/multihost_smoke.py [--nprocs 2] [--devices-per-proc 4]
+
+Each worker builds the same deterministic batch, computes the
+single-device reference tree locally, then joins the global
+``nprocs × devices_per_proc``-device mesh, runs the shard_map'd
+distributed round (histograms/node stats psum over the process
+boundary), and asserts the tree is IDENTICAL. Exit 0 = pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_batch(n_dev: int, B_per=2, D=16, F=6, seed=0):
+    import numpy as np
+
+    from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+
+    rng = np.random.default_rng(seed)
+    B = n_dev * B_per
+    feats = rng.normal(size=(B * D, F)).astype(np.float32)
+    thresholds, _ = compute_thresholds(feats, 16)
+    binned = bin_features(feats, thresholds)
+    labels = rng.integers(0, 3, size=(B, D)).astype(np.float32)
+    mask = np.ones((B, D), dtype=bool)
+    mask[:, 13:] = False
+    labels[~mask] = 0.0
+    return binned.reshape(B, D, F), labels, mask, thresholds.shape[1]
+
+
+def worker(pid: int, nprocs: int, dev_per: int, port: int) -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=nprocs, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, REPO)
+    from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
+    from ranklib_tpu.gbdt.lambdas import lambda_weights
+    from ranklib_tpu.metrics.base import create_scorer
+    from ranklib_tpu.parallel.dist import AXIS, make_train_step
+
+    n_dev = nprocs * dev_per
+    assert jax.device_count() == n_dev, (
+        f"global devices {jax.device_count()} != {n_dev}")
+    assert jax.local_device_count() == dev_per
+
+    binned, labels, mask, n_bins = build_batch(n_dev)
+    B, D, F = binned.shape
+    scorer = create_scorer("NDCG@10")
+    scores0 = np.zeros((B, D), np.float32)
+
+    # ---- single-device reference (local) ---------------------------------
+    lam, w = lambda_weights(scorer, jnp.asarray(labels),
+                            jnp.asarray(scores0), jnp.asarray(mask))
+    g = jnp.asarray(np.asarray(lam).reshape(-1))
+    ww = jnp.asarray(np.asarray(w).reshape(-1))
+    dm = jnp.asarray(mask.reshape(-1))
+    tree1 = grow_tree(jnp.asarray(binned.reshape(-1, F).T), g,
+                      n_bins=n_bins, n_leaves=4, doc_mask=dm)
+    out1 = leaf_outputs(tree1.node_of_doc, g, ww, 7, True, doc_mask=dm)
+    ref = jax.device_get((tree1.feature, tree1.bin, tree1.left, out1))
+
+    # ---- distributed: global mesh spanning both processes ----------------
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), (AXIS,))
+    step = make_train_step(scorer, n_bins=n_bins, n_leaves=4,
+                           min_leaf_support=1, learning_rate=0.1, mesh=mesh)
+
+    sh = NamedSharding(mesh, P(AXIS))
+    rows = B // nprocs                       # rows owned by this process
+
+    def to_global(a):
+        local = np.ascontiguousarray(a[pid * rows:(pid + 1) * rows])
+        return jax.make_array_from_process_local_data(sh, local)
+
+    b = to_global(binned)
+    l = to_global(labels)
+    m = to_global(mask)
+    s = to_global(scores0)
+    new_scores, tree_d, out_d = step(b, l, m, s)
+    got = jax.device_get((tree_d.feature, tree_d.bin, tree_d.left, out_d))
+
+    ok = (np.array_equal(ref[0], got[0]) and np.array_equal(ref[1], got[1])
+          and np.array_equal(ref[2], got[2])
+          and np.allclose(ref[3], got[3], rtol=1e-4, atol=1e-5))
+    print(f"[worker {pid}] global={jax.device_count()} devices "
+          f"split={ref[0][0]}@bin{ref[1][0]} "
+          f"{'MATCH' if ok else 'DIVERGED'}", flush=True)
+    return 0 if ok else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--port", type=int, default=19873)
+    ap.add_argument("--worker", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        return worker(args.worker, args.nprocs, args.devices_per_proc,
+                      args.port)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count="
+                        f"{args.devices_per_proc}").strip()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", str(i), "--nprocs", str(args.nprocs),
+             "--devices-per-proc", str(args.devices_per_proc),
+             "--port", str(args.port)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(args.nprocs)
+    ]
+    rc = 0
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        sys.stdout.write(out[-2000:])
+        rc |= p.returncode
+    print("MULTIHOST SMOKE:", "PASS" if rc == 0 else "FAIL")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
