@@ -32,6 +32,24 @@ from ranklib_tpu.gbdt.boost import (
 AXIS = "batch"
 
 
+def _place(a, mesh: Mesh, sharded: bool, axis: str = AXIS):
+    """Device-put a host array onto the mesh: leading-axis sharded or
+    replicated. Multi-process aware: under ``jax.distributed`` each
+    process contributes only its local shard via
+    ``make_array_from_process_local_data`` (device_put cannot address
+    remote devices)."""
+    spec = P(axis) if sharded else P()
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(a), sh)
+    a = np.asarray(a)
+    if sharded:
+        per = a.shape[0] // jax.process_count()
+        lo = jax.process_index() * per
+        a = np.ascontiguousarray(a[lo: lo + per])
+    return jax.make_array_from_process_local_data(sh, a)
+
+
 def _shard_queries(ds: Dataset, n_dev: int):
     """Round-robin per size-class → per-device query-index lists plus the
     uniform per-class row count."""
@@ -107,7 +125,8 @@ def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
 def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
                        validation: Dataset | None = None,
                        vbinned: np.ndarray | None = None,
-                       feature_mask: np.ndarray | None = None):
+                       feature_mask: np.ndarray | None = None,
+                       mesh: Mesh | None = None):
     """Stacked per-device BoostData (leading device axis on every leaf).
 
     ``binned`` / ``vbinned``: [N, F] int32 for the REAL docs (flatten
@@ -125,14 +144,18 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
         vbin_dev = np.ascontiguousarray(vbinned_T.transpose(0, 2, 1))
     F = binned.shape[1]
     fm = np.ones(F, bool) if feature_mask is None else feature_mask
+    if mesh is None:
+        put = jnp.asarray
+    else:
+        put = lambda a: _place(a, mesh, sharded=True)
     data = BoostData(
-        binned_T=jnp.asarray(binned_T),
-        labels_flat=jnp.asarray(labels_flat),
-        doc_mask=jnp.asarray(doc_mask),
-        feat_mask=jnp.asarray(np.tile(fm, (n_dev, 1))),
-        tb=tb,
-        vbinned=jnp.asarray(vbin_dev) if vbin_dev is not None else None,
-        vb=vb,
+        binned_T=put(np.asarray(binned_T)),
+        labels_flat=put(labels_flat),
+        doc_mask=put(doc_mask),
+        feat_mask=put(np.tile(fm, (n_dev, 1))),
+        tb=jax.tree.map(lambda a: put(np.asarray(a)), tb),
+        vbinned=put(vbin_dev) if vbin_dev is not None else None,
+        vb=jax.tree.map(lambda a: put(np.asarray(a)), vb),
     )
     return data, Npad, Nvpad
 
@@ -188,20 +211,19 @@ def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,
                     axis: str = AXIS) -> BoostState:
     M = 2 * n_leaves - 1
     CAP = round_capacity(n_trees)
-    sh = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
-    dev = lambda a, s: jax.device_put(a, s)
+    shd = lambda a: _place(a, mesh, sharded=True, axis=axis)
+    rep = lambda a: _place(a, mesh, sharded=False, axis=axis)
     return BoostState(
-        impacts=dev(jnp.zeros((n_features,), jnp.float32), rep),
-        scores=dev(jnp.zeros((n_dev, Npad + 1), jnp.float32), sh),
-        vscores=dev(jnp.zeros((n_dev, Nvpad + 1), jnp.float32), sh),
-        tfeat=dev(jnp.zeros((CAP, M), jnp.int32), rep),
-        tbin=dev(jnp.zeros((CAP, M), jnp.int32), rep),
-        tleft=dev(jnp.full((CAP, M), -1, jnp.int32), rep),
-        tright=dev(jnp.full((CAP, M), -1, jnp.int32), rep),
-        tleaf=dev(jnp.zeros((CAP, M), bool), rep),
-        tout=dev(jnp.zeros((CAP, M), jnp.float32), rep),
-        tnodes=dev(jnp.zeros((CAP,), jnp.int32), rep),
-        train_m=dev(jnp.full((CAP,), jnp.nan, jnp.float32), rep),
-        val_m=dev(jnp.full((CAP,), jnp.nan, jnp.float32), rep),
+        impacts=rep(np.zeros((n_features,), np.float32)),
+        scores=shd(np.zeros((n_dev, Npad + 1), np.float32)),
+        vscores=shd(np.zeros((n_dev, Nvpad + 1), np.float32)),
+        tfeat=rep(np.zeros((CAP, M), np.int32)),
+        tbin=rep(np.zeros((CAP, M), np.int32)),
+        tleft=rep(np.full((CAP, M), -1, np.int32)),
+        tright=rep(np.full((CAP, M), -1, np.int32)),
+        tleaf=rep(np.zeros((CAP, M), bool)),
+        tout=rep(np.zeros((CAP, M), np.float32)),
+        tnodes=rep(np.zeros((CAP,), np.int32)),
+        train_m=rep(np.full((CAP,), np.nan, np.float32)),
+        val_m=rep(np.full((CAP,), np.nan, np.float32)),
     )

@@ -234,7 +234,7 @@ class LambdaMART(Ranker):
             vbinned = bin_features(vfeats, thresholds)
         data, Npad, Nvpad = build_sharded_data(train, binned, n_dev,
                                                validation, vbinned,
-                                               feature_mask)
+                                               feature_mask, mesh=mesh)
         silent = is_silent()
         step = make_dist_round_step(
             scorer, mesh, data, n_bins=B, n_leaves=self.n_leaves,

@@ -109,7 +109,37 @@ def worker(pid: int, nprocs: int, dev_per: int, port: int) -> int:
     print(f"[worker {pid}] global={jax.device_count()} devices "
           f"split={ref[0][0]}@bin{ref[1][0]} "
           f"{'MATCH' if ok else 'DIVERGED'}", flush=True)
-    return 0 if ok else 1
+
+    # ---- stage 2: the PRODUCT distributed fit across processes -----------
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from fixtures import synth_dataset
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from ranklib_tpu.utils.logging import set_silent
+
+    set_silent(True)
+    train = synth_dataset(n_queries=4 * n_dev, n_features=8, min_docs=6,
+                          max_docs=14, seed=0, w_seed=1, signal=3.0)
+    lm = LambdaMART(n_trees=3, n_leaves=4, learning_rate=0.2)
+    lm.fit(train, scorer, mesh=mesh)
+    model_text = lm.model_str()
+    # uint32: process_allgather silently truncates uint64 under x32 mode
+    digest = np.frombuffer(
+        hashlib.sha256(model_text.encode()).digest()[:4], np.uint32)
+    all_digests = np.asarray(multihost_utils.process_allgather(digest))
+    same = bool((all_digests == all_digests.flat[0]).all())
+    m_dist = lm.score_metric(train, scorer)
+    single = LambdaMART(n_trees=3, n_leaves=4, learning_rate=0.2)
+    single.fit(train, scorer)
+    m_single = single.score_metric(train, scorer)
+    ok2 = same and len(lm.ensemble) == 3 and abs(m_dist - m_single) < 0.05
+    print(f"[worker {pid}] product fit(mesh): model identical across "
+          f"processes={same}, NDCG dist={m_dist:.4f} single={m_single:.4f} "
+          f"{'MATCH' if ok2 else 'DIVERGED'}", flush=True)
+    return 0 if (ok and ok2) else 1
 
 
 def main() -> int:
