@@ -28,11 +28,8 @@ import numpy as np
 from ranklib_tpu.data.dataset import Dataset
 from ranklib_tpu.data.letor import read_letor
 from ranklib_tpu.metrics.base import create_scorer, score_dataset
-from ranklib_tpu.models.base import (
-    RANKER_NAMES, Ranker, get_ranker_class, load_ranker_file,
-)
+from ranklib_tpu.models.base import Ranker, load_ranker_file
 from ranklib_tpu.models.trainer import train_ranker
-from ranklib_tpu.utils.errors import RankLibError
 
 __all__ = ["read", "train", "evaluate", "rank", "score", "save", "load",
            "Dataset", "Ranker"]
@@ -45,33 +42,26 @@ def read(path: str, must_have_rel_doc: bool = False,
                       n_features=n_features, quiet=True)
 
 
-def _resolve(ranker) -> type:
-    if isinstance(ranker, str):
-        for rid, name in RANKER_NAMES.items():
-            if name.lower() == ranker.lower():
-                return get_ranker_class(rid)
-        raise RankLibError(f"Unknown ranker name '{ranker}'")
-    return get_ranker_class(int(ranker))
-
-
 def train(data: Dataset | str, ranker=6, metric: str = "NDCG@10",
           validation: Dataset | str | None = None, gmax: float = 4.0,
           n_dp: int = 0, **hyperparams) -> Ranker:
-    """Train a ranker; ``ranker`` is a ``-ranker`` integer or name.
+    """Train a ranker; ``ranker`` is a ``-ranker`` integer or display name
+    (resolved like the CLI/model-file dispatcher — unknown values raise
+    RankLibError).
 
     ``hyperparams`` are ranker attributes (e.g. ``n_trees=500``,
     ``learning_rate=0.05`` for LambdaMART). ``n_dp > 1`` = data-parallel
-    training over that many devices (GBDT family).
+    training over that many devices (GBDT family). Path inputs follow the
+    CLI's mustHaveRelDoc rule: when the train metric needs relevance
+    (MAP/P/RR), queries with no relevant doc are dropped at read time
+    (pre-built Datasets are used as given).
     """
-    if isinstance(data, str):
-        data = read(data)
-    if isinstance(validation, str):
-        validation = read(validation)
     scorer = create_scorer(metric, gmax=gmax)
-    rid = ranker if not isinstance(ranker, str) else [
-        k for k, v in RANKER_NAMES.items()
-        if v.lower() == ranker.lower()][0]
-    return train_ranker(rid, data, scorer, validation, hyperparams,
+    if isinstance(data, str):
+        data = read(data, must_have_rel_doc=scorer.needs_rel)
+    if isinstance(validation, str):
+        validation = read(validation, must_have_rel_doc=scorer.needs_rel)
+    return train_ranker(ranker, data, scorer, validation, hyperparams,
                         n_dp=n_dp)
 
 

@@ -103,9 +103,8 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
             pot_flat = pot_flat.at[didx].add(pot)
 
         # ---- weak-ranker search: histogram + reversed cumsum -----------
-        # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist —
-        # same shape as the GBDT engine's histogram phase, so it reuses the
-        # Pallas MXU kernel instead of an [N·F]-element XLA scatter
+        # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist
+        # (histfn = hist_xla — see the Mosaic-hang NOTE where it is bound)
         hist = histfn(data.binned_T, pot_flat[:N],
                       jnp.ones((N,), bool), T + 1)[..., 0]
         rev = jnp.flip(jnp.cumsum(jnp.flip(hist, axis=1), axis=1), axis=1)

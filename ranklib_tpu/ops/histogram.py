@@ -75,7 +75,8 @@ def _tile_features(F: int, B: int) -> int:
     g = 128 // math.gcd(B, 128)          # TF must be a multiple of this
     g = g * 8 // math.gcd(g, 8)          # ... and of 8 (sublanes)
     target = max(1, 2048 // B if B <= 2048 else 1)
-    return max(g, (target // g) * g)
+    cap = ((F + g - 1) // g) * g         # no tiles far beyond real features
+    return min(cap, max(g, (target // g) * g))
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins",))

@@ -109,6 +109,15 @@ def to_rpn(expr: str):
 
 
 def eval_rpn(rpn, variables=None) -> float:
+    try:
+        return _eval_rpn(rpn, variables)
+    except (ZeroDivisionError, ValueError, OverflowError) as e:
+        # domain errors (1/0, sqrt(-1), log(0)) follow the module's
+        # RankLibError contract like every other bad-input path
+        raise RankLibError(f"Expression evaluation error: {e}") from e
+
+
+def _eval_rpn(rpn, variables=None) -> float:
     variables = variables or {}
     st: list[float] = []
 

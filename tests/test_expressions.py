@@ -43,3 +43,9 @@ def test_errors(expr):
 def test_nested_functions():
     assert evaluate("log(exp(sqrt(4)))") == pytest.approx(2.0)
     assert evaluate("2 ^ -1") == pytest.approx(0.5)
+
+
+@pytest.mark.parametrize("expr", ["1/0", "sqrt(0-4)", "log(0-1)"])
+def test_domain_errors_wrapped(expr):
+    with pytest.raises(RankLibError):
+        evaluate(expr)

@@ -149,8 +149,7 @@ def test_multiprocess_distributed_smoke():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)     # the tool sets its own device count
     out = subprocess.run(
-        [sys.executable, os.path.join(repo, "tools", "multihost_smoke.py"),
-         "--port", "19881"],
+        [sys.executable, os.path.join(repo, "tools", "multihost_smoke.py")],
         env=env, cwd=repo, capture_output=True, text=True, timeout=420)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST SMOKE: PASS" in out.stdout

@@ -146,13 +146,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--devices-per-proc", type=int, default=4)
-    ap.add_argument("--port", type=int, default=19873)
+    ap.add_argument("--port", type=int, default=0,
+                    help="coordinator port (0 = pick a free one)")
     ap.add_argument("--worker", type=int, default=None)
     args = ap.parse_args()
 
     if args.worker is not None:
         return worker(args.worker, args.nprocs, args.devices_per_proc,
                       args.port)
+
+    if args.port == 0:
+        import socket
+
+        with socket.socket() as s:      # free port: avoids collisions
+            s.bind(("127.0.0.1", 0))    # between concurrent runs
+            args.port = s.getsockname()[1]
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -170,10 +178,15 @@ def main() -> int:
         for i in range(args.nprocs)
     ]
     rc = 0
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        sys.stdout.write(out[-2000:])
-        rc |= p.returncode
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            sys.stdout.write(out[-2000:])
+            rc |= p.returncode
+    finally:
+        for p in procs:                 # no orphans holding the port
+            if p.poll() is None:
+                p.kill()
     print("MULTIHOST SMOKE:", "PASS" if rc == 0 else "FAIL")
     return rc
 

@@ -96,17 +96,18 @@ def main() -> int:
         print(f"{args.metric} on {which}: ours={a:.4f} java={b:.4f} "
               f"Δ={abs(a - b):.4f} [{status}]")
 
-    # cross-load: each side scores the test set with the OTHER side's model
-    s_ours_java = _scores(ours_cli, str(tmp / "java.txt"), args.test,
-                          str(tmp / "oj.txt"))
-    s_java_java = _scores(java_cli, str(tmp / "java.txt"), args.test,
-                          str(tmp / "jj.txt"))
-    worst = max((abs(a - b) for a, b in zip(s_ours_java, s_java_java)),
-                default=0.0)
-    status = "OK" if worst <= TOL_SCORE else "DIVERGED"
-    ok &= status == "OK"
-    print(f"cross-load (java model, ours vs java scores): "
-          f"max |Δ|={worst:.2e} [{status}]")
+    # cross-load BOTH directions: each side's model scored by both CLIs
+    for model, tag in (("java.txt", "java model"), ("ours.txt", "our model")):
+        s_ours = _scores(ours_cli, str(tmp / model), args.test,
+                         str(tmp / f"o_{model}"))
+        s_java = _scores(java_cli, str(tmp / model), args.test,
+                         str(tmp / f"j_{model}"))
+        worst = max((abs(a - b) for a, b in zip(s_ours, s_java)),
+                    default=0.0)
+        status = "OK" if worst <= TOL_SCORE else "DIVERGED"
+        ok &= status == "OK"
+        print(f"cross-load ({tag}, ours vs java scores): "
+              f"max |Δ|={worst:.2e} [{status}]")
     return 0 if ok else 1
 
 
