@@ -21,6 +21,14 @@ FLOPs are N·F·B·4 — "wasteful" by a factor of B versus scatter-add, but
 they run at MXU speed instead of serialized scatter speed, which is the
 entire point on this hardware.
 
+Numerics: the gradient-sum channel goes through the MXU at default
+precision (bf16 multiplies, f32 accumulate) — measured ≤0.8% relative
+deviation from the exact XLA segment-sum on v5e; the count channel (0/1
+products) is EXACT. Split selection (argmax over millions of gain
+candidates) is robust to this noise — end-to-end model quality matches
+the exact-path CPU runs — and Newton leaf outputs never use the
+histogram (they come from exact segment-sums in gbdt.grow.leaf_outputs).
+
 The XLA fallback (segment-sum) stays as the CPU-testable reference path;
 `histogram_fn` picks per backend and tests assert agreement.
 """
@@ -146,8 +154,19 @@ def hist_xla(binned_T, grad, mask, n_bins: int):
     return h.reshape(F, B, 2)
 
 
+def _hist_auto(binned_T, grad, mask, n_bins: int):
+    """Pallas for lane-aligned bin counts; XLA otherwise. The remote
+    Mosaic compiler HANGS (no error) on small / non-128-divisible B
+    (reproduced at B=11; B=8 is the same hazard class) — those only
+    arise for near-categorical features or tiny -tc, where the XLA
+    scatter is cheap anyway."""
+    if n_bins % 128 == 0:
+        return hist_pallas(binned_T, grad, mask, n_bins)
+    return hist_xla(binned_T, grad, mask, n_bins)
+
+
 def histogram_fn():
     """Backend-appropriate histogram implementation."""
     if jax.default_backend() in ("tpu", "axon"):
-        return hist_pallas
+        return _hist_auto
     return hist_xla
