@@ -69,8 +69,10 @@ def main() -> int:
         return dt
 
     timed_fit(2)                   # cold: compiles every jit kernel
-    t_small = timed_fit(2)         # warm: fixed setup + 2 rounds
-    t_big = timed_fit(trees)       # warm: fixed setup + `trees` rounds
+    # best-of-2 on each warm measurement: the remote-tunnel dispatch jitter
+    # is tens of ms and otherwise dominates run-to-run variance
+    t_small = min(timed_fit(2), timed_fit(2))
+    t_big = min(timed_fit(trees), timed_fit(trees))
     steady = max(t_big - t_small, 1e-9)
     doctrees_per_sec = n_docs * (trees - 2) / steady
 

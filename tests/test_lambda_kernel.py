@@ -74,3 +74,34 @@ def test_unseparable_metric_returns_none():
     scorer = create_scorer("ERR@10")
     L = jnp.zeros((2, 8))
     assert separable_vectors(scorer, L, jnp.array([8, 8])) is None
+
+
+def test_lambda_antisymmetry_properties():
+    """Pairwise lambda conservation (SURVEY §4 property tests): every pair
+    adds +x to the winner and −x to the loser, so per-query lambdas sum to
+    zero; weights are nonnegative; all-equal labels give zero lambdas."""
+    import jax.numpy as jnp
+    from ranklib_tpu.gbdt.lambdas import lambda_weights
+    from ranklib_tpu.metrics.base import create_scorer
+
+    rng = np.random.default_rng(4)
+    scorer = create_scorer("NDCG@10")
+    B, D = 6, 24
+    labels = rng.integers(0, 5, size=(B, D)).astype(np.float32)
+    scores = rng.normal(size=(B, D)).astype(np.float32)
+    n = rng.integers(3, D + 1, size=B)
+    mask = np.arange(D)[None, :] < n[:, None]
+    labels[~mask] = 0
+
+    lam, w = lambda_weights(scorer, jnp.asarray(labels), jnp.asarray(scores),
+                            jnp.asarray(mask))
+    lam = np.asarray(lam) * mask
+    w = np.asarray(w) * mask
+    np.testing.assert_allclose(lam.sum(axis=1), 0.0, atol=1e-4)
+    assert (w >= -1e-6).all()
+
+    flat = np.full((B, D), 2.0, np.float32)      # no orderable pairs
+    flat[~mask] = 0
+    lam2, _ = lambda_weights(scorer, jnp.asarray(flat), jnp.asarray(scores),
+                             jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(lam2) * mask, 0.0, atol=1e-6)
