@@ -84,3 +84,37 @@ def test_large_file_speed_parity(tmp_path):
     fa = np.concatenate([q.feats for q in a.queries])
     fb = np.concatenate([np.asarray(q.feats) for q in b.queries])
     np.testing.assert_allclose(fa, fb, rtol=1e-6)
+
+
+def test_adversarial_format_parity(tmp_path):
+    """Fuzz the parsers with every LETOR formatting quirk at once:
+    scientific/negative exponents, tabs and runs of spaces, CRLF, bare
+    and trailing comments, fid gaps (missing-as-zero), unsorted fids,
+    float labels, blank lines."""
+    rng = np.random.default_rng(9)
+    lines = ["# header comment", ""]
+    for qi in range(12):
+        for _ in range(int(rng.integers(1, 6))):
+            fids = rng.permutation(9)[: rng.integers(1, 6)] + 1
+            feats = " ".join(
+                f"{f}:{v:.6g}" for f, v in zip(
+                    fids, rng.normal(scale=10.0 ** rng.integers(-8, 6),
+                                     size=len(fids))))
+            sep = "\t" if rng.random() < 0.3 else "   "
+            comment = " # doc αβ" if rng.random() < 0.5 else ""
+            lines.append(f"{int(rng.integers(0, 5))} qid:{100 + qi}"
+                         f"{sep}{feats}{comment}")
+        if rng.random() < 0.3:
+            lines.append("")
+    text = "\r\n".join(lines) + "\r\n"
+    p = tmp_path / "fuzz.txt"
+    p.write_bytes(text.encode())
+
+    ds_native = read_letor(str(p), quiet=True, use_native=True)
+    ds_python = read_letor(str(p), quiet=True, use_native=False)
+    assert len(ds_native.queries) == len(ds_python.queries)
+    assert ds_native.n_features == ds_python.n_features
+    for a, b in zip(ds_native.queries, ds_python.queries):
+        assert a.qid == b.qid and a.n == b.n
+        np.testing.assert_array_equal(a.labels, b.labels)
+        np.testing.assert_allclose(a.feats, b.feats, rtol=1e-6, atol=0)
