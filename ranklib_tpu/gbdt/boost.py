@@ -88,15 +88,25 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
         vb = _device_buckets(validation, sentinel=vbinned.shape[0])
         Nvpad = vbinned.shape[0]
     return BoostData(
-        binned_T=jnp.asarray(np.ascontiguousarray(binned_pad.T)),
+        binned_T=_upload_bins(np.ascontiguousarray(binned_pad.T)),
         labels_flat=jnp.asarray(labels_pad),
         doc_mask=jnp.asarray(np.arange(Npad) < n_real),
         feat_mask=jnp.asarray(np.ones(F, bool) if feature_mask is None
                               else feature_mask),
         tb=tb,
-        vbinned=jnp.asarray(vbinned) if vbinned is not None else None,
+        vbinned=_upload_bins(vbinned) if vbinned is not None else None,
         vb=vb,
     ), Npad, Nvpad
+
+
+def _upload_bins(a: np.ndarray) -> jnp.ndarray:
+    """Host→device transfer of a bin matrix at int16 width, upcast to the
+    kernels' int32 on device. Bin ids are ≤ n_bins ≤ a few thousand, and
+    at MSLR-30K scale the int32 bin matrix is ~2 GB — through the ~10s-of-
+    MB/s tunnel the transfer dominates setup, so halving it matters."""
+    if a.max(initial=0) < np.iinfo(np.int16).max:
+        return jnp.asarray(a.astype(np.int16)).astype(jnp.int32)
+    return jnp.asarray(a)
 
 
 # max elements of one [Bc, D, D] pair temporary (f32) — 2^24 ≈ 64 MB
