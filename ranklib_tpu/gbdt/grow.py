@@ -29,7 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ranklib_tpu.ops.histogram import histogram_fn
+from ranklib_tpu.ops.histogram import histogram_fn, histogram_multi_fn
 
 
 class TreeArrays(NamedTuple):
@@ -223,6 +223,219 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
      feature, sbin, left, right, is_leaf, node_of_doc, n_nodes, impacts) = st
     return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes,
                       node_of_doc, impacts)
+
+
+_hist_multi_for_mask = None
+
+
+def _hist_multi(binned, grads, weights, n_bins):
+    global _hist_multi_for_mask
+    if _hist_multi_for_mask is None:
+        _hist_multi_for_mask = histogram_multi_fn()
+    return _hist_multi_for_mask(binned, grads, weights, n_bins)
+
+
+def _best_split_forest(hist, S, C, mls, fmask=None):
+    """Per-bag best (feature, bin): the _best_split scan with a leading
+    bag axis. hist [Cb, F, B, 2]; S, C [Cb]; fmask optional [Cb, F]."""
+    Cb, F, B, _ = hist.shape
+    c_l = jnp.cumsum(hist[..., 1], axis=2)
+    s_l = jnp.cumsum(hist[..., 0], axis=2)
+    c_r = C[:, None, None] - c_l
+    s_r = S[:, None, None] - s_l
+    ok = (c_l >= mls) & (c_r >= mls)
+    if fmask is not None:
+        ok = ok & fmask[:, :, None]
+    gain = jnp.where(
+        ok,
+        s_l * s_l / jnp.maximum(c_l, 1.0) + s_r * s_r / jnp.maximum(c_r, 1.0),
+        -jnp.inf,
+    ).reshape(Cb, F * B)
+    idx = jnp.argmax(gain, axis=1)
+    g = jnp.take_along_axis(gain, idx[:, None], axis=1)[:, 0]
+    return (g, (idx // B).astype(jnp.int32), (idx % B).astype(jnp.int32),
+            jnp.isfinite(g))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "n_leaves", "min_leaf_support"))
+def grow_forest(binned_T, grads, n_bins: int, n_leaves: int,
+                min_leaf_support: int = 1, doc_weights=None,
+                feature_masks=None) -> TreeArrays:
+    """Grow ``Cb`` independent regression trees in lockstep on one dataset.
+
+    The Random-Forests work shape (learning/tree/RFRanker.java:~25): every
+    bag shares the binned matrix and differs only in per-doc multiplicity
+    weights and a feature mask. Growing the bags' trees together turns the
+    ``Cb`` sequential histogram passes per split into ONE multi-channel
+    kernel call (ops/histogram.py): the dominant one-hot compare work is
+    paid once and each bag adds just two MXU statistic rows. Semantics are
+    bag-for-bag identical to ``grow_tree`` run per bag.
+
+    grads: [Cb, N] per-bag pseudo-responses; doc_weights: optional [Cb, N]
+    (RF with-replacement multiplicities; 0 excludes); feature_masks:
+    optional [Cb, F] bool. Returns TreeArrays with a leading [Cb] axis
+    (node_of_doc: [Cb, N]; impacts: [Cb, F]).
+    """
+    F, N = binned_T.shape
+    Cb = grads.shape[0]
+    M = 2 * n_leaves - 1
+    mls = float(min_leaf_support)
+    B = int(n_bins)
+    cidx = jnp.arange(Cb)
+
+    dw = (jnp.ones((Cb, N), jnp.float32) if doc_weights is None
+          else doc_weights.astype(jnp.float32))
+    root_hist = _hist_multi(binned_T, grads, dw, B)            # [Cb,F,B,2]
+    S0 = jnp.sum(dw * grads, axis=1)
+    SQ0 = jnp.sum(dw * grads * grads, axis=1)
+    C0 = jnp.sum(dw, axis=1)
+    g0, f0, b0, ok0 = _best_split_forest(root_hist, S0, C0, mls,
+                                         feature_masks)
+
+    # Leaf histograms live in an ITERATION-indexed buffer: iteration k
+    # writes its two children at rows 2k+1 / 2k+2 — scalar row indices, so
+    # XLA lowers the writes to in-place dynamic-update-slices inside the
+    # fori_loop. Indexing the buffer by per-bag node slot instead (a
+    # [Cb]-array scatter) forced XLA to copy the multi-GB buffer every
+    # iteration — measured 14× slower at 100 leaves. ``hidx`` maps each
+    # bag's node slot to its buffer row (bags that skip an invalid
+    # iteration leave that iteration's rows unused and unreferenced).
+    hist = jnp.zeros((Cb, M, F, B, 2), jnp.float32).at[:, 0].set(root_hist)
+    hidx = jnp.zeros((Cb, M), jnp.int32)
+    stats = jnp.zeros((Cb, M, 3), jnp.float32).at[:, 0].set(
+        jnp.stack([S0, SQ0, C0], axis=1))
+    deviance = jnp.full((Cb, M), -jnp.inf).at[:, 0].set(jnp.inf)
+    best_gain = jnp.zeros((Cb, M)).at[:, 0].set(g0)
+    best_f = jnp.zeros((Cb, M), jnp.int32).at[:, 0].set(f0)
+    best_b = jnp.zeros((Cb, M), jnp.int32).at[:, 0].set(b0)
+    splittable = jnp.zeros((Cb, M), bool).at[:, 0].set(ok0)
+
+    feature = jnp.full((Cb, M), -1, jnp.int32)
+    sbin = jnp.full((Cb, M), -1, jnp.int32)
+    left = jnp.full((Cb, M), -1, jnp.int32)
+    right = jnp.full((Cb, M), -1, jnp.int32)
+    is_leaf = jnp.zeros((Cb, M), bool).at[:, 0].set(True)
+    node_of_doc = jnp.zeros((Cb, N), jnp.int32)
+    n_nodes = jnp.ones((Cb,), jnp.int32)
+    impacts = jnp.zeros((Cb, F), jnp.float32)
+
+    def body(k, st):
+        (hist, hidx, stats, deviance, best_gain, best_f, best_b, splittable,
+         feature, sbin, left, right, is_leaf, node_of_doc, n_nodes,
+         impacts) = st
+
+        cand = jnp.where(is_leaf & splittable, deviance, -jnp.inf)
+        leaf = jnp.argmax(cand, axis=1).astype(jnp.int32)      # [Cb]
+        valid = jnp.take_along_axis(cand, leaf[:, None], axis=1)[:, 0] > -jnp.inf
+
+        f_s = best_f[cidx, leaf]
+        b_s = best_b[cidx, leaf]
+        pstats = stats[cidx, leaf]                             # [Cb, 3]
+        parent_term = jnp.where(
+            pstats[:, 2] > 0,
+            pstats[:, 0] ** 2 / jnp.maximum(pstats[:, 2], 1.0), 0.0)
+        impacts = impacts.at[cidx, f_s].add(
+            jnp.where(valid, best_gain[cidx, leaf] - parent_term, 0.0))
+        la = n_nodes
+        ra = n_nodes + 1
+
+        col = binned_T[f_s]                                    # [Cb, N]
+        in_node = node_of_doc == leaf[:, None]
+        go_left = col <= b_s[:, None]
+        new_assign = jnp.where(
+            in_node, jnp.where(go_left, la[:, None], ra[:, None]),
+            node_of_doc)
+        node_of_doc = jnp.where(valid[:, None], new_assign, node_of_doc)
+
+        # right child directly, left by subtraction (parent − sibling)
+        w_r = dw * (in_node & (~go_left) & valid[:, None])
+        hist_r = _hist_multi(binned_T, grads, w_r, B)
+        hist_l = hist[cidx, hidx[cidx, leaf]] - hist_r
+
+        S_r = jnp.sum(w_r * grads, axis=1)
+        SQ_r = jnp.sum(w_r * grads * grads, axis=1)
+        C_r = jnp.sum(w_r, axis=1)
+        S_l = pstats[:, 0] - S_r
+        SQ_l = pstats[:, 1] - SQ_r
+        C_l = pstats[:, 2] - C_r
+
+        def dev(SQ, S, C):
+            return jnp.where(C > 0, SQ - S * S / jnp.maximum(C, 1.0),
+                             -jnp.inf)
+
+        g_l, f_l, b_l, ok_l = _best_split_forest(hist_l, S_l, C_l, mls,
+                                                 feature_masks)
+        g_r, f_r, b_r, ok_r = _best_split_forest(hist_r, S_r, C_r, mls,
+                                                 feature_masks)
+
+        def upd(arr, idx, val):
+            return arr.at[cidx, idx].set(
+                jnp.where(valid, val, arr[cidx, idx]))
+
+        # unconditional scalar-row writes (rows of invalid bags are never
+        # mapped, so their contents are dead)
+        hist = hist.at[:, 2 * k + 1].set(hist_l)
+        hist = hist.at[:, 2 * k + 2].set(hist_r)
+        hidx = upd(hidx, la, jnp.full((Cb,), 0, jnp.int32) + 2 * k + 1)
+        hidx = upd(hidx, ra, jnp.full((Cb,), 0, jnp.int32) + 2 * k + 2)
+        stats = stats.at[cidx, la].set(jnp.where(
+            valid[:, None], jnp.stack([S_l, SQ_l, C_l], axis=1),
+            stats[cidx, la]))
+        stats = stats.at[cidx, ra].set(jnp.where(
+            valid[:, None], jnp.stack([S_r, SQ_r, C_r], axis=1),
+            stats[cidx, ra]))
+        deviance = upd(upd(deviance, la, dev(SQ_l, S_l, C_l)),
+                       ra, dev(SQ_r, S_r, C_r))
+        best_gain = upd(upd(best_gain, la, g_l), ra, g_r)
+        best_f = upd(upd(best_f, la, f_l), ra, f_r)
+        best_b = upd(upd(best_b, la, b_l), ra, b_r)
+        splittable = upd(upd(splittable, la, ok_l), ra, ok_r)
+
+        feature = upd(feature, leaf, f_s)
+        sbin = upd(sbin, leaf, b_s)
+        left = upd(left, leaf, la)
+        right = upd(right, leaf, ra)
+        is_leaf = upd(is_leaf, leaf, jnp.zeros((Cb,), bool))
+        is_leaf = upd(upd(is_leaf, la, jnp.ones((Cb,), bool)),
+                      ra, jnp.ones((Cb,), bool))
+        n_nodes = n_nodes + jnp.where(valid, jnp.int32(2), jnp.int32(0))
+
+        return (hist, hidx, stats, deviance, best_gain, best_f, best_b,
+                splittable, feature, sbin, left, right, is_leaf, node_of_doc,
+                n_nodes, impacts)
+
+    st = (hist, hidx, stats, deviance, best_gain, best_f, best_b, splittable,
+          feature, sbin, left, right, is_leaf, node_of_doc, n_nodes, impacts)
+    st = jax.lax.fori_loop(0, n_leaves - 1, body, st)
+    (hist, hidx, stats, deviance, best_gain, best_f, best_b, splittable,
+     feature, sbin, left, right, is_leaf, node_of_doc, n_nodes, impacts) = st
+    return TreeArrays(feature, sbin, left, right, is_leaf, n_nodes,
+                      node_of_doc, impacts)
+
+
+def leaf_outputs_forest(node_of_doc, lam, w, n_slots: int, newton: bool,
+                        doc_weights=None):
+    """Per-bag leaf outputs: leaf_outputs with a leading [Cb] axis, as one
+    segment-sum over Cb·n_slots segments. lam/w: [Cb, N]."""
+    Cb, N = node_of_doc.shape
+    dw = None if doc_weights is None else doc_weights.astype(lam.dtype)
+    if dw is not None:
+        lam = lam * dw
+    ids = (jnp.arange(Cb, dtype=jnp.int32)[:, None] * n_slots
+           + node_of_doc).reshape(-1)
+    s1 = jax.ops.segment_sum(lam.reshape(-1), ids,
+                             num_segments=Cb * n_slots)
+    if newton:
+        ww = w if dw is None else w * dw
+        s2 = jax.ops.segment_sum(ww.reshape(-1), ids,
+                                 num_segments=Cb * n_slots)
+    else:
+        ones = jnp.ones_like(lam) if dw is None else dw
+        s2 = jax.ops.segment_sum(ones.reshape(-1), ids,
+                                 num_segments=Cb * n_slots)
+    out = jnp.where(s2 > 0, s1 / jnp.where(s2 > 0, s2, 1.0), 0.0)
+    return out.reshape(Cb, n_slots)
 
 
 def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool,

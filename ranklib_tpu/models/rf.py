@@ -14,6 +14,9 @@ reappears as :func:`ranklib_tpu.combiner.combine`.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, flatten
@@ -26,6 +29,55 @@ from ranklib_tpu.models.base import (
 from ranklib_tpu.models.gbdt import MART, LambdaMART
 from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log, set_silent, is_silent
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_bins", "n_leaves", "lr"),
+    donate_argnums=(0,))
+def _rf_group_step(scores, mult, fmask, query_of_doc, binned_T, labels,
+                   n_bins: int, n_leaves: int, lr: float):
+    """One lockstep MART round for a group of bags: residuals → forest →
+    mean-residual leaf outputs → score update. Module-level so repeated
+    fits in one process hit the in-process jit cache (a per-fit closure
+    would re-enter the compilation cache each time — ~5 s per read
+    through the tunnel). Transfer discipline for the slow host↔device
+    tunnel: bags arrive as per-QUERY multiplicities ``mult`` [Cb, Q+1]
+    (~100× smaller than per-doc weights) and are expanded on device via
+    ``query_of_doc`` (pad docs point at the zero sentinel column Q);
+    returns only the host-exported tree arrays — node_of_doc ([Cb, N])
+    stays on device (dead weight for model export)."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.gbdt.grow import grow_forest, leaf_outputs_forest
+
+    M = 2 * n_leaves - 1
+    doc_w = mult[:, query_of_doc]               # [Cb, Npad] on device
+    lam = labels[None, :] - scores              # MART residuals
+    arr = grow_forest(binned_T, lam, n_bins=n_bins, n_leaves=n_leaves,
+                      min_leaf_support=1, doc_weights=doc_w,
+                      feature_masks=fmask)
+    out = leaf_outputs_forest(arr.node_of_doc, lam, jnp.ones_like(lam), M,
+                              False, doc_w)
+    scores = scores + lr * jnp.take_along_axis(out, arr.node_of_doc, axis=1)
+    tree = (arr.feature, arr.bin, arr.left, arr.right, arr.is_leaf,
+            arr.n_nodes, out)
+    return scores, tree
+
+
+def _bag_group_size(M: int, F: int, B: int, n_bags: int) -> int:
+    """Bags grown in lockstep per group. Bounded by (a) the [Cb, M, F, B, 2]
+    histogram slot buffer (~6 GB budget with 2× loop-carry headroom) and
+    (b) 64 bags = 128 statistic rows, the MXU sublane sweet spot. Kept a
+    multiple of 4 so the kernel's row count stays 8-aligned; a single
+    undersized final group is padded with zero-weight bags instead of
+    recompiling at a second group size."""
+    slot = M * F * B * 8
+    cap = min(64, max(1, int(6e9 // (2 * slot))))
+    if cap < 4:
+        return cap
+    if n_bags <= cap:
+        return min(cap, -(-n_bags // 4) * 4)
+    return (cap // 4) * 4
 
 
 @register_ranker
@@ -53,6 +105,8 @@ class RFRanker(Ranker):
             validation: Dataset | None = None, mesh=None) -> None:
         if mesh is not None and mesh.size > 1:
             return self._fit_bags_rebuild(train, scorer, mesh)
+        if self.ranker_type == 0:
+            return self._fit_bags_batched(train, scorer)
         import jax
         import jax.numpy as jnp
 
@@ -124,6 +178,95 @@ class RFRanker(Ranker):
                           for i in range(len(sampled.queries))]
                 m, _ = score_dataset(scorer, sampled, scores)
                 log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
+        self._merged = None
+
+    def _fit_bags_batched(self, train: Dataset, scorer: MetricScorer) -> None:
+        """Batched-bag fit for ``-rtype 0`` (the default): groups of bags
+        grow their trees in LOCKSTEP via gbdt.grow.grow_forest, so the
+        histogram kernel's dominant one-hot compare work is paid once per
+        split for the whole group instead of once per bag (each bag adds
+        only two MXU statistic rows). Bag semantics — rng order, weighted
+        with-replacement query sampling, feature masks, mean-residual leaf
+        outputs — are identical to the sequential path; on CPU the grown
+        trees are bit-identical (tests/test_boosting_rf.py)."""
+        import jax.numpy as jnp
+
+        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+        from ranklib_tpu.gbdt.boost import _upload_bins
+        from ranklib_tpu.models.gbdt import _export_tree, _pad_doc_count
+
+        rng = np.random.default_rng(self.seed)
+        log("Training starts...")
+        feats, labels, qptr = flatten(train)
+        N, F = feats.shape
+        Q = len(train.queries)
+        doc_counts = np.diff(qptr)
+        thresholds, _ = compute_thresholds(feats, self.n_threshold)
+        B = thresholds.shape[1]
+        Npad = _pad_doc_count(N)
+        binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
+                              thresholds)
+        binned_T = _upload_bins(np.ascontiguousarray(binned.T))
+        labels_dev = jnp.asarray(
+            np.pad(labels, (0, Npad - N)).astype(np.float32))
+
+        # Bag sampling happens upfront IN BAG ORDER — the rng consumption
+        # (and so every bag's composition) matches the sequential path.
+        bag_m, bag_f, bag_samples = [], [], []
+        for _ in range(self.n_bags):
+            sampled, _, qidx = sample_queries(train, self.sub_sampling_rate,
+                                              rng)
+            fids = sample_features(F, self.feature_sampling_rate, rng)
+            fmask = np.zeros(F, bool)
+            fmask[[f - 1 for f in fids]] = True
+            bag_m.append(np.bincount(qidx, minlength=Q).astype(np.float32))
+            bag_f.append(fmask)
+            bag_samples.append(sampled)
+        # doc→query map with a zero-weight sentinel query Q for pad docs
+        qod = np.full(Npad, Q, np.int32)
+        qod[:N] = np.repeat(np.arange(Q, dtype=np.int32), doc_counts)
+        query_of_doc = jnp.asarray(qod)
+
+        M = 2 * self.n_leaves - 1
+        Cb = _bag_group_size(M, F, B, self.n_bags)
+        lr = self.learning_rate
+
+        self.ensembles = []
+        silent = is_silent()
+        for lo in range(0, self.n_bags, Cb):
+            n_real = min(Cb, self.n_bags - lo)
+            m = np.zeros((Cb, Q + 1), np.float32)       # col Q = pad docs
+            fm = np.ones((Cb, F), bool)                 # pad bags: no-ops
+            m[:n_real, :Q] = bag_m[lo:lo + n_real]
+            mult = jnp.asarray(m)
+            fmask = jnp.asarray(fm)
+            scores = jnp.zeros((Cb, Npad), jnp.float32)
+            rounds = []
+            for _t in range(self.n_trees):
+                scores, tree = _rf_group_step(scores, mult, fmask,
+                                              query_of_doc,
+                                              binned_T, labels_dev,
+                                              n_bins=B,
+                                              n_leaves=self.n_leaves, lr=lr)
+                rounds.append(tree)
+            rounds = jax.device_get(rounds)             # one sync per group
+            for c in range(n_real):
+                ens = TreeEnsemble()
+                for tf, tb, tl, tr, tlf, tn, out in rounds:
+                    ens.add(_export_tree(tf[c], tb[c], tl[c], tr[c],
+                                         tlf[c], out[c], int(tn[c]),
+                                         thresholds),
+                            lr)
+                self.ensembles.append(ens)
+                if not silent:
+                    from ranklib_tpu.metrics.base import score_dataset
+                    sampled = bag_samples[lo + c]
+                    sfeats, _, sqptr = flatten(sampled)
+                    flat = ens.eval_matrix(sfeats)
+                    sc = [flat[sqptr[i]: sqptr[i + 1]]
+                          for i in range(len(sampled.queries))]
+                    m, _ = score_dataset(scorer, sampled, sc)
+                    log(f"bag {lo + c + 1:<5}| {scorer.name}-bag: {m:.4f}")
         self._merged = None
 
     def _fit_bags_rebuild(self, train: Dataset, scorer: MetricScorer,

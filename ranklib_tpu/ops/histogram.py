@@ -46,7 +46,15 @@ _TN = 1024                     # docs per tile (lane multiples)
 
 
 def _hist_kernel(bins_ref, gm_ref, out_ref):
-    """bins: [TF, TN] int32; gm: [2, TN] f32; out: [2, TF*B] f32."""
+    """bins: [TF, TN] int32; gm: [R, TN] f32; out: [R, TF*B] f32.
+
+    R = 2·C statistic rows: rows [0, C) are grad·weight channels, rows
+    [C, 2C) the (non-negative) weight channels. The single-tree case is
+    C = 1; batched forest growth (C bags in lockstep, gbdt.grow.grow_forest)
+    shares ONE one-hot build across all 2C rows — the VPU compare work that
+    dominates this kernel is amortized C-fold, and the extra rows land on
+    MXU sublanes that sit idle in the 2-row case.
+    """
     d = pl.program_id(1)
 
     @pl.when(d == 0)
@@ -55,9 +63,13 @@ def _hist_kernel(bins_ref, gm_ref, out_ref):
 
     # Child histograms in leaf-wise growth mask out most docs (subtraction
     # trick: only one child is built directly) — skip the one-hot build and
-    # matmul entirely for doc tiles whose mask channel is all zero. The
-    # block DMAs still stream, so the floor is HBM bandwidth, not compute.
-    @pl.when(jnp.sum(gm_ref[1, :]) > 0.0)
+    # matmul entirely for doc tiles whose every weight channel is all zero.
+    # The block DMAs still stream, so the floor is HBM bandwidth, not
+    # compute. (Weight rows are non-negative, so a plain sum is a valid
+    # any-nonzero test; grad rows are grad·weight and vanish with them.)
+    R = gm_ref.shape[0]
+
+    @pl.when(jnp.sum(gm_ref[R // 2:, :]) > 0.0)
     def _():
         TF, TN = bins_ref.shape
         FB = out_ref.shape[1]
@@ -87,16 +99,11 @@ def _tile_features(F: int, B: int) -> int:
     return min(cap, max(g, (target // g) * g))
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins",))
-def hist_pallas(binned_T, grad, mask, n_bins: int):
-    """Masked 2-channel histogram on TPU: [F, B, 2] (sum, count).
-
-    binned_T: [F, N] int32 feature-major bins (bins < n_bins; out-of-range
-    bins contribute nothing); grad: [N] f32; mask: [N] bool OR f32 doc
-    weights (count channel = Σw, sum channel = Σw·grad — RF bags encode
-    with-replacement sampling as integer multiplicities).
-    """
+def _hist_pallas_rows(binned_T, gm, n_bins: int):
+    """Rows-generic Pallas histogram: gm [R, N] statistic rows (first R/2
+    rows grad·weight, last R/2 the weights) → [F, B, R]."""
     F, N = binned_T.shape
+    R = gm.shape[0]
     B = int(n_bins)
     TF = _tile_features(F, B)
     Fp = ((F + TF - 1) // TF) * TF
@@ -108,10 +115,7 @@ def hist_pallas(binned_T, grad, mask, n_bins: int):
     if Np > N:
         binned_T = jnp.pad(binned_T, ((0, 0), (0, Np - N)),
                            constant_values=B)
-        grad = jnp.pad(grad, (0, Np - N))
-        mask = jnp.pad(mask, (0, Np - N))
-    m = mask.astype(jnp.float32)
-    gm = jnp.stack([grad * m, m])                              # [2, Np]
+        gm = jnp.pad(gm, ((0, 0), (0, Np - N)))
 
     grid = (Fp // TF, Np // _TN)
     out = pl.pallas_call(
@@ -120,20 +124,50 @@ def hist_pallas(binned_T, grad, mask, n_bins: int):
         in_specs=[
             pl.BlockSpec((TF, _TN), lambda f, d: (f, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _TN), lambda f, d: (0, d),
+            pl.BlockSpec((R, _TN), lambda f, d: (0, d),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, TF * B), lambda f, d: (0, f),
+        out_specs=pl.BlockSpec((R, TF * B), lambda f, d: (0, f),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, Fp * B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, Fp * B), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * Np * Fp * B, transcendentals=0,
-            bytes_accessed=Np * Fp * 4 + 2 * Np * 4 + 2 * Fp * B * 4),
+            flops=2 * (R + 2) * Np * Fp * B, transcendentals=0,
+            bytes_accessed=Np * Fp * 4 + R * Np * 4 + R * Fp * B * 4),
     )(binned_T, gm)
     # per-tile columns are bin-major over TF local features: global column
     # j·TF·B + b·TF + f  →  (feature j·TF+f, bin b)
-    h = out.reshape(2, Fp // TF, B, TF).transpose(1, 3, 2, 0)  # [tiles,TF,B,2]
-    return h.reshape(Fp, B, 2)[:F]
+    h = out.reshape(R, Fp // TF, B, TF).transpose(1, 3, 2, 0)  # [tiles,TF,B,R]
+    return h.reshape(Fp, B, R)[:F]
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def hist_pallas(binned_T, grad, mask, n_bins: int):
+    """Masked 2-channel histogram on TPU: [F, B, 2] (sum, count).
+
+    binned_T: [F, N] int32 feature-major bins (bins < n_bins; out-of-range
+    bins contribute nothing); grad: [N] f32; mask: [N] bool OR f32 doc
+    weights (count channel = Σw, sum channel = Σw·grad — RF bags encode
+    with-replacement sampling as integer multiplicities).
+    """
+    m = mask.astype(jnp.float32)
+    gm = jnp.stack([grad * m, m])                              # [2, N]
+    return _hist_pallas_rows(binned_T, gm, n_bins)
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def hist_multi_pallas(binned_T, grads, weights, n_bins: int):
+    """C-bag batched histogram on TPU: [C, F, B, 2].
+
+    grads/weights: [C, N] per-bag pseudo-responses and (non-negative) doc
+    weights. One kernel pass serves every bag — the per-element one-hot
+    compares (the kernel's VPU bottleneck) are shared across all C bags,
+    so the marginal cost of a bag is two extra MXU rows.
+    """
+    C = grads.shape[0]
+    w = weights.astype(jnp.float32)
+    gm = jnp.concatenate([grads * w, w], axis=0)               # [2C, N]
+    h = _hist_pallas_rows(binned_T, gm, n_bins)                # [F, B, 2C]
+    return jnp.stack([h[..., :C], h[..., C:]], axis=-1).transpose(2, 0, 1, 3)
 
 
 def hist_xla(binned_T, grad, mask, n_bins: int):
@@ -154,6 +188,18 @@ def hist_xla(binned_T, grad, mask, n_bins: int):
     return h.reshape(F, B, 2)
 
 
+def hist_multi_xla(binned_T, grads, weights, n_bins: int):
+    """Reference path for the batched histogram: sequential scan of the
+    2-channel segment-sum over bags (lax.map bounds the [N·F] temporary to
+    one bag's worth — a vmap would materialize all C at once)."""
+
+    def one(gw):
+        g, w = gw
+        return hist_xla(binned_T, g, w, n_bins)
+
+    return jax.lax.map(one, (grads, weights.astype(jnp.float32)))
+
+
 def _hist_auto(binned_T, grad, mask, n_bins: int):
     """Pallas for lane-aligned bin counts; XLA otherwise. The remote
     Mosaic compiler HANGS (no error) on small / non-128-divisible B
@@ -165,8 +211,21 @@ def _hist_auto(binned_T, grad, mask, n_bins: int):
     return hist_xla(binned_T, grad, mask, n_bins)
 
 
+def _hist_multi_auto(binned_T, grads, weights, n_bins: int):
+    if n_bins % 128 == 0:
+        return hist_multi_pallas(binned_T, grads, weights, n_bins)
+    return hist_multi_xla(binned_T, grads, weights, n_bins)
+
+
 def histogram_fn():
     """Backend-appropriate histogram implementation."""
     if jax.default_backend() in ("tpu", "axon"):
         return _hist_auto
     return hist_xla
+
+
+def histogram_multi_fn():
+    """Backend-appropriate batched (C-bag) histogram implementation."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return _hist_multi_auto
+    return hist_multi_xla

@@ -142,3 +142,20 @@ def test_boosters_validation_rollback(data):
     assert ada.score_metric(vali, scorer) >= ada_full.score_metric(vali, scorer) - 1e-6
     for (f1, a1), (f2, a2) in zip(ada.history, ada_full.history):
         assert f1 == f2 and a1 == pytest.approx(a2, rel=1e-5)
+
+
+def test_rf_batched_grouping_invariant(data, monkeypatch):
+    """Model bytes don't depend on how bags are grouped into lockstep
+    batches (including a padded final group)."""
+    import ranklib_tpu.models.rf as rf_mod
+
+    train, _ = data
+    scorer = create_scorer("NDCG@10")
+    hp = dict(n_bags=6, n_trees=2, n_leaves=5, seed=11,
+              feature_sampling_rate=0.5)
+    a = RFRanker(**hp)
+    a.fit(train, scorer)                       # one group of 6 (padded to 8)
+    monkeypatch.setattr(rf_mod, "_bag_group_size", lambda *args: 4)
+    b = RFRanker(**hp)
+    b.fit(train, scorer)                       # groups of 4: 4 + (2 padded)
+    assert a.model_str() == b.model_str()

@@ -346,3 +346,63 @@ def test_weighted_docs_equal_duplication():
     assert np.array_equal(np.asarray(t_dup.bin[:n]), np.asarray(t_w.bin[:n]))
     assert np.allclose(np.asarray(t_dup.impacts), np.asarray(t_w.impacts),
                        rtol=1e-4, atol=1e-4)
+
+
+def test_grow_forest_matches_per_bag_grow_tree():
+    """Lockstep forest growth (the batched RF path) is bag-for-bag
+    BIT-IDENTICAL to growing each bag's tree alone: structure, doc
+    assignment, and (to fp tolerance) impacts and leaf outputs."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.gbdt.grow import grow_forest, leaf_outputs_forest
+
+    rng = np.random.default_rng(17)
+    N, F, B, Cb, L = 600, 8, 16, 5, 7
+    binned = jnp.asarray(rng.integers(0, B, size=(F, N)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(Cb, N)).astype(np.float32))
+    dw = jnp.asarray(rng.integers(0, 3, size=(Cb, N)).astype(np.float32))
+    fmask = rng.random((Cb, F)) > 0.4
+    fmask[:, 0] = True
+    fmask = jnp.asarray(fmask)
+
+    fr = grow_forest(binned, grads, n_bins=B, n_leaves=L,
+                     min_leaf_support=2, doc_weights=dw,
+                     feature_masks=fmask)
+    M = 2 * L - 1
+    lo_f = leaf_outputs_forest(fr.node_of_doc, grads, jnp.abs(grads), M,
+                               True, dw)
+    for c in range(Cb):
+        tr = grow_tree(binned, grads[c], n_bins=B, n_leaves=L,
+                       min_leaf_support=2, doc_mask=dw[c],
+                       feature_mask=fmask[c])
+        for name in ("feature", "bin", "left", "right", "is_leaf",
+                     "n_nodes", "node_of_doc"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fr, name)[c]),
+                np.asarray(getattr(tr, name)), err_msg=name)
+        np.testing.assert_allclose(np.asarray(fr.impacts[c]),
+                                   np.asarray(tr.impacts),
+                                   rtol=1e-5, atol=1e-4)
+        lo_t = leaf_outputs(tr.node_of_doc, grads[c], jnp.abs(grads[c]), M,
+                            True, dw[c])
+        np.testing.assert_allclose(np.asarray(lo_f[c]), np.asarray(lo_t),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_grow_forest_zero_weight_bag_is_inert():
+    """Zero-weight pad bags (the final undersized RF group) grow nothing
+    and poison nothing."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.gbdt.grow import grow_forest
+
+    rng = np.random.default_rng(3)
+    N, F, B = 300, 4, 8
+    binned = jnp.asarray(rng.integers(0, B, size=(F, N)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(2, N)).astype(np.float32))
+    dw = jnp.asarray(
+        np.stack([np.ones(N), np.zeros(N)]).astype(np.float32))
+    fr = grow_forest(binned, grads, n_bins=B, n_leaves=4, doc_weights=dw)
+    assert int(fr.n_nodes[0]) > 1          # real bag grew
+    assert int(fr.n_nodes[1]) == 1         # pad bag: root only
+    assert bool(fr.is_leaf[1, 0])

@@ -11,7 +11,9 @@ import numpy as np
 import pytest
 from jax.experimental.pallas import tpu as pltpu
 
-from ranklib_tpu.ops.histogram import hist_pallas, hist_xla
+from ranklib_tpu.ops.histogram import (
+    hist_multi_pallas, hist_multi_xla, hist_pallas, hist_xla,
+)
 
 
 def jnp_arr(x):
@@ -62,6 +64,40 @@ def test_out_of_range_bins_ignored_by_xla_path():
     h = np.asarray(hist_xla(jnp_arr(binned_T), grad, mask, 8))
     assert h[0, 0, 1] == 1 and h[0, 7, 1] == 1
     assert h[..., 1].sum() == 2
+
+
+@pytest.mark.parametrize("C", [1, 3, 8])
+def test_multi_bag_kernel_matches_per_bag(C):
+    """The 2C-row batched kernel (RF lockstep bags) == C independent
+    2-row histograms, channel for channel."""
+    rng = np.random.default_rng(11 + C)
+    N, F, B = 900, 7, 128
+    binned = jnp.asarray(rng.integers(0, B, size=(F, N)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(C, N)).astype(np.float32))
+    w = jnp.asarray(rng.integers(0, 3, size=(C, N)).astype(np.float32))
+    if jax.default_backend() in ("tpu", "axon"):
+        got = np.asarray(hist_multi_pallas(binned, grads, w, B))
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(hist_multi_pallas(binned, grads, w, B))
+    assert got.shape == (C, F, B, 2)
+    for c in range(C):
+        want = np.asarray(hist_xla(binned, grads[c], w[c], B))
+        np.testing.assert_array_equal(got[c, ..., 1], want[..., 1])
+        np.testing.assert_allclose(got[c, ..., 0], want[..., 0],
+                                   atol=2e-4, rtol=1e-5)
+
+
+def test_multi_bag_xla_matches_per_bag():
+    rng = np.random.default_rng(2)
+    N, F, B, C = 400, 5, 16, 4
+    binned = jnp.asarray(rng.integers(0, B, size=(F, N)).astype(np.int32))
+    grads = jnp.asarray(rng.normal(size=(C, N)).astype(np.float32))
+    w = jnp.asarray((rng.random((C, N)) > 0.3).astype(np.float32))
+    got = np.asarray(hist_multi_xla(binned, grads, w, B))
+    for c in range(C):
+        want = np.asarray(hist_xla(binned, grads[c], w[c], B))
+        np.testing.assert_allclose(got[c], want, atol=1e-5)
 
 
 def test_subtraction_trick_property():
