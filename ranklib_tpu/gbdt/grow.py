@@ -443,18 +443,24 @@ def leaf_outputs(node_of_doc, lam, w, n_slots: int, newton: bool,
     """Per-slot outputs: Newton step Σλ/Σw (LambdaMART,
     ref: LambdaMART.updateTreeOutput:~400) or mean response Σλ/count
     (MART, ref: learning/tree/MART.java:~15). ``doc_mask``: bool mask or
-    f32 doc weights (multiplicities), like grow_tree."""
+    f32 doc weights (multiplicities), like grow_tree.
+
+    TPU shape: with only ``n_slots`` (= 2·nLeaves−1, ~19) segments, a
+    segment scatter-add serializes on TPU; a masked [M, N] broadcast
+    reduction does the same work as M fused vector sums (the one-hot idea
+    of ops/histogram.py, small enough here to stay on the VPU in exact
+    f32 — leaf outputs feed model values, so no bf16 MXU shortcut)."""
     dw = None if doc_mask is None else doc_mask.astype(lam.dtype)
     if dw is not None:
         lam = lam * dw
-    s1 = jax.ops.segment_sum(lam, node_of_doc, num_segments=n_slots)
     if newton:
-        if dw is not None:
-            w = w * dw
-        s2 = jax.ops.segment_sum(w, node_of_doc, num_segments=n_slots)
+        s2_src = w if dw is None else w * dw
     else:
-        ones = jnp.ones_like(lam) if dw is None else dw
-        s2 = jax.ops.segment_sum(ones, node_of_doc, num_segments=n_slots)
+        s2_src = jnp.ones_like(lam) if dw is None else dw
+    onehot = (node_of_doc[None, :] ==
+              jnp.arange(n_slots, dtype=node_of_doc.dtype)[:, None])
+    s1 = jnp.sum(jnp.where(onehot, lam[None, :], 0.0), axis=1)
+    s2 = jnp.sum(jnp.where(onehot, s2_src[None, :], 0.0), axis=1)
     if axis_name:
         s1 = jax.lax.psum(s1, axis_name)
         s2 = jax.lax.psum(s2, axis_name)
