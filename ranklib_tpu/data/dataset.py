@@ -22,7 +22,15 @@ from ranklib_tpu.utils.errors import RankLibError
 
 # Padded-size ladder. 8 is the f32 sublane width; larger steps are lane /
 # MXU friendly. Queries above the last edge are padded to a multiple of 512.
-BUCKET_EDGES = (8, 16, 32, 64, 128, 256, 512, 1024, 1536, 2048)
+# The ladder is DENSE (~1.2× geometric steps) because per-query pair work is
+# O(D_pad²): padding a 130-doc query to 256 wastes 4× its pair budget.
+# Measured on v5e at bench shape (80–160 docs/query): dense edges turn
+# 85.6 ms/round into 46.0 ms/round (1.86×) with bit-identical quality
+# (tools/exp_bucket_edges.py). More edges do cost compile variety across
+# datasets; ~1.2× steps cap padding waste at ~44% of pair work worst-case.
+BUCKET_EDGES = (8, 16, 24, 32, 40, 48, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1280,
+                1536, 2048)
 
 
 @dataclass

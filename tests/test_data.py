@@ -75,7 +75,8 @@ def test_padded_size_and_buckets():
     assert padded_size(1) == 8
     assert padded_size(8) == 8
     assert padded_size(9) == 16
-    assert padded_size(1200) == 1536
+    assert padded_size(1200) == 1280
+    assert padded_size(1500) == 1536
     assert padded_size(5000) == 5120
     ds = synth_dataset(n_queries=30, min_docs=3, max_docs=100, seed=1)
     buckets = bucketize(ds)
