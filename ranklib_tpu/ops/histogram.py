@@ -170,6 +170,97 @@ def hist_multi_pallas(binned_T, grads, weights, n_bins: int):
     return jnp.stack([h[..., :C], h[..., C:]], axis=-1).transpose(2, 0, 1, 3)
 
 
+def _hist_radix_kernel(bins_ref, gm_ref, out_ref):
+    """Radix-16 histogram: bins factor into (hi, lo) nibbles, so the
+    B-way one-hot build (the VPU bottleneck of _hist_kernel: B compares
+    per element) becomes two 16-way one-hots (~32 compares) and the
+    (hi, lo) cross-product moves onto the MXU:
+
+        out[(c·16 + a)·TF + f, b·TF + f] = Σ_d gm[c,d]·[hi=a]·[lo=b]
+
+    as ONE dense [2·16·TF, TN] × [TN, 16·TF] matmul whose off-diagonal
+    feature blocks (f ≠ f′) are waste — factor TF=8 more MXU flops than
+    _hist_kernel, but they are perfectly shaped (256×128 out, K=TN) where
+    the old kernel's VPU compares were the wall. The diagonal is
+    extracted in XLA after the kernel (tiny: [Ftiles, 256, 128]).
+
+    bins: [TF=8, TN] int32 (values ≥ 256 = padding: hi=16 matches no
+    row); gm: [2, TN] f32 (grad·w, w); out: [2·16·TF, 16·TF] f32.
+    """
+    d = pl.program_id(1)
+
+    @pl.when(d == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(jnp.sum(gm_ref[1:, :]) > 0.0)
+    def _():
+        TF, TN = bins_ref.shape
+        b = bins_ref[:]
+        rep_hi = pltpu.repeat(b >> 4, 16, axis=0)              # [16·TF, TN]
+        rep_lo = pltpu.repeat(b & 15, 16, axis=0)
+        row16 = jax.lax.broadcasted_iota(jnp.int32, (16 * TF, TN), 0) // TF
+        oh_hi = (rep_hi == row16).astype(jnp.float32)
+        oh_lo = (rep_lo == row16).astype(jnp.float32)
+        A = jnp.concatenate([oh_hi * gm_ref[0:1, :],
+                             oh_hi * gm_ref[1:2, :]], axis=0)  # [2·16·TF, TN]
+        out_ref[:] += jax.lax.dot_general(
+            A, oh_lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+_RADIX_TF = 8                  # 16·TF = 128 output lanes exactly
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def hist_pallas_radix(binned_T, grad, mask, n_bins: int):
+    """Radix-16 variant of hist_pallas for B = 256 (the GBDT default).
+
+    Same contract as hist_pallas: [F, B, 2] (Σw·grad, Σw). Counts exact;
+    grad sums at MXU default precision like the one-hot kernel.
+    """
+    assert n_bins == 256, "radix kernel is specialized to B = 256"
+    F, N = binned_T.shape
+    TF = _RADIX_TF
+    Fp = ((F + TF - 1) // TF) * TF
+    Np = ((N + _TN - 1) // _TN) * _TN
+    if Fp > F:
+        binned_T = jnp.pad(binned_T, ((0, Fp - F), (0, 0)),
+                           constant_values=n_bins)
+    m = mask.astype(jnp.float32)
+    gm = jnp.stack([grad * m, m])
+    if Np > N:
+        binned_T = jnp.pad(binned_T, ((0, 0), (0, Np - N)),
+                           constant_values=n_bins)
+        gm = jnp.pad(gm, ((0, 0), (0, Np - N)))
+
+    Ft = Fp // TF
+    grid = (Ft, Np // _TN)
+    out = pl.pallas_call(
+        _hist_radix_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TF, _TN), lambda f, d: (f, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, _TN), lambda f, d: (0, d),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * 16 * TF, 16 * TF), lambda f, d: (f, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ft * 2 * 16 * TF, 16 * TF),
+                                       jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Ft * (2 * 16 * TF) * (16 * TF) * Np,
+            transcendentals=0,
+            bytes_accessed=Np * Fp * 4 + 2 * Np * 4
+            + Ft * 2 * 16 * TF * 16 * TF * 4),
+    )(binned_T, gm)
+    # rows (c·16 + a)·TF + f, cols b·TF + f′ → keep the f = f′ diagonal
+    h = out.reshape(Ft, 2, 16, TF, 16, TF)
+    diag = jnp.diagonal(h, axis1=3, axis2=5)       # [Ft, 2, hi, lo, TF]
+    return diag.transpose(0, 4, 2, 3, 1).reshape(Fp, 256, 2)[:F]
+
+
 def hist_xla(binned_T, grad, mask, n_bins: int):
     """Reference path: one segment-sum (runs everywhere, incl. CPU)."""
     F, N = binned_T.shape
@@ -206,6 +297,10 @@ def _hist_auto(binned_T, grad, mask, n_bins: int):
     (reproduced at B=11; B=8 is the same hazard class) — those only
     arise for near-categorical features or tiny -tc, where the XLA
     scatter is cheap anyway."""
+    if n_bins == 256:
+        # the GBDT default: radix-16 measured 3.25 ms vs 6.04 ms for the
+        # one-hot kernel at bench shape (F=136, N=180K) on v5e
+        return hist_pallas_radix(binned_T, grad, mask, n_bins)
     if n_bins % 128 == 0:
         return hist_pallas(binned_T, grad, mask, n_bins)
     return hist_xla(binned_T, grad, mask, n_bins)

@@ -114,3 +114,31 @@ def test_subtraction_trick_property():
     hr = np.asarray(hist_xla(jnp.asarray(binned_T), grad, right, B))
     hl = np.asarray(hist_xla(jnp.asarray(binned_T), grad, left, B))
     np.testing.assert_allclose(hp - hr, hl, atol=1e-4)
+
+
+@pytest.mark.parametrize("N,F", [(512, 8), (700, 9), (1000, 17)])
+def test_radix_kernel_matches_xla(N, F):
+    """The radix-16 kernel (hi/lo nibble factorization on the MXU) must
+    agree with the segment-sum reference at B=256, its specialization."""
+    from ranklib_tpu.ops.histogram import hist_pallas_radix
+
+    binned, grad, mask = _case(N, F, 256, seed=N + F)
+    want = np.asarray(hist_xla(jnp_arr(binned), grad, mask, 256))
+    if jax.default_backend() in ("tpu", "axon"):
+        got = np.asarray(hist_pallas_radix(jnp_arr(binned), grad, mask, 256))
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(hist_pallas_radix(jnp_arr(binned), grad, mask, 256))
+    assert got.shape == want.shape == (F, 256, 2)
+    np.testing.assert_array_equal(got[..., 1], want[..., 1])
+    np.testing.assert_allclose(got[..., 0], want[..., 0], atol=2e-4, rtol=1e-5)
+
+
+def test_radix_kernel_all_masked_and_padding_bins():
+    from ranklib_tpu.ops.histogram import hist_pallas_radix
+
+    binned, grad, _ = _case(300, 5, 256, seed=1)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(hist_pallas_radix(
+            jnp_arr(binned), grad, np.zeros(300, bool), 256))
+    assert (got == 0).all()
