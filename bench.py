@@ -14,7 +14,9 @@ Method: train a fresh model for 2 trees (compiles every jit kernel), then
 fresh models for 2 and 102 trees (both fully compile-cached); the warm
 difference times exactly 100 steady-state boosting rounds including the
 per-round train-metric evaluation the reference also performs. Measured
-on v5e: ~2.2M doc·trees/sec/chip, linear from 70K to 720K docs.
+on v5e: ~7.1M doc·trees/sec/chip (dense padding buckets + radix-16
+histogram kernel + peeled final growth iteration), linear from 70K to
+3.6M docs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
