@@ -9,12 +9,20 @@ D ← D·exp(α(q(y)−q(x)))/Z. Final score H(d) = Σ α_t q_t(d). Candidate
 thresholds: ``-tc`` (10) evenly spaced values per feature
 (learning/boosting/RBWeakRanker.java).
 
-TPU-first shape: D lives as masked [B, D, D] pair matrices per query
-bucket chunk. The weak-ranker search runs through the SAME pre-binned
-histogram machinery as the GBDT engine: the pair potential
-π(d) = Σ_y D(d,y) − Σ_x D(x,d) is histogrammed by (feature, bin) in one
-segment-sum, and r(f, θ_t) = Σ_{bins > t} hist[f, ·] is a reversed
-cumulative sum — no per-candidate pass over docs.
+TPU-first shape: the pair distribution is NEVER materialized. The
+reference's per-round multiplicative updates telescope to the rank-1
+closed form D_t(x, y) ∝ exp(−(H(x) − H(y))) over valid (winner, loser)
+pairs, where H(d) = Σ α_t q_t(d) is the strong score already carried —
+so the round's pair potential π(d) = Σ_y D(d,y) − Σ_x D(x,d) and the
+normalizer Z reduce to per-(query, label-level) exponential sums:
+O(N·L) work (L = grade levels) instead of the O(Σ D²) of explicit
+[B, D, D] pair matrices, and O(N) state instead of O(Σ D²). A per-query
+midrange shift of H (which cancels exactly inside every pair product)
+keeps the f32 exponentials bounded. The weak-ranker search runs through
+the SAME pre-binned histogram machinery as the GBDT engine: π is
+histogrammed by (feature, bin) in one segment-sum, and
+r(f, θ_t) = Σ_{bins > t} hist[f, ·] is a reversed cumulative sum — no
+per-candidate pass over docs.
 
 Every round is ONE fused jitted step with donated buffers (weak pick,
 α, D reweighting + global renormalization, score updates, train and
@@ -52,14 +60,18 @@ class RBData(NamedTuple):
 
     binned_T: jnp.ndarray        # [F, N] int32 (bin = #thresholds < value)
     tb: tuple                    # train buckets: ((labels, mask, didx), ...)
+    uniq: jnp.ndarray            # [L] f32 sorted distinct label values —
+                                 #   pair validity is label_x > label_y on
+                                 #   RAW values (ref), so levels must be
+                                 #   value ranks, not integer casts
     vq_T: jnp.ndarray            # [F, Nv] int32 validation docs, same bins
     vb: tuple                    # validation buckets (may be empty)
 
 
 class RBState(NamedTuple):
-    """Donated carry: pair distributions + scores + weak-ranker record."""
+    """Donated carry: scores (which imply the pair distribution — see
+    module docstring) + weak-ranker record."""
 
-    Dmats: tuple                 # per train chunk [Bc, D, D] f32
     scores: jnp.ndarray          # [N + 1] f32
     vscores: jnp.ndarray         # [Nv + 1] f32 (size 1 when no val)
     wf: jnp.ndarray              # [CAP] int32 picked feature
@@ -71,36 +83,61 @@ class RBState(NamedTuple):
     val_m: jnp.ndarray           # [CAP] f32
 
 
-@jax.jit
-def _chunk_pairs(labels, mask):
-    """Valid (winner, loser) pair indicator for one padded chunk."""
-    ok = mask[:, :, None] & mask[:, None, :]
-    return ((labels[:, :, None] > labels[:, None, :]) & ok).astype(jnp.float32)
-
-
-def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
-                 n_vqueries: int, train_metric: bool = True):
+def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
+                 n_queries: int, n_vqueries: int, train_metric: bool = True):
     """Build the jitted one-round step: (state, t, data) → state."""
     from ranklib_tpu.ops.histogram import hist_xla
 
     T = n_thresholds
+    L = int(n_levels)
     # NOTE: deliberately the XLA segment-sum, NOT the Pallas kernel — the
     # remote Mosaic compiler hangs indefinitely on this kernel when B is
     # small and odd (T+1 = 11 with the default -tc 10; reproduced twice on
     # v5e even with minimal 128-aligned tiling). The scatter here is over
-    # T+1 ≈ 11 segments per feature and measured fine (300 rounds @179K
-    # docs × 136 feats = 83 s total). Revisit after a jax/libtpu bump.
+    # T+1 ≈ 11 segments per feature and measured fine. Revisit after a
+    # jax/libtpu bump.
     histfn = hist_xla
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RBState, t, data: RBData) -> RBState:
         N = data.binned_T.shape[1]
+        sc = state.scores
 
-        # ---- pair potential π(d), scattered to flat doc order ----------
+        # ---- pair potential π(d) from the implicit distribution --------
+        # D(x, y) ∝ e^{−H̃(x)}·e^{H̃(y)} over (winner, loser) pairs, so
+        #   π(d) = [e^{−H̃(d)}·Σ_{lab<lab(d)} e^{H̃} −
+        #           e^{H̃(d)}·Σ_{lab>lab(d)} e^{−H̃}] / Z,
+        #   Z    = Σ_winners e^{−H̃}·Σ_{lab below} e^{H̃}   (all pairs)
+        # with level sums taken per query. H̃ = H − midrange_q(H): the
+        # shift cancels inside every pair product and bounds the f32
+        # exponent spread.
         pot_flat = jnp.zeros((N + 1,), jnp.float32)
-        for (_, msk, didx), Dmat in zip(data.tb, state.Dmats):
-            pot = (Dmat.sum(axis=2) - Dmat.sum(axis=1)) * msk
-            pot_flat = pot_flat.at[didx].add(pot)
+        Z = jnp.float32(0.0)
+        for lab, msk, didx in data.tb:
+            H = sc[didx]                                       # [Bc, D]
+            mf = msk.astype(jnp.float32)
+            hmax = jnp.max(jnp.where(msk, H, -jnp.inf), axis=1,
+                           keepdims=True)
+            hmin = jnp.min(jnp.where(msk, H, jnp.inf), axis=1,
+                           keepdims=True)
+            c = jnp.where(jnp.isfinite(hmax), 0.5 * (hmax + hmin), 0.0)
+            Ht = (H - c) * mf
+            e_pos = jnp.exp(Ht) * mf
+            e_neg = jnp.exp(-Ht) * mf
+            # exact: lab values come verbatim from the same f32 source as
+            # data.uniq, so searchsorted recovers the value's rank
+            lv = jnp.clip(jnp.searchsorted(data.uniq, lab), 0, L - 1)
+            oh = jax.nn.one_hot(lv, L, dtype=jnp.float32) * mf[..., None]
+            S = jnp.einsum("bdl,bd->bl", oh, e_pos)            # [Bc, L]
+            Tn = jnp.einsum("bdl,bd->bl", oh, e_neg)
+            # exclusive prefix (levels below) / suffix (levels above)
+            Wc = jnp.cumsum(S, axis=1) - S
+            Lc = jnp.sum(Tn, axis=1, keepdims=True) - jnp.cumsum(Tn, axis=1)
+            win = jnp.einsum("bdl,bl->bd", oh, Wc)
+            lose = jnp.einsum("bdl,bl->bd", oh, Lc)
+            Z += jnp.sum(e_neg * win)
+            pot_flat = pot_flat.at[didx].add(e_neg * win - e_pos * lose)
+        pot_flat = pot_flat / jnp.maximum(Z, jnp.float32(1e-30))
 
         # ---- weak-ranker search: histogram + reversed cumsum -----------
         # hist[f, b] = Σ_d π(d)·[bin(d, f) = b]; r(f, t) = Σ_{b > t} hist
@@ -122,20 +159,9 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
         active = state.active & (t_s < T)
         alpha = jnp.where(active, 0.5 * jnp.log((1.0 + r) / (1.0 - r)), 0.0)
 
-        # ---- strong-model score update ---------------------------------
+        # ---- strong-model score update (implies next round's D) --------
         q_flat = (data.binned_T[f_s] > t_s).astype(jnp.float32)
         scores = state.scores.at[:-1].add(alpha * q_flat)
-        q_pad = jnp.concatenate([q_flat, jnp.zeros((1,), jnp.float32)])
-
-        # ---- D ← D·exp(α(q_y − q_x)) / Z (α = 0 → exact no-op) ---------
-        newD = []
-        total = jnp.float32(0.0)
-        for (_, msk, didx), Dmat in zip(data.tb, state.Dmats):
-            q = q_pad[didx] * msk
-            Dn = Dmat * jnp.exp(alpha * (q[:, None, :] - q[:, :, None]))
-            newD.append(Dn)
-            total += Dn.sum()
-        newD = tuple(Dn / total for Dn in newD)
 
         # ---- metrics ----------------------------------------------------
         train_m = state.train_m
@@ -151,7 +177,7 @@ def make_rb_step(scorer, *, n_thresholds: int, n_queries: int,
             val_m = val_m.at[t].set(vm)
 
         return RBState(
-            Dmats=newD, scores=scores, vscores=vscores,
+            scores=scores, vscores=vscores,
             wf=state.wf.at[t].set(f_s), wt=state.wt.at[t].set(t_s),
             walpha=state.walpha.at[t].set(alpha),
             wact=state.wact.at[t].set(active),
@@ -186,12 +212,21 @@ class RankBoost(Ranker):
         binned = bin_features(feats, grid)
 
         tb = _device_buckets(train, sentinel=N)
-        # initial D: uniform over correctly-ordered pairs
-        pair_chunks = [_chunk_pairs(lab, msk) for lab, msk, _ in tb]
-        n_pairs = float(sum(P.sum() for P in pair_chunks))   # one sync
+        # initial D is uniform over correctly-ordered pairs — implied by
+        # H = 0 in the implicit form; count pairs host-side only for the
+        # degenerate-data check, via per-query label-value counts
+        uniq = np.unique(np.concatenate(
+            [q.labels.astype(np.float32) for q in train.queries]))
+        n_pairs = 0
+        for q in train.queries:
+            _, cnt = np.unique(q.labels.astype(np.float32),
+                               return_counts=True)
+            below = 0
+            for c in cnt:
+                n_pairs += int(c) * below
+                below += int(c)
         if n_pairs == 0:
             raise RankLibError("RankBoost: no correctly-ordered pairs in data")
-        Dmats = tuple(P / n_pairs for P in pair_chunks)
 
         vb = ()
         vq_T = jnp.zeros((F, 0), jnp.int32)
@@ -205,15 +240,15 @@ class RankBoost(Ranker):
 
         data = RBData(
             binned_T=jnp.asarray(np.ascontiguousarray(binned.T)),
-            tb=tb, vq_T=vq_T, vb=vb)
+            tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
         silent = is_silent()
         step = make_rb_step(
-            scorer, n_thresholds=T, n_queries=len(train.queries),
+            scorer, n_thresholds=T, n_levels=len(uniq),
+            n_queries=len(train.queries),
             n_vqueries=len(validation.queries) if validation is not None else 1,
             train_metric=not silent)
         CAP = round_capacity(self.n_rounds)
         state = RBState(
-            Dmats=Dmats,
             scores=jnp.zeros((N + 1,), jnp.float32),
             vscores=jnp.zeros((Nv + 1,), jnp.float32),
             wf=jnp.zeros((CAP,), jnp.int32),

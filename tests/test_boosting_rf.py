@@ -159,3 +159,53 @@ def test_rf_batched_grouping_invariant(data, monkeypatch):
     b = RFRanker(**hp)
     b.fit(train, scorer)                       # groups of 4: 4 + (2 padded)
     assert a.model_str() == b.model_str()
+
+
+def test_rankboost_implicit_distribution_matches_explicit_reference():
+    """The fused step never materializes the pair distribution: it uses
+    the telescoped rank-1 form D_t(x,y) ∝ exp(−(H(x)−H(y))). This test
+    re-implements the reference's EXPLICIT per-pair updates
+    (learning/boosting/RankBoost.java:~30: D ← D·exp(α(q_y − q_x))/Z)
+    in numpy and checks the weak-ranker sequence (feature, θ, α) agrees
+    round for round."""
+    train = synth_dataset(n_queries=12, n_features=5, min_docs=6,
+                          max_docs=14, seed=13, w_seed=3, signal=2.0)
+    T, rounds = 7, 12
+    r = RankBoost(n_rounds=rounds, n_threshold=T)
+    r.fit(train, create_scorer("NDCG@10"))
+
+    # ---- explicit reference -------------------------------------------
+    feats = np.concatenate([q.feats for q in train.queries])
+    labels = np.concatenate([q.labels for q in train.queries])
+    qof = np.concatenate([np.full(q.n, i) for i, q in
+                          enumerate(train.queries)])
+    N, F = feats.shape
+    lo, hi = feats.min(axis=0), feats.max(axis=0)
+    grid = lo[:, None] + (hi - lo)[:, None] * (
+        np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
+    pairs = [(x, y) for x in range(N) for y in range(N)
+             if qof[x] == qof[y] and labels[x] > labels[y]]
+    D = np.full(len(pairs), 1.0 / len(pairs))
+    px = np.array([p[0] for p in pairs])
+    py = np.array([p[1] for p in pairs])
+    q_all = (feats[:, :, None] > grid[None, :, :])        # [N, F, T]
+    got = []
+    for _ in range(rounds):
+        pot = np.zeros(N)
+        np.add.at(pot, px, D)
+        np.add.at(pot, py, -D)
+        r_ft = np.einsum("d,dft->ft", pot, q_all.astype(np.float64))
+        idx = int(np.argmax(r_ft))
+        f_s, t_s = idx // T, idx % T
+        rv = float(np.clip(r_ft.reshape(-1)[idx], -0.999999, 0.999999))
+        alpha = 0.5 * np.log((1 + rv) / (1 - rv))
+        got.append((f_s + 1, float(grid[f_s, t_s]), alpha))
+        qd = q_all[:, f_s, t_s].astype(np.float64)
+        D = D * np.exp(alpha * (qd[py] - qd[px]))
+        D /= D.sum()
+
+    assert len(r.weaks) == rounds
+    for (fa, ta, aa), (fb, tb, ab) in zip(r.weaks, got):
+        assert fa == fb
+        assert abs(ta - tb) < 1e-5
+        assert abs(aa - ab) < 2e-3, (aa, ab)
