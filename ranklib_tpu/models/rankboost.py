@@ -90,13 +90,22 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
 
     T = n_thresholds
     L = int(n_levels)
-    # NOTE: deliberately the XLA segment-sum, NOT the Pallas kernel — the
-    # remote Mosaic compiler hangs indefinitely on this kernel when B is
-    # small and odd (T+1 = 11 with the default -tc 10; reproduced twice on
-    # v5e even with minimal 128-aligned tiling). The scatter here is over
-    # T+1 ≈ 11 segments per feature and measured fine. Revisit after a
-    # jax/libtpu bump.
-    histfn = hist_xla
+    # Weak-ranker search histogram. The [N, F] segment-sum was the entire
+    # RankBoost bottleneck (~230 of 233 ms/round at 179K docs), but the
+    # remote Mosaic compiler HANGS (no error) on the Pallas histogram for
+    # every bin count tried except 256: B=11 (small/odd) and ALSO the
+    # lane-aligned B=128 — reproduced on v5e, 15 min with no progress.
+    # B=256 is the one proven-compiling width (it is the GBDT default,
+    # exercised every LambdaMART fit), so on TPU the T+1 real bins are
+    # PADDED into a 256-bin radix-kernel call and the unused columns
+    # sliced off; CPU keeps the exact segment-sum.
+    if T + 1 <= 256 and jax.default_backend() in ("tpu", "axon"):
+        from ranklib_tpu.ops.histogram import hist_pallas_radix
+
+        def histfn(bt, g, m, nb):
+            return hist_pallas_radix(bt, g, m, 256)[:, :nb]
+    else:
+        histfn = hist_xla
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RBState, t, data: RBData) -> RBState:
