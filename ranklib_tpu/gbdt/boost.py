@@ -188,6 +188,15 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
                 lam_f = lam_f.at[didx].add(jnp.where(msk, l_, 0.0))
                 w_f = w_f.at[didx].add(jnp.where(msk, w_, 0.0))
             lam, w = lam_f[:-1], w_f[:-1]
+            # Force ONE materialization of the pair-phase outputs. grad is
+            # read by every child histogram inside the growth loop, and at
+            # MSLR-30K scale XLA chose to REMATERIALIZE the whole pairwise
+            # computation at each read instead of keeping the [N] buffers:
+            # measured 80 ms per histogram pass vs 28 ms in the pointwise
+            # (MART) program whose grad is trivial — ~600 ms/round of
+            # redundant recompute. The barrier makes lam/w opaque to the
+            # scheduler.
+            lam, w = jax.lax.optimization_barrier((lam, w))
 
         # ---- tree -------------------------------------------------------
         arr = grow_tree(data.binned_T, lam, n_bins=n_bins,
