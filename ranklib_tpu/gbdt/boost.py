@@ -32,8 +32,12 @@ import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
 from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
-from ranklib_tpu.gbdt.lambdas import lambda_weights
-from ranklib_tpu.ops.lambda_kernel import lambda_weights_fused, supports_fused
+from ranklib_tpu.gbdt.lambdas import (
+    chunk_scale, lambda_weights, lambda_weights_nosort,
+)
+from ranklib_tpu.ops.lambda_kernel import (
+    SEPARABLE_METRICS, lambda_weights_fused, supports_fused,
+)
 
 
 def round_capacity(n_trees: int) -> int:
@@ -54,6 +58,9 @@ class BoostData(NamedTuple):
     tb: tuple                    # train buckets: ((labels, mask, didx), ...)
     vbinned: jnp.ndarray | None  # [Nvpad, F] int32 doc-major (traversal)
     vb: tuple                    # validation buckets (may be empty)
+    tb_scale: tuple = ()         # per chunk [rows] f32: per-fit constant
+                                 #   swap-delta scale for the sort-free
+                                 #   lambda path (empty → sorted path)
 
 
 class BoostState(NamedTuple):
@@ -78,8 +85,11 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
                     labels_pad: np.ndarray, n_real: int,
                     validation: Dataset | None,
                     vbinned: np.ndarray | None,
-                    feature_mask: np.ndarray | None = None) -> tuple:
-    """Build (BoostData, Npad, Nvpad). ``binned_pad``: [Npad, F]."""
+                    feature_mask: np.ndarray | None = None,
+                    scorer=None) -> tuple:
+    """Build (BoostData, Npad, Nvpad). ``binned_pad``: [Npad, F].
+    ``scorer``: when given and product-separable, per-chunk swap-delta
+    scales are precomputed once here (the sort-free lambda path)."""
     Npad, F = binned_pad.shape
     tb = _device_buckets(train, sentinel=n_real)
     vb = ()
@@ -87,6 +97,10 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
     if validation is not None:
         vb = _device_buckets(validation, sentinel=vbinned.shape[0])
         Nvpad = vbinned.shape[0]
+    tb_scale = ()
+    if scorer is not None and scorer.metric in SEPARABLE_METRICS:
+        tb_scale = tuple(chunk_scale(scorer, lab, msk)
+                         for lab, msk, _ in tb)
     return BoostData(
         binned_T=_upload_bins(np.ascontiguousarray(binned_pad.T)),
         labels_flat=jnp.asarray(labels_pad),
@@ -96,6 +110,7 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
         tb=tb,
         vbinned=_upload_bins(vbinned) if vbinned is not None else None,
         vb=vb,
+        tb_scale=tb_scale,
     ), Npad, Nvpad
 
 
@@ -165,8 +180,12 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
     """
     M = 2 * n_leaves - 1
     lr = learning_rate
-    # fused Pallas pair kernel for separable metrics on TPU; XLA otherwise
-    lam_fn = lambda_weights_fused if supports_fused(scorer) else lambda_weights
+    # lambda path: opt-in fused Pallas kernel > sort-free (separable
+    # metrics, needs data.tb_scale) > sorted XLA reference
+    use_fused = supports_fused(scorer)
+    use_nosort = (not use_fused
+                  and scorer.metric in SEPARABLE_METRICS)
+    lam_fn = lambda_weights_fused if use_fused else lambda_weights
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: BoostState, t, data: BoostData) -> BoostState:
@@ -183,8 +202,14 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
             # per-unique-doc here
             lam_f = jnp.zeros_like(scores)
             w_f = jnp.zeros_like(scores)
-            for lab, msk, didx in data.tb:
-                l_, w_ = lam_fn(scorer, lab, scores[didx], msk)
+            nosort = use_nosort and len(data.tb_scale) == len(data.tb)
+            scales = data.tb_scale if nosort else (None,) * len(data.tb)
+            for (lab, msk, didx), scl in zip(data.tb, scales):
+                if nosort:
+                    l_, w_ = lambda_weights_nosort(scorer, lab,
+                                                   scores[didx], msk, scl)
+                else:
+                    l_, w_ = lam_fn(scorer, lab, scores[didx], msk)
                 lam_f = lam_f.at[didx].add(jnp.where(msk, l_, 0.0))
                 w_f = w_f.at[didx].add(jnp.where(msk, w_, 0.0))
             lam, w = lam_f[:-1], w_f[:-1]

@@ -126,7 +126,7 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
                        validation: Dataset | None = None,
                        vbinned: np.ndarray | None = None,
                        feature_mask: np.ndarray | None = None,
-                       mesh: Mesh | None = None):
+                       mesh: Mesh | None = None, scorer=None):
     """Stacked per-device BoostData (leading device axis on every leaf).
 
     ``binned`` / ``vbinned``: [N, F] int32 for the REAL docs (flatten
@@ -148,6 +148,20 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
         put = jnp.asarray
     else:
         put = lambda a: _place(a, mesh, sharded=True)
+    tb_scale = ()
+    if scorer is not None:
+        from ranklib_tpu.gbdt.lambdas import chunk_scale
+        from ranklib_tpu.ops.lambda_kernel import SEPARABLE_METRICS
+
+        if scorer.metric in SEPARABLE_METRICS:
+            # per-fit swap-delta scales, stacked on the device axis
+            # like the chunks they belong to (sort-free lambda path)
+            tb_scale = tuple(
+                put(np.asarray(
+                    chunk_scale(scorer, jnp.asarray(lab).reshape(-1, lab.shape[-1]),
+                                jnp.asarray(msk).reshape(-1, msk.shape[-1]))
+                ).reshape(lab.shape[0], lab.shape[1]))
+                for lab, msk, _ in tb)
     data = BoostData(
         binned_T=put(np.asarray(binned_T)),
         labels_flat=put(labels_flat),
@@ -156,6 +170,7 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
         tb=jax.tree.map(lambda a: put(np.asarray(a)), tb),
         vbinned=put(vbin_dev) if vbin_dev is not None else None,
         vb=jax.tree.map(lambda a: put(np.asarray(a)), vb),
+        tb_scale=tb_scale,
     )
     return data, Npad, Nvpad
 

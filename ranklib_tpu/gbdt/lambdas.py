@@ -50,3 +50,72 @@ def lambda_weights(scorer, labels, scores, mask):
     w = jnp.take_along_axis(w_ranked, inv, axis=-1)
     z = mask.astype(jnp.float32)
     return lam * z, w * z
+
+
+def chunk_scale(scorer, labels, mask):
+    """[B] per-query constant factor of the swap delta for the sort-free
+    path: 1/idealDCG for NDCG (labels never change during boosting, so
+    the ideal ranking is computed ONCE per fit here, not once per
+    round), 1 for DCG / P@k."""
+    from ranklib_tpu.metrics import scorers as S
+
+    n = mask.sum(axis=-1).astype(jnp.int32)
+    if scorer.metric == "NDCG":
+        ideal = S.dcg_score(S._ideal(labels, n), n, scorer.k)
+        return jnp.where(ideal > 0,
+                         1.0 / jnp.where(ideal > 0, ideal, 1.0), 0.0)
+    return jnp.ones(labels.shape[0], jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scorer",))
+def lambda_weights_nosort(scorer, labels, scores, mask, scale):
+    """Sort-free lambda_weights for product-separable metrics
+    (NDCG / DCG / P@k — the gain×discount family).
+
+    Identical statistics to lambda_weights, but the ranked position of
+    each doc is a stable compare-count (one [B, D, D] boolean reduction
+    — marginal next to the pair block we pay anyway) and the position
+    weight follows from the closed formula ink(rank)·1/log2(rank+2), so
+    the per-round argsorts, take_alongs, and the per-round ideal re-sort
+    all disappear. Measured on v5e at MSLR-30K scale those were ~40% of
+    the lambda phase. ``scale``: [B] from chunk_scale (per-fit constant).
+
+    Tie-breaking parity: rank_i counts valid docs j with s_j > s_i, plus
+    j < i among equal scores — exactly the stable score-desc mergesort
+    position of the reference (utilities/MergeSorter.java).
+    """
+    from ranklib_tpu.metrics import scorers as S
+
+    B, D = labels.shape
+    v = mask.astype(jnp.float32)
+    n = mask.sum(axis=-1).astype(jnp.int32)
+    ke = S._k_eff(scorer.k, n, D)
+    idx = jnp.arange(D)
+
+    si = scores[:, :, None]                               # doc axis
+    sj = scores[:, None, :]                               # opponent axis
+    tie = (sj == si) & (idx[None, None, :] < idx[None, :, None])
+    beats = ((sj > si) | tie).astype(jnp.float32) * v[:, None, :]
+    rank = jnp.sum(beats, axis=2)                         # [B, D] f32
+    ink = ((rank < ke[:, None].astype(jnp.float32)) & mask).astype(
+        jnp.float32)
+
+    if scorer.metric == "P":
+        kef = ke.astype(jnp.float32)
+        inv_k = jnp.where(kef > 0, 1.0 / jnp.where(kef > 0, kef, 1.0), 0.0)
+        A = (labels > 0).astype(jnp.float32) * v * inv_k[:, None]
+        Bv = ink
+    else:                                                 # NDCG / DCG
+        A = (jnp.exp2(labels) - 1.0) * v * scale[:, None]
+        Bv = ink / jnp.log2(rank + 2.0)
+
+    delta = (jnp.abs(A[:, :, None] - A[:, None, :])
+             * jnp.abs(Bv[:, :, None] - Bv[:, None, :]))
+    P = ((labels[:, :, None] > labels[:, None, :]).astype(jnp.float32)
+         * v[:, :, None] * v[:, None, :])
+    rho = jax.nn.sigmoid(sj - si)
+    m = P * rho * delta
+    lam = m.sum(axis=2) - m.sum(axis=1)
+    ww = P * (rho * (1.0 - rho)) * delta
+    w = ww.sum(axis=2) + ww.sum(axis=1)
+    return lam * v, w * v

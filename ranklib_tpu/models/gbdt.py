@@ -101,7 +101,8 @@ class LambdaMART(Ranker):
             vbinned = bin_features(vfeats, thresholds)
 
         data, Npad, Nvpad = make_boost_data(
-            train, binned, labels_pad, N, validation, vbinned, feature_mask)
+            train, binned, labels_pad, N, validation, vbinned, feature_mask,
+            scorer=None if self._POINTWISE else scorer)
 
         # warm start: a loaded/partial ensemble seeds the model scores and
         # training continues toward n_trees total (resume-after-crash /
@@ -232,9 +233,9 @@ class LambdaMART(Ranker):
         if validation is not None:
             vfeats, _, _ = flatten(validation)
             vbinned = bin_features(vfeats, thresholds)
-        data, Npad, Nvpad = build_sharded_data(train, binned, n_dev,
-                                               validation, vbinned,
-                                               feature_mask, mesh=mesh)
+        data, Npad, Nvpad = build_sharded_data(
+            train, binned, n_dev, validation, vbinned, feature_mask,
+            mesh=mesh, scorer=None if self._POINTWISE else scorer)
         silent = is_silent()
         step = make_dist_round_step(
             scorer, mesh, data, n_bins=B, n_leaves=self.n_leaves,

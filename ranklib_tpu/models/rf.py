@@ -135,9 +135,10 @@ class RFRanker(Ranker):
         binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
                               thresholds)
         labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
-        data, Npad, _ = make_boost_data(train, binned, labels_pad, N,
-                                        None, None)
         pointwise = self.ranker_type == 0
+        data, Npad, _ = make_boost_data(train, binned, labels_pad, N,
+                                        None, None,
+                                        scorer=None if pointwise else scorer)
         step = make_round_step(
             scorer, n_bins=B, n_leaves=self.n_leaves, min_leaf_support=1,
             learning_rate=self.learning_rate, pointwise=pointwise,

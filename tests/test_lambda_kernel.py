@@ -105,3 +105,34 @@ def test_lambda_antisymmetry_properties():
     lam2, _ = lambda_weights(scorer, jnp.asarray(flat), jnp.asarray(scores),
                              jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(lam2) * mask, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("metric", ["NDCG@10", "NDCG@4", "DCG@5", "P@10"])
+def test_nosort_lambda_matches_sorted_reference(metric):
+    """The sort-free lambda path (stable compare-count ranks + closed-form
+    position weights + per-fit ideal scale) must reproduce the sorted
+    reference path, including score ties and padded docs."""
+    from ranklib_tpu.gbdt.lambdas import (
+        chunk_scale, lambda_weights, lambda_weights_nosort,
+    )
+    from ranklib_tpu.metrics.base import create_scorer
+
+    scorer = create_scorer(metric)
+    rng = np.random.default_rng(17)
+    B, D = 7, 24
+    labels = jnp.asarray(rng.integers(0, 5, size=(B, D)).astype(np.float32))
+    # quantized scores force ties; one degenerate all-same-label row
+    scores = jnp.asarray(
+        np.round(rng.normal(size=(B, D)) * 4) / 4.0).astype(jnp.float32)
+    labels = labels.at[3].set(2.0)
+    n = rng.integers(3, D + 1, size=B)
+    mask = jnp.asarray(np.arange(D)[None, :] < n[:, None])
+    labels = jnp.where(mask, labels, 0.0)
+
+    lam_ref, w_ref = lambda_weights(scorer, labels, scores, mask)
+    scale = chunk_scale(scorer, labels, mask)
+    lam, w = lambda_weights_nosort(scorer, labels, scores, mask, scale)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=1e-5, rtol=1e-4)

@@ -43,7 +43,7 @@ Npad = _pad_doc_count(N)
 binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))), thresholds)
 labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
 data, Npad, Nvpad = make_boost_data(train, binned, labels_pad, N, None,
-                                    None, None)
+                                    None, None, scorer=scorer)
 print(f"setup {time.perf_counter() - t0:.0f}s  N={N} Npad={Npad}",
       flush=True)
 
