@@ -14,9 +14,12 @@ Method: train a fresh model for 2 trees (compiles every jit kernel), then
 fresh models for 2 and 102 trees (both fully compile-cached); the warm
 difference times exactly 100 steady-state boosting rounds including the
 per-round train-metric evaluation the reference also performs. Measured
-on v5e: ~7.1M doc·trees/sec/chip (dense padding buckets + radix-16
-histogram kernel + peeled final growth iteration), linear from 70K to
-3.6M docs.
+on v5e: ~7M doc·trees/sec/chip (dense padding buckets + radix-16
+histogram kernel + peeled final growth iteration + post-lambda barrier
++ sort-free lambda path), near-linear from 70K to 3.6M docs (7.69M at
+MSLR-30K scale). Fit-differencing through the tunnel jitters ±5%; the
+chained-step probes (tools/exp_nosort_ab.py, exp_30k_round_probe.py)
+are the finer instrument.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
