@@ -31,6 +31,34 @@ import time
 JAVA_BASELINE_DOCTREES_PER_SEC = 1.0e5
 
 
+def _device_probe_ok(timeout_s: float = 180.0) -> bool:
+    """Device discovery in a SUBPROCESS with a hard timeout.
+
+    A wedged tunnel makes ``jax.devices()`` HANG (not raise) — observed
+    when a previous chip holder was SIGKILLed — and a hang here would
+    leave the whole bench recording nothing. The probe only discovers
+    devices (acquires nothing long-lived) and exits cleanly on success.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device probe hung >{timeout_s:.0f}s "
+              "(wedged tunnel?) — falling back to CPU",
+              file=sys.stderr, flush=True)
+        return False
+    ok = r.returncode == 0 and r.stdout.strip() in ("tpu", "axon")
+    if not ok:
+        print(f"bench: device probe failed (rc={r.returncode}, "
+              f"out={r.stdout.strip()!r}) — falling back to CPU",
+              file=sys.stderr, flush=True)
+    return ok
+
+
 def main() -> int:
     import jax
 
@@ -38,6 +66,8 @@ def main() -> int:
     from ranklib_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if not _device_probe_ok():
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.devices()
     except RuntimeError:
@@ -86,6 +116,7 @@ def main() -> int:
         "value": round(doctrees_per_sec, 1),
         "unit": "doc_trees/sec/chip",
         "vs_baseline": round(doctrees_per_sec / JAVA_BASELINE_DOCTREES_PER_SEC, 3),
+        "backend": jax.default_backend(),
     }))
     return 0
 
