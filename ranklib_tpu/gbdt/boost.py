@@ -34,6 +34,7 @@ from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
 from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
 from ranklib_tpu.gbdt.lambdas import (
     chunk_scale, lambda_weights, lambda_weights_nosort,
+    lambda_weights_nosort_err, lambda_weights_nosort_map,
 )
 from ranklib_tpu.ops.lambda_kernel import (
     SEPARABLE_METRICS, lambda_weights_fused, supports_fused,
@@ -181,11 +182,16 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
     M = 2 * n_leaves - 1
     lr = learning_rate
     # lambda path: opt-in fused Pallas kernel > sort-free (separable
-    # metrics, needs data.tb_scale) > sorted XLA reference
+    # metrics need data.tb_scale; ERR/MAP get prefix-matvec variants)
+    # > sorted XLA reference
     use_fused = supports_fused(scorer)
     use_nosort = (not use_fused
                   and scorer.metric in SEPARABLE_METRICS)
     lam_fn = lambda_weights_fused if use_fused else lambda_weights
+    if not use_fused and scorer.metric == "ERR":
+        lam_fn = lambda_weights_nosort_err
+    elif not use_fused and scorer.metric == "MAP":
+        lam_fn = lambda_weights_nosort_map
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: BoostState, t, data: BoostData) -> BoostState:

@@ -67,6 +67,118 @@ def chunk_scale(scorer, labels, mask):
     return jnp.ones(labels.shape[0], jnp.float32)
 
 
+def _beats(scores, mask):
+    """[B, D, D] strict-ranking indicator: beats[b, i, j] = 1 iff doc j is
+    ranked before doc i under stable score-desc order (score ties broken
+    by original index, matching utilities/MergeSorter.java). Invalid j
+    contribute 0. rank_i = Σ_j beats[i, j]."""
+    D = scores.shape[-1]
+    v = mask.astype(jnp.float32)
+    idx = jnp.arange(D)
+    si = scores[:, :, None]
+    sj = scores[:, None, :]
+    tie = (sj == si) & (idx[None, None, :] < idx[None, :, None])
+    return ((sj > si) | tie).astype(jnp.float32) * v[:, None, :]
+
+
+def _pair_lambdas(labels, scores, mask, delta):
+    """Accumulate (lam, w) from a symmetric |Δ| matrix in DOC order —
+    the shared tail of every sort-free lambda path."""
+    v = mask.astype(jnp.float32)
+    P = ((labels[:, :, None] > labels[:, None, :]).astype(jnp.float32)
+         * v[:, :, None] * v[:, None, :])
+    rho = jax.nn.sigmoid(scores[:, None, :] - scores[:, :, None])
+    m = P * rho * delta
+    lam = m.sum(axis=2) - m.sum(axis=1)
+    ww = P * (rho * (1.0 - rho)) * delta
+    w = ww.sum(axis=2) + ww.sum(axis=1)
+    return lam * v, w * v
+
+
+@functools.partial(jax.jit, static_argnames=("scorer",))
+def lambda_weights_nosort_err(scorer, labels, scores, mask):
+    """Sort-free lambda_weights for ERR@k — the reference's DEFAULT
+    training metric (-metric2t ERR@10).
+
+    ERR's swap delta is not product-separable (it carries the prefix
+    products Π_{t<r}(1−R_t)), so the separable-path trick doesn't apply;
+    instead every rank-prefix quantity of metrics/scorers.err_swap
+    becomes a matvec against the beats matrix (MXU work):
+
+        rank_i = Σ_j beats[i, j]
+        T_i    = Π_{j before i} (1−R_j) = exp(Σ_j beats[i, j]·log1p(−R_j))
+        Elt_i  = Σ_{j before i} term_j  (term = u·R·T)
+
+    and for a doc pair (x earlier, y later) the ranked-space closed form
+    (err_swap: Δ = u_i(R_j−R_i)T_i + (ratio−1)M + u_j T_j (R_i·ratio−R_j),
+    M = E_{j−1} − E_i) translates verbatim with M = Elt_y − Elt_x − term_x.
+    The per-round argsort, take_alongs, and inverse permutation of the
+    sorted path all disappear. log1p is safe: 1−R ≥ 2^−gmax.
+    """
+    from ranklib_tpu.metrics import scorers as S
+
+    D = labels.shape[-1]
+    v = mask.astype(jnp.float32)
+    n = mask.sum(axis=-1).astype(jnp.int32)
+    ke = S._k_eff(scorer.k, n, D).astype(jnp.float32)
+
+    beats = _beats(scores, mask)                           # [B, D, D]
+    rank = jnp.sum(beats, axis=2)                          # [B, D]
+    R = ((jnp.exp2(labels) - 1.0) / (2.0 ** scorer.gmax)) * v
+    T = jnp.exp(jnp.einsum("bij,bj->bi", beats, jnp.log1p(-R)))
+    ink = ((rank < ke[:, None]) & mask).astype(jnp.float32)
+    u = ink / (rank + 1.0)
+    term = u * R * T
+    Elt = jnp.einsum("bij,bj->bi", beats, term)            # terms before i
+
+    Rx = R[:, :, None]
+    Ry = R[:, None, :]
+    ratio = (1.0 - Ry) / (1.0 - Rx)
+    M = Elt[:, None, :] - (Elt + term)[:, :, None]
+    d_el = (u[:, :, None] * (Ry - Rx) * T[:, :, None]
+            + (ratio - 1.0) * M
+            + u[:, None, :] * T[:, None, :] * (Rx * ratio - Ry))
+    earlier = jnp.swapaxes(beats, 1, 2)                    # x before y
+    dd = jnp.abs(d_el) * earlier
+    delta = dd + jnp.swapaxes(dd, 1, 2)
+    return _pair_lambdas(labels, scores, mask, delta)
+
+
+@functools.partial(jax.jit, static_argnames=("scorer",))
+def lambda_weights_nosort_map(scorer, labels, scores, mask):
+    """Sort-free lambda_weights for MAP.
+
+    Same construction as the ERR variant: MAP's cumulative relevance
+    count c and harmonic prefix sum S (metrics/scorers.ap_swap) become
+    beats-matrix matvecs —
+
+        c_i = Σ_{j at-or-before i} rel_j,  S_i = Σ_{j at-or-before i} rel_j/(rank_j+1)
+
+    — and the ranked closed form Δ = (rel_j−rel_i)(A_i − C_j + S_{j−1} − S_i)/Σrel
+    maps to doc space with positions replaced by compare-count ranks.
+    """
+    v = mask.astype(jnp.float32)
+    rel = (labels > 0).astype(jnp.float32) * v
+
+    beats = _beats(scores, mask)
+    rank = jnp.sum(beats, axis=2)
+    p1 = rank + 1.0
+    c = jnp.einsum("bij,bj->bi", beats, rel) + rel         # inclusive
+    Sv = jnp.einsum("bij,bj->bi", beats, rel / p1) + rel / p1
+    total = jnp.sum(rel, axis=-1)
+    inv_r = jnp.where(total > 0, 1.0 / jnp.where(total > 0, total, 1.0), 0.0)
+
+    A = (c + 1.0 - rel) / p1                               # at x (earlier)
+    C = c / p1                                             # at y (later)
+    between = (Sv - rel / p1)[:, None, :] - Sv[:, :, None]
+    core = A[:, :, None] - C[:, None, :] + between
+    d_el = (rel[:, None, :] - rel[:, :, None]) * core * inv_r[:, None, None]
+    earlier = jnp.swapaxes(beats, 1, 2)
+    dd = jnp.abs(d_el) * earlier
+    delta = dd + jnp.swapaxes(dd, 1, 2)
+    return _pair_lambdas(labels, scores, mask, delta)
+
+
 @functools.partial(jax.jit, static_argnames=("scorer",))
 def lambda_weights_nosort(scorer, labels, scores, mask, scale):
     """Sort-free lambda_weights for product-separable metrics

@@ -136,3 +136,36 @@ def test_nosort_lambda_matches_sorted_reference(metric):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["ERR@10", "ERR@3", "MAP"])
+def test_nosort_err_map_lambda_matches_sorted_reference(metric):
+    """The prefix-matvec sort-free paths for the non-separable metrics
+    (ERR — the reference's default training metric — and MAP) must
+    reproduce the sorted reference path, including score ties, padded
+    docs, and an all-irrelevant query (MAP total=0)."""
+    from ranklib_tpu.gbdt.lambdas import (
+        lambda_weights, lambda_weights_nosort_err, lambda_weights_nosort_map,
+    )
+    from ranklib_tpu.metrics.base import create_scorer
+
+    scorer = create_scorer(metric)
+    fn = (lambda_weights_nosort_map if metric == "MAP"
+          else lambda_weights_nosort_err)
+    rng = np.random.default_rng(23)
+    B, D = 7, 24
+    labels = jnp.asarray(rng.integers(0, 5, size=(B, D)).astype(np.float32))
+    scores = jnp.asarray(
+        np.round(rng.normal(size=(B, D)) * 4) / 4.0).astype(jnp.float32)
+    labels = labels.at[3].set(2.0)       # degenerate: no orderable pairs
+    labels = labels.at[5].set(0.0)       # all-irrelevant (MAP total = 0)
+    n = rng.integers(3, D + 1, size=B)
+    mask = jnp.asarray(np.arange(D)[None, :] < n[:, None])
+    labels = jnp.where(mask, labels, 0.0)
+
+    lam_ref, w_ref = lambda_weights(scorer, labels, scores, mask)
+    lam, w = fn(scorer, labels, scores, mask)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=1e-5, rtol=1e-4)
