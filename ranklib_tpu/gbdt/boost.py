@@ -168,7 +168,8 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
                     min_leaf_support: int, learning_rate: float,
                     pointwise: bool, newton: bool, n_queries: int,
                     n_vqueries: int, train_metric: bool = True,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    lambda_path: str = "auto"):
     """Build the jitted one-round step: (state, t, data) → state.
 
     ``train_metric=False`` skips the per-round train-metric evaluation —
@@ -178,20 +179,25 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
     ``axis_name``: set when the step runs per-device inside ``shard_map``
     (gbdt.boost_dist) — histograms, node statistics, and metric sums are
     then psum'd over that mesh axis.
+
+    ``lambda_path``: "auto" (default routing below) or "sorted" (force
+    the argsort reference path — A/B instrumentation, tools/exp_*).
     """
     M = 2 * n_leaves - 1
     lr = learning_rate
     # lambda path: opt-in fused Pallas kernel > sort-free (separable
     # metrics need data.tb_scale; ERR/MAP get prefix-matvec variants)
     # > sorted XLA reference
-    use_fused = supports_fused(scorer)
-    use_nosort = (not use_fused
+    force_sorted = lambda_path == "sorted"
+    use_fused = supports_fused(scorer) and not force_sorted
+    use_nosort = (not use_fused and not force_sorted
                   and scorer.metric in SEPARABLE_METRICS)
     lam_fn = lambda_weights_fused if use_fused else lambda_weights
-    if not use_fused and scorer.metric == "ERR":
-        lam_fn = lambda_weights_nosort_err
-    elif not use_fused and scorer.metric == "MAP":
-        lam_fn = lambda_weights_nosort_map
+    if not use_fused and not force_sorted:
+        if scorer.metric == "ERR":
+            lam_fn = lambda_weights_nosort_err
+        elif scorer.metric == "MAP":
+            lam_fn = lambda_weights_nosort_map
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: BoostState, t, data: BoostData) -> BoostState:
