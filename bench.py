@@ -38,23 +38,34 @@ def _device_probe_ok(timeout_s: float = 180.0) -> bool:
     when a previous chip holder was SIGKILLed — and a hang here would
     leave the whole bench recording nothing. The probe only discovers
     devices (acquires nothing long-lived) and exits cleanly on success.
+    On expiry the child gets SIGTERM + a grace period before SIGKILL:
+    per the operational notes, SIGKILLing a process that did acquire the
+    chip wedges the tunnel for the NEXT process — exactly what the probe
+    exists to avoid.
     """
     import subprocess
 
+    p = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.devices(); print(jax.default_backend())"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print(jax.default_backend())"],
-            timeout=timeout_s, capture_output=True, text=True)
+        out, _ = p.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
         print(f"bench: device probe hung >{timeout_s:.0f}s "
               "(wedged tunnel?) — falling back to CPU",
               file=sys.stderr, flush=True)
         return False
-    ok = r.returncode == 0 and r.stdout.strip() in ("tpu", "axon")
+    ok = p.returncode == 0 and out.strip() in ("tpu", "axon")
     if not ok:
-        print(f"bench: device probe failed (rc={r.returncode}, "
-              f"out={r.stdout.strip()!r}) — falling back to CPU",
+        print(f"bench: device probe failed (rc={p.returncode}, "
+              f"out={out.strip()!r}) — falling back to CPU",
               file=sys.stderr, flush=True)
     return ok
 

@@ -113,7 +113,13 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
     (err_swap: Δ = u_i(R_j−R_i)T_i + (ratio−1)M + u_j T_j (R_i·ratio−R_j),
     M = E_{j−1} − E_i) translates verbatim with M = Elt_y − Elt_x − term_x.
     The per-round argsort, take_alongs, and inverse permutation of the
-    sorted path all disappear. log1p is safe: 1−R ≥ 2^−gmax.
+    sorted path all disappear.
+
+    T is computed in log-magnitude + sign-parity form: with well-formed
+    data 1−R ∈ [2^−gmax, 1] and the sign factor is identically 1, but a
+    label above gmax (misconfigured -gmax) makes 1−R negative — the
+    sorted path's cumprod stays finite there and so must this one
+    (a bare log1p would inject NaN into every lambda of the query).
     """
     from ranklib_tpu.metrics import scorers as S
 
@@ -125,7 +131,15 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
     beats = _beats(scores, mask)                           # [B, D, D]
     rank = jnp.sum(beats, axis=2)                          # [B, D]
     R = ((jnp.exp2(labels) - 1.0) / (2.0 ** scorer.gmax)) * v
-    T = jnp.exp(jnp.einsum("bij,bj->bi", beats, jnp.log1p(-R)))
+    one_m_R = 1.0 - R
+    # clamp only the log argument: exp(-69) underflows to ~0 in f32, so a
+    # (theoretically impossible for integer labels) 1−R == 0 yields T = 0
+    # like the cumprod, without -inf·0 = NaN leaking through the einsum
+    log_mag = jnp.log(jnp.maximum(jnp.abs(one_m_R), 1e-30))
+    neg = (one_m_R < 0).astype(jnp.float32)
+    flips = jnp.einsum("bij,bj->bi", beats, neg)
+    sign = 1.0 - 2.0 * jnp.mod(flips, 2.0)
+    T = sign * jnp.exp(jnp.einsum("bij,bj->bi", beats, log_mag))
     ink = ((rank < ke[:, None]) & mask).astype(jnp.float32)
     u = ink / (rank + 1.0)
     term = u * R * T
@@ -134,7 +148,10 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
     Rx = R[:, :, None]
     Ry = R[:, None, :]
     ratio = (1.0 - Ry) / (1.0 - Rx)
-    M = Elt[:, None, :] - (Elt + term)[:, :, None]
+    # the clip mirrors err_swap's M = max(M, 0): a no-op for well-formed
+    # data (terms are non-negative so the between-sum is too), live only
+    # in the label>gmax regime — keep bit-parity with the sorted path
+    M = jnp.maximum(Elt[:, None, :] - (Elt + term)[:, :, None], 0.0)
     d_el = (u[:, :, None] * (Ry - Rx) * T[:, :, None]
             + (ratio - 1.0) * M
             + u[:, None, :] * T[:, None, :] * (Rx * ratio - Ry))
@@ -198,16 +215,12 @@ def lambda_weights_nosort(scorer, labels, scores, mask, scale):
     """
     from ranklib_tpu.metrics import scorers as S
 
-    B, D = labels.shape
+    D = labels.shape[-1]
     v = mask.astype(jnp.float32)
     n = mask.sum(axis=-1).astype(jnp.int32)
     ke = S._k_eff(scorer.k, n, D)
-    idx = jnp.arange(D)
 
-    si = scores[:, :, None]                               # doc axis
-    sj = scores[:, None, :]                               # opponent axis
-    tie = (sj == si) & (idx[None, None, :] < idx[None, :, None])
-    beats = ((sj > si) | tie).astype(jnp.float32) * v[:, None, :]
+    beats = _beats(scores, mask)
     rank = jnp.sum(beats, axis=2)                         # [B, D] f32
     ink = ((rank < ke[:, None].astype(jnp.float32)) & mask).astype(
         jnp.float32)
@@ -223,11 +236,4 @@ def lambda_weights_nosort(scorer, labels, scores, mask, scale):
 
     delta = (jnp.abs(A[:, :, None] - A[:, None, :])
              * jnp.abs(Bv[:, :, None] - Bv[:, None, :]))
-    P = ((labels[:, :, None] > labels[:, None, :]).astype(jnp.float32)
-         * v[:, :, None] * v[:, None, :])
-    rho = jax.nn.sigmoid(sj - si)
-    m = P * rho * delta
-    lam = m.sum(axis=2) - m.sum(axis=1)
-    ww = P * (rho * (1.0 - rho)) * delta
-    w = ww.sum(axis=2) + ww.sum(axis=1)
-    return lam * v, w * v
+    return _pair_lambdas(labels, scores, mask, delta)

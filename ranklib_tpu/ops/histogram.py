@@ -212,16 +212,21 @@ def _hist_radix_kernel(bins_ref, gm_ref, out_ref):
 _RADIX_TF = 8                  # 16·TF = 128 output lanes exactly
 
 
-def _radix_tn() -> int:
-    """Doc-tile width of the radix kernel. Larger tiles amortize per-
-    invocation grid overhead (the 17×176 grid at TN=1024 costs ~µs per
-    invocation) at the price of VMEM: intermediates are ~2.2 KB/doc
-    (two [128, TN] one-hots + the [256, TN] A block), so 2048 ≈ 4.5 MB
-    of the ~16 MB VMEM. Override with RANKLIB_TPU_RADIX_TN for probes
-    (tools/exp_radix_tn.py)."""
+def _env_radix_tn() -> int:
     import os
 
     return int(os.environ.get("RANKLIB_TPU_RADIX_TN", "1024"))
+
+
+# Doc-tile width of the radix kernel, resolved ONCE at import (changing
+# the env var mid-process would not retrace the default-tn jit cache, so
+# late changes must not pretend to work). Larger tiles amortize per-
+# invocation grid overhead (the 17×176 grid at TN=1024 costs ~µs per
+# invocation) at the price of VMEM: intermediates are ~2.2 KB/doc (two
+# [128, TN] one-hots + the [256, TN] A block) — 2048 ≈ 4.5 MB of the
+# ~16 MB VMEM. Explicit per-call override: the ``tn`` static arg
+# (tools/exp_radix_tn.py).
+_RADIX_TN = _env_radix_tn()
 
 
 @functools.partial(jax.jit, static_argnames=("n_bins", "tn"))
@@ -231,12 +236,12 @@ def hist_pallas_radix(binned_T, grad, mask, n_bins: int,
 
     Same contract as hist_pallas: [F, B, 2] (Σw·grad, Σw). Counts exact;
     grad sums at MXU default precision like the one-hot kernel.
-    ``tn``: doc-tile override for probes (default: _radix_tn()).
+    ``tn``: doc-tile override for probes (default: module _RADIX_TN).
     """
     assert n_bins == 256, "radix kernel is specialized to B = 256"
     F, N = binned_T.shape
     TF = _RADIX_TF
-    _TN = tn or _radix_tn()
+    _TN = _RADIX_TN if tn is None else tn
     Fp = ((F + TF - 1) // TF) * TF
     Np = ((N + _TN - 1) // _TN) * _TN
     if Fp > F:

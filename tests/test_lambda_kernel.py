@@ -169,3 +169,28 @@ def test_nosort_err_map_lambda_matches_sorted_reference(metric):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_nosort_err_label_above_gmax_stays_finite_and_matches():
+    """A label above gmax (misconfigured -gmax) makes 1−R negative; the
+    sorted path's cumprod stays finite and the sort-free path must track
+    it (sign-parity form), not inject NaN."""
+    from ranklib_tpu.gbdt.lambdas import (
+        lambda_weights, lambda_weights_nosort_err,
+    )
+    from ranklib_tpu.metrics.base import MetricScorer
+
+    scorer = MetricScorer("ERR", k=10, gmax=2.0)   # labels go to 4
+    rng = np.random.default_rng(5)
+    B, D = 4, 16
+    labels = jnp.asarray(rng.integers(0, 5, size=(B, D)).astype(np.float32))
+    scores = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    mask = jnp.asarray(np.ones((B, D), bool))
+
+    lam_ref, w_ref = lambda_weights(scorer, labels, scores, mask)
+    lam, w = lambda_weights_nosort_err(scorer, labels, scores, mask)
+    assert np.isfinite(np.asarray(lam)).all()
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               atol=1e-4, rtol=1e-3)
