@@ -153,3 +153,27 @@ def test_multiprocess_distributed_smoke():
         env=env, cwd=repo, capture_output=True, text=True, timeout=420)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "MULTIHOST SMOKE: PASS" in out.stdout
+
+
+@pytest.mark.parametrize("metric", ["ERR@10", "MAP"])
+def test_mesh_fit_nonseparable_metrics_match_single_device(metric):
+    """The DP product path reuses make_round_step, so the sort-free
+    ERR/MAP lambda variants (prefix matvecs, gbdt/lambdas.py) run inside
+    shard_map too — quality must match single-device training."""
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from tests.fixtures import synth_dataset
+
+    train = synth_dataset(n_queries=32, n_features=6, min_docs=8,
+                          max_docs=24, seed=9, w_seed=4, signal=3.0)
+    scorer = create_scorer(metric)
+
+    single = LambdaMART(n_trees=5, n_leaves=4, learning_rate=0.2)
+    single.fit(train, scorer)
+    m_single = single.score_metric(train, scorer)
+
+    dist = LambdaMART(n_trees=5, n_leaves=4, learning_rate=0.2)
+    dist.fit(train, scorer, mesh=make_mesh(8))
+    m_dist = dist.score_metric(train, scorer)
+
+    assert len(dist.ensemble) == 5
+    assert abs(m_dist - m_single) < 0.03
