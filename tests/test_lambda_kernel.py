@@ -194,3 +194,40 @@ def test_nosort_err_label_above_gmax_stays_finite_and_matches():
                                atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("D,k", [(1, 1), (2, 3), (4, 10), (130, 1),
+                                 (130, 200)])
+def test_nosort_paths_fuzz_shapes_and_cutoffs(D, k):
+    """All sort-free lambda paths × edge shapes: single-doc queries,
+    k > D, wide buckets. Guards the rank/cutoff arithmetic (k_eff,
+    compare-count ties, prefix matvecs) across the full routing table."""
+    from ranklib_tpu.gbdt.lambdas import (
+        chunk_scale, lambda_weights, lambda_weights_nosort,
+        lambda_weights_nosort_err, lambda_weights_nosort_map,
+    )
+    from ranklib_tpu.metrics.base import create_scorer
+
+    r = np.random.default_rng(D * 1000 + k)
+    B = 5
+    n = r.integers(1, D + 1, size=B)
+    mask = np.arange(D)[None, :] < n[:, None]
+    labels = (r.integers(0, 5, size=(B, D)) * mask).astype(np.float32)
+    scores = (np.round(r.normal(size=(B, D)) * 2) / 2 * mask).astype(
+        np.float32)
+    L, S, M = jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(mask)
+
+    for metric in (f"NDCG@{k}", f"DCG@{k}", f"P@{k}", f"ERR@{k}", "MAP"):
+        sc = create_scorer(metric)
+        l0, w0 = lambda_weights(sc, L, S, M)
+        if sc.metric in ("NDCG", "DCG", "P"):
+            l1, w1 = lambda_weights_nosort(sc, L, S, M, chunk_scale(sc, L, M))
+        elif sc.metric == "ERR":
+            l1, w1 = lambda_weights_nosort_err(sc, L, S, M)
+        else:
+            l1, w1 = lambda_weights_nosort_map(sc, L, S, M)
+        assert np.isfinite(np.asarray(l1)).all(), metric
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   atol=1e-4, rtol=1e-4, err_msg=metric)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w0),
+                                   atol=1e-4, rtol=1e-4, err_msg=metric)
