@@ -53,7 +53,17 @@ def compute_thresholds(feats: np.ndarray, n_threshold: int):
 def bin_features(feats: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     """Assign each (doc, feature) value its bin: the smallest b with
     value <= thresholds[f, b]. Values above the max threshold (possible on
-    validation/test data) get bin = n_bins (always routed right)."""
+    validation/test data) get bin = n_bins (always routed right).
+
+    Routed through the native C++ binner when available (exact-parity
+    multithreaded lower_bound, ~20× the numpy loop at MSLR scale — the
+    loop costs ~100 ns/element, ~40 s one-time at 3.6M×136); numpy is the
+    fallback and the reference for the parity test."""
+    from ranklib_tpu.native.loader import native_bin_features
+
+    out = native_bin_features(feats, thresholds)
+    if out is not None:
+        return out
     N, F = feats.shape
     out = np.empty((N, F), dtype=np.int32)
     for f in range(F):

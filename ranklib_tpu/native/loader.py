@@ -133,3 +133,63 @@ def native_parse_letor(path: str, want_descs: bool = True,
                  .split(b"\0", 1)[0].decode(errors="replace")
                  for i in range(N)]
     return labels, feats, qptr, qids, descs
+
+
+# ---- native feature binner (binner.cpp) -------------------------------------
+
+_BIN_SRC = os.path.join(_DIR, "binner.cpp")
+_BIN_LIB = os.path.join(_DIR, "_binner.so")
+_bin_lib = None
+_bin_failed = False
+
+
+def _get_bin_lib():
+    global _bin_lib, _bin_failed
+    with _lock:
+        if _bin_lib is not None or _bin_failed:
+            return _bin_lib
+        try:
+            if (not os.path.exists(_BIN_LIB)
+                    or os.path.getmtime(_BIN_LIB) < os.path.getmtime(_BIN_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-pthread", "-o", _BIN_LIB, _BIN_SRC],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_BIN_LIB)
+        except (OSError, subprocess.SubprocessError):
+            _bin_failed = True
+            return None
+        i64 = ctypes.c_int64
+        p_f32 = ctypes.POINTER(ctypes.c_float)
+        lib.bin_features_i32.argtypes = [
+            p_f32, p_f32, ctypes.POINTER(ctypes.c_int32),
+            i64, i64, i64, i64,
+        ]
+        lib.bin_features_i32.restype = ctypes.c_int
+        _bin_lib = lib
+        return _bin_lib
+
+
+def native_bin_features(feats: np.ndarray, thresholds: np.ndarray):
+    """searchsorted(thresholds[f], feats[:, f], 'left') for every feature,
+    multithreaded in C++. Returns [N, F] int32, or None when the native
+    path is unavailable (caller falls back to numpy)."""
+    lib = _get_bin_lib()
+    if lib is None:
+        return None
+    feats = np.ascontiguousarray(feats, dtype=np.float32)
+    thr = np.ascontiguousarray(thresholds, dtype=np.float32)
+    N, F = feats.shape
+    if thr.shape[0] != F:
+        return None
+    out = np.empty((N, F), np.int32)
+    rc = lib.bin_features_i32(
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        thr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(N), ctypes.c_int64(F), ctypes.c_int64(thr.shape[1]),
+        ctypes.c_int64(0),
+    )
+    if rc != 0:
+        return None
+    return out

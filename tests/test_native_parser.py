@@ -118,3 +118,24 @@ def test_adversarial_format_parity(tmp_path):
         assert a.qid == b.qid and a.n == b.n
         np.testing.assert_array_equal(a.labels, b.labels)
         np.testing.assert_allclose(a.feats, b.feats, rtol=1e-6, atol=0)
+
+
+def test_native_binner_matches_numpy_exactly():
+    """The C++ binner must reproduce np.searchsorted(side='left') bit-for-
+    bit: ties on exact threshold values, +inf padding, values above max."""
+    from ranklib_tpu.native.loader import native_bin_features
+
+    rng = np.random.default_rng(11)
+    N, F, B = 4096, 13, 77
+    thr = np.sort(rng.normal(size=(F, B)).astype(np.float32), axis=1)
+    thr[:, -1] = np.inf
+    feats = rng.normal(size=(N, F)).astype(np.float32)
+    feats[::5] = thr[np.arange(F), rng.integers(0, B, F)]   # exact hits
+    feats[::11] = 1e9                                        # above max
+    got = native_bin_features(feats, thr)
+    if got is None:
+        pytest.skip("native binner unavailable (no compiler)")
+    ref = np.empty((N, F), np.int32)
+    for f in range(F):
+        ref[:, f] = np.searchsorted(thr[f], feats[:, f], side="left")
+    assert np.array_equal(got, ref)
