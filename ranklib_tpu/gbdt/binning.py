@@ -26,14 +26,30 @@ def compute_thresholds(feats: np.ndarray, n_threshold: int):
     threshold of each feature equals the feature max, so every training
     value lands in a real bin.
     """
+    from ranklib_tpu.native.loader import native_feature_uniques
+
     N, F = feats.shape
     per_feature = []
+    # one capped-hash C++ pass replaces F sort-based np.uniques (~5× at
+    # MSLR scale); identical decisions — ≤ tc uniques → use them all
+    # (sorted), else the evenly spaced min/max grid
+    nat = native_feature_uniques(np.asarray(feats, np.float32), n_threshold)
     for f in range(F):
-        vals = np.unique(feats[:, f])
-        if len(vals) <= n_threshold:
+        if nat is not None:
+            vals_f, counts, minmax = nat
+            if counts[f] <= n_threshold:
+                vals = np.sort(vals_f[f, : counts[f]])
+            else:
+                vals = None
+                lo, hi = float(minmax[f, 0]), float(minmax[f, 1])
+        else:
+            vals = np.unique(feats[:, f])
+            if len(vals) > n_threshold:
+                lo, hi = float(vals[0]), float(vals[-1])
+                vals = None
+        if vals is not None:
             thr = vals.astype(np.float32)
         else:
-            lo, hi = float(vals[0]), float(vals[-1])
             # evenly spaced grid, last point == max (ref: FeatureHistogram
             # construct — step = (max-min)/nThreshold)
             thr = np.linspace(lo, hi, n_threshold, dtype=np.float32)

@@ -64,3 +64,85 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
     for (auto& th : threads) th.join();
     return 0;
 }
+
+// Capped per-feature unique collection for threshold building
+// (gbdt/binning.py compute_thresholds). One row-major pass maintaining a
+// small linear-probing set per feature (cap+1 entries decide "more than
+// cap uniques", which is all the caller needs: <=tc uniques -> use them
+// all, else an evenly spaced grid from min/max). -0.0 normalizes to +0.0
+// like np.unique's ordering treats them equal.
+//
+// out_vals: [F, cap] (unsorted uniques; valid for features whose
+// out_counts[f] <= cap), out_counts: [F] (= cap+1 when over cap),
+// out_minmax: [F, 2].
+
+#include <cstring>
+
+namespace {
+struct CappedSet {
+    // open addressing over float bit patterns; size must be a power of 2
+    static const int64_t TABLE = 1024;      // > 2*cap for cap <= 400
+    uint32_t keys[TABLE];
+    uint8_t used[TABLE];
+    int64_t count;
+    bool dead;
+};
+
+inline uint32_t fbits(float v) {
+    if (v == 0.0f) v = 0.0f;                // -0.0 -> +0.0
+    uint32_t b;
+    std::memcpy(&b, &v, sizeof(b));
+    return b;
+}
+}  // namespace
+
+extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
+                               int64_t N, int64_t F, int64_t cap,
+                               float* out_vals,        // [F, cap]
+                               int64_t* out_counts,    // [F]
+                               float* out_minmax) {    // [F, 2]
+    if (N <= 0 || F <= 0 || cap <= 0 || cap > 400) return 1;
+    std::vector<CappedSet> sets(static_cast<size_t>(F));
+    for (auto& s : sets) {
+        std::memset(s.used, 0, sizeof(s.used));
+        s.count = 0;
+        s.dead = false;
+    }
+    std::vector<float> mn(static_cast<size_t>(F), feats[0]);
+    std::vector<float> mx(static_cast<size_t>(F), feats[0]);
+    for (int64_t f = 0; f < F; ++f) {
+        mn[f] = feats[f];
+        mx[f] = feats[f];
+    }
+    for (int64_t i = 0; i < N; ++i) {
+        const float* row = feats + i * F;
+        for (int64_t f = 0; f < F; ++f) {
+            const float v = row[f];
+            if (v < mn[f]) mn[f] = v;
+            if (v > mx[f]) mx[f] = v;
+            CappedSet& s = sets[f];
+            if (s.dead) continue;
+            const uint32_t b = fbits(v);
+            uint64_t h = (static_cast<uint64_t>(b) * 0x9E3779B97F4A7C15ull)
+                         >> 54;             // top 10 bits -> [0, 1024)
+            while (true) {
+                if (!s.used[h]) {
+                    if (s.count >= cap) { s.dead = true; break; }
+                    s.used[h] = 1;
+                    s.keys[h] = b;
+                    out_vals[f * cap + s.count] = (b == 0 ? 0.0f : v);
+                    ++s.count;
+                    break;
+                }
+                if (s.keys[h] == b) break;
+                h = (h + 1) & (CappedSet::TABLE - 1);
+            }
+        }
+    }
+    for (int64_t f = 0; f < F; ++f) {
+        out_counts[f] = sets[f].dead ? cap + 1 : sets[f].count;
+        out_minmax[f * 2] = mn[f];
+        out_minmax[f * 2 + 1] = mx[f];
+    }
+    return 0;
+}

@@ -166,6 +166,10 @@ def _get_bin_lib():
             i64, i64, i64, i64,
         ]
         lib.bin_features_i32.restype = ctypes.c_int
+        lib.feature_uniques.argtypes = [
+            p_f32, i64, i64, i64, p_f32, ctypes.POINTER(i64), p_f32,
+        ]
+        lib.feature_uniques.restype = ctypes.c_int
         _bin_lib = lib
         return _bin_lib
 
@@ -193,3 +197,34 @@ def native_bin_features(feats: np.ndarray, thresholds: np.ndarray):
     if rc != 0:
         return None
     return out
+
+
+def native_feature_uniques(feats: np.ndarray, cap: int):
+    """One-pass capped unique collection per feature (binner.cpp).
+
+    Returns (vals [F, cap] f32 — first counts[f] entries valid, unsorted;
+    counts [F] i64 — cap+1 means 'more than cap uniques'; minmax [F, 2]),
+    or None when unavailable (caller falls back to np.unique)."""
+    if cap <= 0 or cap > 400:
+        return None
+    lib = _get_bin_lib()
+    if lib is None or not hasattr(lib, "feature_uniques"):
+        return None
+    feats = np.ascontiguousarray(feats, dtype=np.float32)
+    N, F = feats.shape
+    if N == 0:
+        return None
+    vals = np.empty((F, cap), np.float32)
+    counts = np.empty((F,), np.int64)
+    minmax = np.empty((F, 2), np.float32)
+    i64 = ctypes.c_int64
+    rc = lib.feature_uniques(
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i64(N), i64(F), i64(cap),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(i64)),
+        minmax.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc != 0:
+        return None
+    return vals, counts, minmax

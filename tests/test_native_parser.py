@@ -139,3 +139,32 @@ def test_native_binner_matches_numpy_exactly():
     for f in range(F):
         ref[:, f] = np.searchsorted(thr[f], feats[:, f], side="left")
     assert np.array_equal(got, ref)
+
+
+def test_native_thresholds_match_numpy_exactly():
+    """compute_thresholds via the capped-hash C++ uniques pass must equal
+    the np.unique path exactly: categorical (<=tc uniques), constant
+    (-0.0/0.0 fold), heavy ties, and >tc continuous features."""
+    import ranklib_tpu.native.loader as L
+    from ranklib_tpu.gbdt.binning import compute_thresholds
+
+    if L.native_feature_uniques(np.zeros((4, 2), np.float32), 8) is None:
+        pytest.skip("native binner unavailable (no compiler)")
+    rng = np.random.default_rng(3)
+    N, F = 20000, 12
+    feats = rng.normal(size=(N, F)).astype(np.float32)
+    feats[:, 1] = rng.integers(0, 5, N)
+    feats[:, 2] = 0.0
+    feats[: N // 2, 2] = -0.0
+    feats[:, 3] = rng.integers(0, 300, N)
+    feats[:, 4] = np.round(feats[:, 4], 1)
+
+    thr_nat, nb_nat = compute_thresholds(feats, 256)
+    orig = L.native_feature_uniques
+    L.native_feature_uniques = lambda *a, **k: None
+    try:
+        thr_np, nb_np = compute_thresholds(feats, 256)
+    finally:
+        L.native_feature_uniques = orig
+    assert np.array_equal(thr_nat, thr_np)
+    assert np.array_equal(nb_nat, nb_np)
