@@ -134,12 +134,15 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
     one_m_R = 1.0 - R
     # clamp only the log argument: exp(-69) underflows to ~0 in f32, so a
     # (theoretically impossible for integer labels) 1−R == 0 yields T = 0
-    # like the cumprod, without -inf·0 = NaN leaking through the einsum
+    # like the cumprod, without -inf·0 = NaN leaking through the matmul
     log_mag = jnp.log(jnp.maximum(jnp.abs(one_m_R), 1e-30))
     neg = (one_m_R < 0).astype(jnp.float32)
-    flips = jnp.einsum("bij,bj->bi", beats, neg)
-    sign = 1.0 - 2.0 * jnp.mod(flips, 2.0)
-    T = sign * jnp.exp(jnp.einsum("bij,bj->bi", beats, log_mag))
+    # one stacked matmul instead of two: beats (the [B, D, D] block, the
+    # dominant HBM read here) streams once for both prefix sums
+    pre = jnp.einsum("bij,bjc->bic", beats,
+                     jnp.stack([log_mag, neg], axis=-1))
+    sign = 1.0 - 2.0 * jnp.mod(pre[..., 1], 2.0)
+    T = sign * jnp.exp(pre[..., 0])
     ink = ((rank < ke[:, None]) & mask).astype(jnp.float32)
     u = ink / (rank + 1.0)
     term = u * R * T
@@ -178,9 +181,12 @@ def lambda_weights_nosort_map(scorer, labels, scores, mask):
     rel = (labels > 0).astype(jnp.float32) * v
 
     beats = _beats(scores, mask)
-    rank = jnp.sum(beats, axis=2)
+    # rank and the relevance prefix count share one pass over beats
+    pre = jnp.einsum("bij,bjc->bic", beats,
+                     jnp.stack([jnp.ones_like(rel), rel], axis=-1))
+    rank = pre[..., 0]
     p1 = rank + 1.0
-    c = jnp.einsum("bij,bj->bi", beats, rel) + rel         # inclusive
+    c = pre[..., 1] + rel                                  # inclusive
     Sv = jnp.einsum("bij,bj->bi", beats, rel / p1) + rel / p1
     total = jnp.sum(rel, axis=-1)
     inv_r = jnp.where(total > 0, 1.0 / jnp.where(total > 0, total, 1.0), 0.0)
