@@ -54,6 +54,21 @@ class MetricScorer:
             self._score = functools.partial(score_fn, k=kk)
             self._swap = functools.partial(swap_fn, k=kk)
 
+    # Scorers are frozen after __init__ and are passed as STATIC jit
+    # arguments throughout (lambdas, fused steps, bucket metrics); value
+    # hashing lets two equal instances (e.g. the CLI's separate train and
+    # test scorers for the same metric string) share every jit cache
+    # entry instead of retracing per object.
+    def _key(self):
+        return (self.metric, self.k if self.uses_k else 0, self.gmax)
+
+    def __eq__(self, other):
+        return (isinstance(other, MetricScorer)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
+
     @property
     def name(self) -> str:
         """Display name, e.g. 'NDCG@10' or 'MAP' (appears in console output
