@@ -183,6 +183,14 @@ def _ensure_backend() -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_silent(args.silent)
+    # decide the flow BEFORE initializing the backend: nothing-to-do /
+    # bad-argument errors must not wait on device discovery (a wedged
+    # device link hangs jax.devices() indefinitely — CLAUDE.md)
+    if not (args.ana or args.combine or args.train
+            or (args.load and (args.rank or args.test))):
+        log("Error: Nothing to do: give -train, -load -test, -load -rank, "
+            "-ana, or -combine")
+        return 1
     _ensure_backend()
     if args.eventlog:
         from ranklib_tpu.utils.logging import set_event_log
