@@ -31,6 +31,36 @@ import time
 JAVA_BASELINE_DOCTREES_PER_SEC = 1.0e5
 
 
+def _relay_ports_all_closed() -> bool:
+    """Fast outage signal: when the device link is a local port relay
+    (PORTS list in ~/.tpu_init.py) and none of those ports accept a
+    connection, discovery can only hang — skip the slow probe. Returns
+    False (i.e. 'maybe alive') when no relay config exists."""
+    import ast
+    import os
+    import socket
+
+    path = os.path.expanduser("~/.tpu_init.py")
+    try:
+        with open(path) as fh:
+            first = fh.readline()
+        if not first.startswith("PORTS"):
+            return False
+        ports = ast.literal_eval(first.split("=", 1)[1].strip())
+    except (OSError, ValueError, SyntaxError, IndexError):
+        return False
+    if not ports:
+        return False
+    for port in ports:
+        try:
+            with socket.create_connection(("127.0.0.1", int(port)),
+                                          timeout=1.0):
+                return False
+        except OSError:
+            continue
+    return True
+
+
 def _device_probe_ok(timeout_s: float = 180.0) -> bool:
     """Device discovery in a SUBPROCESS with a hard timeout.
 
@@ -45,6 +75,10 @@ def _device_probe_ok(timeout_s: float = 180.0) -> bool:
     """
     import subprocess
 
+    if _relay_ports_all_closed():
+        print("bench: device relay ports closed — falling back to CPU "
+              "without waiting on discovery", file=sys.stderr, flush=True)
+        return False
     p = subprocess.Popen(
         [sys.executable, "-c",
          "import jax; jax.devices(); print(jax.default_backend())"],
