@@ -406,3 +406,42 @@ def test_grow_forest_zero_weight_bag_is_inert():
     assert int(fr.n_nodes[0]) > 1          # real bag grew
     assert int(fr.n_nodes[1]) == 1         # pad bag: root only
     assert bool(fr.is_leaf[1, 0])
+
+
+@pytest.mark.parametrize("metric", ["NDCG@10", "ERR@10"])
+def test_lambda_path_sorted_flag_matches_auto(ranking_data, metric):
+    """The lambda_path='sorted' A/B switch (tools/exp_errmap_ab.py) must
+    train the same model as the default routing."""
+    train, _ = ranking_data
+    scorer = create_scorer(metric)
+    models = []
+    for path in ("auto", "sorted"):
+        import ranklib_tpu.gbdt.boost as B
+
+        orig = B.make_round_step
+        import functools
+
+        def patched(*a, _orig=orig, _p=path, **kw):
+            kw["lambda_path"] = _p
+            return _orig(*a, **kw)
+
+        B.make_round_step = patched
+        try:
+            import ranklib_tpu.models.gbdt as G
+            G.make_round_step = patched
+            r = LambdaMART(n_trees=4, n_leaves=4, learning_rate=0.3)
+            r.fit(train, scorer)
+            models.append(r)
+        finally:
+            B.make_round_step = orig
+            G.make_round_step = orig
+    a, b = (m.ensemble for m in models)
+    assert len(a) == len(b) == 4
+    for ta, tb in zip(a.trees, b.trees):
+        # identical split structure; leaf outputs differ only by float
+        # reduction order between the two lambda formulations
+        assert np.array_equal(ta.feature, tb.feature)
+        assert np.array_equal(ta.threshold, tb.threshold)
+        assert np.array_equal(ta.left, tb.left)
+        np.testing.assert_allclose(ta.output, tb.output, rtol=1e-4,
+                                   atol=1e-5)
