@@ -86,7 +86,30 @@ def native_parse_letor(path: str, want_descs: bool = True,
     so the caller can re-parse in Python for a precise error message.
     """
     if path.endswith(".gz"):
-        return None
+        # keep the native path for gzip: decompress once to a temp file
+        # (streamed; ~100 MB/s) — still ~5× the Python parse of the same
+        # stream. Bad archives fall back to Python for the exact error.
+        import gzip
+        import shutil
+        import tempfile
+
+        if _get_lib() is None:
+            return None
+        try:
+            with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
+                    suffix=".letor", delete=False) as tmp:
+                shutil.copyfileobj(src, tmp, length=1 << 20)
+                tmp_path = tmp.name
+        except OSError:
+            return None
+        try:
+            return native_parse_letor(tmp_path, want_descs=want_descs,
+                                      min_features=min_features)
+        finally:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
     lib = _get_lib()
     if lib is None:
         return None

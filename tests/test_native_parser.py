@@ -168,3 +168,29 @@ def test_native_thresholds_match_numpy_exactly():
         L.native_feature_uniques = orig
     assert np.array_equal(thr_nat, thr_np)
     assert np.array_equal(nb_nat, nb_np)
+
+
+def test_native_parser_handles_gzip_via_temp_decompress(tmp_path):
+    """Gzip inputs keep the native path (decompress to a temp file) and
+    must match the plain-file parse exactly."""
+    import gzip
+
+    from ranklib_tpu.data.letor import read_letor
+    from ranklib_tpu.native.loader import native_available
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    if not native_available():
+        pytest.skip("native parser unavailable")
+    ds = synth_dataset(n_queries=12, n_features=5, seed=8, signal=2.0)
+    plain = str(tmp_path / "t.txt")
+    gz = str(tmp_path / "t.txt.gz")
+    write_letor_text(ds, plain)
+    with open(plain, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    a = read_letor(plain, quiet=True)
+    b = read_letor(gz, quiet=True)
+    assert len(a.queries) == len(b.queries)
+    for qa, qb in zip(a.queries, b.queries):
+        assert qa.qid == qb.qid
+        assert np.array_equal(qa.feats, qb.feats)
+        assert np.array_equal(qa.labels, qb.labels)
