@@ -82,8 +82,8 @@ def native_parse_letor(path: str, want_descs: bool = True,
 
     Returns (labels[N] f32, feats[N, F] f32, qptr[Q+1] i64, qids list[str],
     descs list[str] | None), or None when the native path is unavailable
-    (no compiler / gzip input). Raises NativeParseError on malformed input
-    so the caller can re-parse in Python for a precise error message.
+    (no compiler / undecodable gzip). Raises NativeParseError on malformed
+    input so the caller can re-parse in Python for a precise error message.
     """
     if path.endswith(".gz"):
         # keep the native path for gzip: decompress once to a temp file
@@ -95,16 +95,16 @@ def native_parse_letor(path: str, want_descs: bool = True,
 
         if _get_lib() is None:
             return None
+        with tempfile.NamedTemporaryFile(suffix=".letor",
+                                         delete=False) as tmp:
+            tmp_path = tmp.name
         try:
-            with gzip.open(path, "rb") as src, tempfile.NamedTemporaryFile(
-                    suffix=".letor", delete=False) as tmp:
-                shutil.copyfileobj(src, tmp, length=1 << 20)
-                tmp_path = tmp.name
-        except OSError:
-            return None
-        try:
+            with gzip.open(path, "rb") as src, open(tmp_path, "wb") as dst:
+                shutil.copyfileobj(src, dst, length=1 << 20)
             return native_parse_letor(tmp_path, want_descs=want_descs,
                                       min_features=min_features)
+        except (OSError, EOFError):       # truncated/corrupt archive
+            return None
         finally:
             try:
                 os.unlink(tmp_path)
