@@ -49,15 +49,18 @@ def _relay_ports_all_closed() -> bool:
         ports = ast.literal_eval(first.split("=", 1)[1].strip())
     except (OSError, ValueError, SyntaxError, IndexError):
         return False
-    if not ports:
+    if not isinstance(ports, (list, tuple)) or not ports:
         return False
-    for port in ports:
-        try:
-            with socket.create_connection(("127.0.0.1", int(port)),
-                                          timeout=1.0):
-                return False
-        except OSError:
-            continue
+    try:
+        for port in ports:
+            try:
+                with socket.create_connection(("127.0.0.1", int(port)),
+                                              timeout=1.0):
+                    return False
+            except OSError:
+                continue
+    except (ValueError, TypeError):
+        return False                      # malformed config: 'maybe alive'
     return True
 
 

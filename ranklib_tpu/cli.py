@@ -180,16 +180,26 @@ def _ensure_backend() -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+_NOTHING_TO_DO = ("Nothing to do: give -train, -load -test, -load -rank, "
+                  "-ana, or -combine")
+
+
+def _has_flow(args) -> bool:
+    """True when the arguments select one of the dispatchable flows —
+    the SAME condition the dispatch chain in main() walks, kept in one
+    place so the pre-backend gate and the chain cannot disagree."""
+    return bool(args.ana or args.combine or args.train
+                or (args.load and (args.rank or args.test)))
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     set_silent(args.silent)
     # decide the flow BEFORE initializing the backend: nothing-to-do /
     # bad-argument errors must not wait on device discovery (a wedged
     # device link hangs jax.devices() indefinitely — CLAUDE.md)
-    if not (args.ana or args.combine or args.train
-            or (args.load and (args.rank or args.test))):
-        log("Error: Nothing to do: give -train, -load -test, -load -rank, "
-            "-ana, or -combine")
+    if not _has_flow(args):
+        log(f"Error: {_NOTHING_TO_DO}")
         return 1
     _ensure_backend()
     if args.eventlog:
@@ -219,10 +229,8 @@ def main(argv=None) -> int:
         elif args.load and args.test:
             from ranklib_tpu.evaluator import evaluate_test_only
             evaluate_test_only(args)
-        else:
-            raise RankLibError(
-                "Nothing to do: give -train, -load -test, -load -rank, "
-                "-ana, or -combine")
+        else:                          # unreachable: _has_flow gated above
+            raise RankLibError(_NOTHING_TO_DO)
     except RankLibError as e:
         log(f"Error: {e}")
         return 1

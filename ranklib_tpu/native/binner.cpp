@@ -30,6 +30,10 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
             for (int64_t f = 0; f < F; ++f) {
                 const float* t = thr + f * B;
                 const float v = row[f];
+                if (v != v) {             // NaN: numpy's sort order puts it
+                    orow[f] = static_cast<int32_t>(B);  // after +inf → bin B
+                    continue;
+                }
                 // branchless lower_bound: count of t[j] < v
                 int64_t lo = 0, len = B;
                 while (len > 1) {
@@ -90,6 +94,7 @@ struct CappedSet {
 
 inline uint32_t fbits(float v) {
     if (v == 0.0f) v = 0.0f;                // -0.0 -> +0.0
+    if (v != v) return 0x7FC00000u;         // all NaNs -> one canonical key
     uint32_t b;
     std::memcpy(&b, &v, sizeof(b));
     return b;
@@ -108,9 +113,9 @@ extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
         s.count = 0;
         s.dead = false;
     }
-    std::vector<float> mn(static_cast<size_t>(F), feats[0]);
-    std::vector<float> mx(static_cast<size_t>(F), feats[0]);
-    for (int64_t f = 0; f < F; ++f) {
+    std::vector<float> mn(static_cast<size_t>(F));
+    std::vector<float> mx(static_cast<size_t>(F));
+    for (int64_t f = 0; f < F; ++f) {     // row 0 seeds both
         mn[f] = feats[f];
         mx[f] = feats[f];
     }

@@ -32,15 +32,20 @@ class NativeParseError(Exception):
     pass
 
 
-def _build() -> bool:
+def _compile_and_load(src: str, lib_path: str, extra_flags=()):
+    """Compile-on-first-use, shared by every native library here:
+    rebuild when the .so is missing or older than its source, then CDLL.
+    Returns None on any compiler/loader failure (callers memoize)."""
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB,
-             _SRC],
-            check=True, capture_output=True, timeout=120)
-        return True
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 *extra_flags, "-o", lib_path, src],
+                check=True, capture_output=True, timeout=120)
+        return ctypes.CDLL(lib_path)
     except (OSError, subprocess.SubprocessError):
-        return False
+        return None
 
 
 def _get_lib():
@@ -48,14 +53,8 @@ def _get_lib():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        try:
-            if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-                if not _build():
-                    _lib_failed = True
-                    return None
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        lib = _compile_and_load(_SRC, _LIB)
+        if lib is None:
             _lib_failed = True
             return None
         i64 = ctypes.c_int64
@@ -93,6 +92,8 @@ def native_parse_letor(path: str, want_descs: bool = True,
         import shutil
         import tempfile
 
+        import zlib
+
         if _get_lib() is None:
             return None
         with tempfile.NamedTemporaryFile(suffix=".letor",
@@ -103,7 +104,9 @@ def native_parse_letor(path: str, want_descs: bool = True,
                 shutil.copyfileobj(src, dst, length=1 << 20)
             return native_parse_letor(tmp_path, want_descs=want_descs,
                                       min_features=min_features)
-        except (OSError, EOFError):       # truncated/corrupt archive
+        except (OSError, EOFError, zlib.error):
+            # truncated archive → EOFError; mid-stream corruption →
+            # zlib.error; both fall back to Python for the exact message
             return None
         finally:
             try:
@@ -171,15 +174,8 @@ def _get_bin_lib():
     with _lock:
         if _bin_lib is not None or _bin_failed:
             return _bin_lib
-        try:
-            if (not os.path.exists(_BIN_LIB)
-                    or os.path.getmtime(_BIN_LIB) < os.path.getmtime(_BIN_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-pthread", "-o", _BIN_LIB, _BIN_SRC],
-                    check=True, capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_BIN_LIB)
-        except (OSError, subprocess.SubprocessError):
+        lib = _compile_and_load(_BIN_SRC, _BIN_LIB, extra_flags=("-pthread",))
+        if lib is None:
             _bin_failed = True
             return None
         i64 = ctypes.c_int64
