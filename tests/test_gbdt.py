@@ -224,7 +224,8 @@ def _random_metric(ds, scorer):
     return score_dataset(scorer, ds, zeros)[0]
 
 
-@pytest.mark.parametrize("metric", ["ERR@10", "MAP", "P@5"])
+@pytest.mark.parametrize("metric", ["ERR@10", "MAP", "P@5", "RR@5",
+                                    "BEST@5"])
 def test_lambdamart_trains_with_other_metrics(ranking_data, metric):
     # the lambda kernel is metric-generic: exercise the other swap-delta
     # kernels through actual training rounds
