@@ -83,6 +83,26 @@ class Dataset:
             out.append(Query(q.qid, q.labels.copy(), feats, list(q.descs)))
         return Dataset(out, self.n_features)
 
+    def with_width(self, n_features: int) -> "Dataset":
+        """Pad or clip every query's feature block to exactly
+        ``n_features`` columns. Used to align validation/test/rank files
+        to a training (or loaded-model) width: the reference parses all
+        files into one global fid space (DataPoint.featureCount) where
+        fids the model never references are simply unused — clipping the
+        extra columns is behaviorally identical, and padding mirrors
+        missing-fid-reads-as-0."""
+        if n_features == self.n_features:
+            return self
+        out = []
+        for q in self.queries:
+            feats = q.feats[:, :n_features]
+            if feats.shape[1] < n_features:
+                feats = np.pad(feats,
+                               ((0, 0), (0, n_features - feats.shape[1])))
+            out.append(Query(q.qid, q.labels, np.ascontiguousarray(feats),
+                             q.descs))
+        return Dataset(out, n_features)
+
     def all_fids(self):
         """All fids 1..F (ref: FeatureManager.getFeatureFromSampleVector)."""
         return list(range(1, self.n_features + 1))

@@ -15,7 +15,7 @@ from ranklib_tpu.data.cv import prepare_cv, split_tvs
 from ranklib_tpu.data.dataset import Dataset, read_feature_file
 from ranklib_tpu.data.letor import read_letor
 from ranklib_tpu.data.normalize import normalize_dataset
-from ranklib_tpu.metrics.base import MetricScorer, score_dataset
+from ranklib_tpu.metrics.base import MetricScorer, create_scorer, score_dataset
 from ranklib_tpu.models.base import Ranker, load_ranker_file
 from ranklib_tpu.models.trainer import train_ranker
 from ranklib_tpu.utils.errors import RankLibError
@@ -25,6 +25,13 @@ from ranklib_tpu.utils.logging import log
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
              qrel=None):
     ds = read_letor(path, must_have_rel_doc=must_have_rel, n_features=n_features)
+    if n_features is not None and ds.n_features != n_features:
+        # file has fids above the training width: clip to the train/model
+        # feature space (extra fids are unusable by the model — exactly the
+        # reference's unused-global-fid semantics)
+        log(f"[{path}] feature width {ds.n_features} -> {n_features} "
+            f"(aligned to the training feature space)")
+        ds = ds.with_width(n_features)
     if qrel:
         from ranklib_tpu.data.qrel import apply_qrel
         apply_qrel(ds, qrel)
@@ -70,9 +77,9 @@ def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
 def evaluate_train(args) -> Ranker:
     """Flow 3.1/3.2-adjacent: train (+validate) (+test), save model."""
     feature_fids = read_feature_file(args.feature) if args.feature else None
-    train_scorer = MetricScorer(*_split_metric(args.metric2t), gmax=args.gmax)
+    train_scorer = create_scorer(args.metric2t, gmax=args.gmax)
     test_scorer = (
-        MetricScorer(*_split_metric(args.metric2T), gmax=args.gmax)
+        create_scorer(args.metric2T, gmax=args.gmax)
         if args.metric2T else train_scorer
     )
     must_rel = train_scorer.needs_rel
@@ -118,9 +125,9 @@ def evaluate_train(args) -> Ranker:
 def evaluate_kcv(args) -> None:
     """k-fold cross validation (ref flow 3.2: -kcv, -kcvmd, -kcvmn)."""
     feature_fids = read_feature_file(args.feature) if args.feature else None
-    train_scorer = MetricScorer(*_split_metric(args.metric2t), gmax=args.gmax)
+    train_scorer = create_scorer(args.metric2t, gmax=args.gmax)
     test_scorer = (
-        MetricScorer(*_split_metric(args.metric2T), gmax=args.gmax)
+        create_scorer(args.metric2T, gmax=args.gmax)
         if args.metric2T else train_scorer
     )
     ds = _prepare(args.train, args.norm, feature_fids,
@@ -152,8 +159,7 @@ def evaluate_kcv(args) -> None:
 
 def evaluate_test_only(args) -> None:
     """Flow 3.3: -load model -test file -metric2T metric [-idv file]."""
-    scorer = MetricScorer(
-        *_split_metric(args.metric2T or args.metric2t), gmax=args.gmax)
+    scorer = create_scorer(args.metric2T or args.metric2t, gmax=args.gmax)
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
     test = _prepare(args.test, args.norm, feature_fids, False,
@@ -178,13 +184,3 @@ def evaluate_rank(args) -> None:
     if not args.score and not args.indri:
         write_score_file("ranklib.score", data, scores)
 
-
-def _split_metric(metric: str):
-    m = metric.strip().upper()
-    if "@" in m:
-        name, _, k = m.partition("@")
-        try:
-            return name, int(k)
-        except ValueError:
-            raise RankLibError(f"Bad metric cutoff in '{metric}'") from None
-    return m, 10

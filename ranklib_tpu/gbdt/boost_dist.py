@@ -122,6 +122,25 @@ def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
     return binned_T, labels_flat, doc_mask, tuple(chunks), Npad
 
 
+def scatter_doc_values(ds: Dataset, values: np.ndarray, n_dev: int,
+                       Npad: int) -> np.ndarray:
+    """Scatter per-doc values (flatten order, [N]) into the per-device
+    flat doc layout used by :func:`_shard_arrays` → [n_dev, Npad + 1]
+    (the trailing slot is the padding accumulator, left 0). Used to seed
+    warm-start model scores in the distributed path."""
+    qptr = np.zeros(len(ds.queries) + 1, np.int64)
+    np.cumsum([q.n for q in ds.queries], out=qptr[1:])
+    per_dev, _ = _shard_queries(ds, n_dev)
+    out = np.zeros((n_dev, Npad + 1), np.float32)
+    for dev, lst in enumerate(per_dev):
+        pos = 0
+        for _, qi in lst:
+            n = ds.queries[qi].n
+            out[dev, pos: pos + n] = values[qptr[qi]: qptr[qi] + n]
+            pos += n
+    return out
+
+
 def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
                        validation: Dataset | None = None,
                        vbinned: np.ndarray | None = None,

@@ -285,8 +285,17 @@ def _mm_eval(X, S_full, thr_full, Pc, Qc, plenc, outwc):
 
     X: [N, F]. All predicates come from ONE selection matmul (X streamed
     from HBM once); the path matmuls scan over tree chunks, slicing the
-    predicate matrix."""
-    vals = jnp.dot(X, S_full, preferred_element_type=jnp.float32)
+    predicate matrix.
+
+    Numerics: the selection matmul picks one feature VALUE per column and
+    compares it to an exact training threshold, and the final matmul picks
+    real leaf outputs — both need HIGHEST precision (TPU's default bf16
+    multiplies would round the operands and misroute docs at split
+    boundaries / drift scores vs the exact traversal). The path-count
+    matmuls multiply 0/1 matrices with small-integer sums, exact in any
+    precision, so they keep the fast default."""
+    vals = jnp.dot(X, S_full, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     pred = (vals <= thr_full[None, :]).astype(jnp.float32)
     nch, TCM, _ = Pc.shape
 
@@ -297,7 +306,8 @@ def _mm_eval(X, S_full, thr_full, Pc, Qc, plenc, outwc):
                 + jnp.dot(1.0 - p, Q, preferred_element_type=jnp.float32))
         ind = (hits == plen[None, :]).astype(jnp.float32)
         return score + jnp.dot(ind, outw,
-                               preferred_element_type=jnp.float32), None
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST), None
 
     score, _ = jax.lax.scan(
         chunk, jnp.zeros((X.shape[0],), jnp.float32),

@@ -58,6 +58,11 @@ class LambdaMART(Ranker):
         self.ensemble = TreeEnsemble()
         self.feature_impacts = None  # [F] deviance reduction, set by fit()
         super().__init__(**hp)
+        if self.n_leaves < 2:
+            # a 1-leaf tree is a constant; the static growth arrays assume
+            # at least one split (fail here, not deep in tree export)
+            raise RankLibError(
+                f"-leaf must be >= 2 (got {self.n_leaves})")
 
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None, mesh=None,
@@ -248,9 +253,29 @@ class LambdaMART(Ranker):
         state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad,
                                 mesh, Nvpad, n_features=feats.shape[1])
 
+        # warm start (same semantics as the single-device path): seed the
+        # sharded model scores from the loaded/partial ensemble and train
+        # the remaining rounds on top of it
+        prior = TreeEnsemble()
+        rounds = self.n_trees
+        if len(self.ensemble):
+            from ranklib_tpu.gbdt.boost_dist import _place, scatter_doc_values
+            prior = self.ensemble
+            rounds = max(0, self.n_trees - len(prior))
+            init = scatter_doc_values(train, prior.eval_matrix(feats),
+                                      n_dev, Npad)
+            state = state._replace(scores=_place(init, mesh, sharded=True))
+            if validation is not None:
+                vinit = scatter_doc_values(
+                    validation, prior.eval_matrix(vfeats), n_dev, Nvpad)
+                state = state._replace(
+                    vscores=_place(vinit, mesh, sharded=True))
+            log(f"Warm start from {len(prior)} trees "
+                f"({rounds} rounds to go)")
+
         log(f"Training starts... [data-parallel over {n_dev} devices]")
         self._boost_loop(step, state, data, scorer, validation is not None,
-                         self.n_trees, thresholds, TreeEnsemble())
+                         rounds, thresholds, prior)
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):

@@ -163,9 +163,12 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
         r = jnp.clip(flat[idx], -0.999999, 0.999999)
 
         # t_s == T means the all-zero column won the argmax: every real
-        # candidate has r ≤ 0 — no useful weak ranker; the round (and all
-        # later ones) becomes a no-op and the host truncates via wact
-        active = state.active & (t_s < T)
+        # candidate has r ≤ 0 — no useful weak ranker. r == 0 (also when a
+        # REAL column ties the zero column, e.g. Z overflowed to inf on
+        # cleanly separable data) gives alpha == 0 forever after: equally a
+        # no-op. Either way the round (and all later ones) deactivates and
+        # the host truncates via wact.
+        active = state.active & (t_s < T) & (r > 0)
         alpha = jnp.where(active, 0.5 * jnp.log((1.0 + r) / (1.0 - r)), 0.0)
 
         # ---- strong-model score update (implies next round's D) --------

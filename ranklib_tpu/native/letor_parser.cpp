@@ -10,7 +10,9 @@
 //     grouping, exactly like FeatureManager), global max fid;
 //   pass 2 (letor_fill): labels, dense feature matrix (missing fids
 //     stay 0 — "missing zero" semantics), query offsets, qid strings,
-//     optional '#' descriptions (truncated to the caller's stride).
+//     optional '#' descriptions. Tokens that exceed the fixed buffer
+//     widths are NEVER truncated — the pass reports capacity (-4) and
+//     the loader re-parses in Python.
 //
 // C ABI only — loaded from Python via ctypes (no pybind11 in this image).
 // Gzip inputs and malformed files fall back to the Python parser.
@@ -35,9 +37,12 @@ inline char* skip_ws(char* p, char* end) {
 }
 
 // Parse one line. Returns: 1 = data line, 0 = skip (blank/comment),
-// -1 = malformed. On success: *label_out, qid copied into qid_out
-// (NUL-terminated, truncated at QID_MAX), features forwarded to the
-// callback. desc_out (may be null): '#...' remainder copied (truncated).
+// -1 = malformed, -2 = capacity exceeded (qid longer than QID_MAX or a
+// wanted '#' description longer than desc_stride-1 — NEVER silently
+// truncated: the caller surfaces -2 so the loader re-parses the file in
+// Python, which handles arbitrary lengths). On success: *label_out, qid
+// copied into qid_out (NUL-terminated), features forwarded to the
+// callback, desc_out (may be null) gets the '#...' remainder.
 template <bool kParseVals, typename FeatFn>
 int parse_line(char* p, char* end, float* label_out, char* qid_out,
                FeatFn&& on_feat, char* desc_out, int64_t desc_stride) {
@@ -50,23 +55,26 @@ int parse_line(char* p, char* end, float* label_out, char* qid_out,
   if (end - p < 4 || strncmp(p, "qid:", 4) != 0) return -1;
   p += 4;
   int64_t n = 0;
+  bool qid_over = false;
   while (p < end && *p != ' ' && *p != '\t' && *p != '\r') {
     if (n < QID_MAX) qid_out[n++] = *p;
+    else qid_over = true;
     ++p;
   }
   if (n == 0) return -1;
   qid_out[n] = '\0';
+  if (qid_over) return -2;
   for (;;) {
     p = skip_ws(p, end);
     if (p >= end) break;
     if (*p == '#') {
       if (desc_out != nullptr && desc_stride > 0) {
         int64_t m = end - p;
-        if (m > desc_stride - 1) m = desc_stride - 1;
         // trim trailing whitespace
         while (m > 0 && (p[m - 1] == ' ' || p[m - 1] == '\t' ||
                          p[m - 1] == '\r'))
           --m;
+        if (m > desc_stride - 1) return -2;
         memcpy(desc_out, p, static_cast<size_t>(m));
         desc_out[m] = '\0';
       }
@@ -122,7 +130,8 @@ char* read_file(const char* path, int64_t* size_out) {
 
 extern "C" {
 
-// Pass 1. Returns 0 ok, -1 io error, -2 malformed line.
+// Pass 1. Returns 0 ok, -1 io error, -2 malformed line, -4 capacity
+// (oversized qid — caller falls back to the Python parser).
 int letor_stat(const char* path, int64_t* n_docs, int64_t* n_queries,
                int64_t* max_fid) {
   int64_t size = 0;
@@ -145,7 +154,7 @@ int letor_stat(const char* path, int64_t* n_docs, int64_t* n_queries,
         },
         nullptr, 0);
     if (r < 0) {
-      rc = -2;
+      rc = (r == -2) ? -4 : -2;
       break;
     }
     if (r == 1) {
@@ -167,7 +176,8 @@ int letor_stat(const char* path, int64_t* n_docs, int64_t* n_queries,
 
 // Pass 2: fill caller-allocated buffers (feats pre-zeroed [n_docs, n_feat]).
 // qidbuf: n_queries * qid_stride chars; descbuf: optional, n_docs *
-// desc_stride. Returns 0 ok, -1 io, -2 malformed, -3 overflow vs stat.
+// desc_stride. Returns 0 ok, -1 io, -2 malformed, -3 overflow vs stat,
+// -4 capacity (oversized qid/desc — caller falls back to Python).
 int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
                int64_t n_feat, int64_t* qptr, int64_t n_queries, char* qidbuf,
                int64_t qid_stride, char* descbuf, int64_t desc_stride) {
@@ -199,7 +209,7 @@ int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
         },
         desc, desc_stride);
     if (r < 0) {
-      rc = -2;
+      rc = (r == -2) ? -4 : -2;
       break;
     }
     if (r == 1) {

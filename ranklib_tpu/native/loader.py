@@ -124,6 +124,10 @@ def native_parse_letor(path: str, want_descs: bool = True,
                         ctypes.byref(n_queries), ctypes.byref(max_fid))
     if rc == -1:
         return None                       # io error → let Python report it
+    if rc == -4:
+        # a qid/description exceeds the fixed native buffers — the Python
+        # parser handles arbitrary lengths exactly
+        raise NativeParseError(f"oversized token in {path}")
     if rc != 0:
         raise NativeParseError(f"malformed LETOR file: {path}")
     N, Q = n_docs.value, n_queries.value

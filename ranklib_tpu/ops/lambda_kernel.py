@@ -58,8 +58,10 @@ def _kernel(a_ref, b_ref, l_ref, s_ref, v_ref, lam_ref, w_ref):
         lam_col_parts = []                          # loser shares per j tile
         w_col_parts = []
 
-        for c in range(D // TJ):               # static unroll over j tiles
-            lo, hi = c * TJ, (c + 1) * TJ
+        # static unroll over j tiles; the last tile is narrower when D is
+        # not a multiple of TJ (bucket sizes 640/768/896/1280)
+        for lo in range(0, D, TJ):
+            hi = min(lo + TJ, D)
             aj = a_ref[q:q + 1, lo:hi]         # [1, TJ]
             bj = b_ref[q:q + 1, lo:hi]
             lj = l_ref[q:q + 1, lo:hi]

@@ -209,3 +209,30 @@ def test_rankboost_implicit_distribution_matches_explicit_reference():
         assert fa == fb
         assert abs(ta - tb) < 1e-5
         assert abs(aa - ab) < 2e-3, (aa, ab)
+
+
+def test_rankboost_separable_data_truncates_zero_alpha_rounds():
+    """Cleanly separable data drives alpha high enough that Z overflows
+    and every later round's best r collapses to 0; those rounds are dead
+    (alpha == 0) and must be truncated, not kept (review fix: the guard
+    only caught the all-zero argmax column, not a real column tied at 0)."""
+    from ranklib_tpu.data.dataset import Dataset, Query
+
+    rng = np.random.default_rng(3)
+    qs = []
+    for qi in range(12):
+        n = 12
+        labels = (np.arange(n) % 2).astype(np.float32)
+        feats = np.zeros((n, 3), np.float32)
+        feats[:, 0] = labels * 10.0 + 1.0          # perfectly separating
+        feats[:, 1] = rng.normal(size=n)
+        feats[:, 2] = rng.normal(size=n)
+        qs.append(Query(str(qi), labels, feats))
+    train = Dataset(qs, 3)
+    r = RankBoost(n_rounds=60, n_threshold=8)
+    r.fit(train, create_scorer("NDCG@10"))
+    assert 1 <= len(r.weaks) < 60
+    assert all(alpha > 0 for _, _, alpha in r.weaks)
+    m, _ = score_dataset(create_scorer("NDCG@10"), train,
+                         r.eval_dataset(train))
+    assert m > 0.95

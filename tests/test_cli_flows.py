@@ -145,3 +145,26 @@ def test_python_api_roundtrip(tmp_path):
     # integer ranker id + hyperparams route
     lm = rl.train(ds, ranker=6, n_trees=3, n_leaves=4)
     assert rl.evaluate(lm, ds) > 0.5
+
+
+def test_validate_and_test_files_with_extra_features(tmp_path, letor):
+    """A validation/test file whose max fid exceeds the training file's
+    must align to the training feature space instead of crashing in
+    binning (review fix)."""
+    tr, _ = letor
+    wide = synth_dataset(n_queries=6, n_features=9, seed=33, w_seed=31,
+                         signal=3.0)
+    wide_path = tmp_path / "wide.txt"
+    write_letor_text(wide, wide_path)
+    model = tmp_path / "m.txt"
+    rc = main(["-train", tr, "-validate", str(wide_path), "-test",
+               str(wide_path), "-ranker", "6", "-tree", "2", "-leaf", "3",
+               "-metric2t", "NDCG@10", "-save", str(model)])
+    assert rc == 0 and model.exists()
+
+
+def test_cli_leaf_one_is_clean_error(letor):
+    tr, _ = letor
+    rc = main(["-train", tr, "-ranker", "6", "-tree", "2", "-leaf", "1",
+               "-metric2t", "NDCG@10"])
+    assert rc == 1

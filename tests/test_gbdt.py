@@ -446,3 +446,9 @@ def test_lambda_path_sorted_flag_matches_auto(ranking_data, metric):
         assert np.array_equal(ta.left, tb.left)
         np.testing.assert_allclose(ta.output, tb.output, rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_single_leaf_rejected():
+    from ranklib_tpu.utils.errors import RankLibError
+    with pytest.raises(RankLibError, match="-leaf"):
+        LambdaMART(n_leaves=1)

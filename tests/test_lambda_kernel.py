@@ -29,7 +29,7 @@ def _fused(scorer, labels, scores, mask):
 
 
 @pytest.mark.parametrize("metric", ["NDCG@10", "NDCG@3", "DCG@5", "P@4"])
-@pytest.mark.parametrize("B,D", [(4, 8), (3, 16), (2, 512)])
+@pytest.mark.parametrize("B,D", [(4, 8), (3, 16), (2, 512), (2, 640)])
 def test_fused_matches_xla(metric, B, D):
     scorer = create_scorer(metric)
     labels, scores, mask = _case(B, D, seed=B * D + len(metric))

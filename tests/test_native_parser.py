@@ -194,3 +194,37 @@ def test_native_parser_handles_gzip_via_temp_decompress(tmp_path):
         assert qa.qid == qb.qid
         assert np.array_equal(qa.feats, qb.feats)
         assert np.array_equal(qa.labels, qb.labels)
+
+
+def test_oversized_qid_and_desc_fall_back_exactly(tmp_path):
+    """qids > 63 chars / descriptions > 159 chars exceed the native
+    buffers: the C++ pass must signal capacity (never silently truncate)
+    and read_letor must deliver the Python parser's exact strings."""
+    long_a = "q" * 70 + "A"
+    long_b = "q" * 70 + "B"      # same 63-char prefix — must NOT merge
+    big_desc = "# " + "d" * 400
+    text = (f"2 qid:{long_a} 1:1 2:2\n"
+            f"0 qid:{long_a} 1:3 2:4\n"
+            f"1 qid:{long_b} 1:5 2:6\n")
+    path = _write(tmp_path, text, "longqid.txt")
+    with pytest.raises(Exception):
+        native_parse_letor(path)
+    ds = read_letor(path)
+    assert [q.qid for q in ds.queries] == [long_a, long_b]
+
+    text2 = f"1 qid:1 1:1 {big_desc}\n0 qid:1 1:2\n"
+    path2 = _write(tmp_path, text2, "longdesc.txt")
+    with pytest.raises(Exception):
+        native_parse_letor(path2)
+    ds2 = read_letor(path2)
+    assert ds2.queries[0].descs[0] == big_desc
+
+    # at-capacity strings (63-char qid, 159-char desc) stay on the
+    # native path, byte-exact
+    q63 = "x" * 63
+    d159 = "#" + "e" * 158
+    text3 = f"1 qid:{q63} 1:1 {d159}\n"
+    path3 = _write(tmp_path, text3, "edge.txt")
+    out = native_parse_letor(path3)
+    assert out is not None
+    assert out[3] == [q63] and out[4][0] == d159

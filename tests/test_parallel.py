@@ -177,3 +177,35 @@ def test_mesh_fit_nonseparable_metrics_match_single_device(metric):
 
     assert len(dist.ensemble) == 5
     assert abs(m_dist - m_single) < 0.03
+
+
+def test_mesh_fit_warm_start_resume():
+    """-resume semantics on the mesh path: a prior ensemble seeds the
+    sharded scores and only the remaining rounds train (review fix: the
+    distributed path used to silently discard the warm start)."""
+    from ranklib_tpu.models.gbdt import LambdaMART
+    from tests.fixtures import synth_dataset
+
+    train = synth_dataset(n_queries=24, n_features=6, min_docs=8,
+                          max_docs=24, seed=21, w_seed=7, signal=3.0)
+    scorer = create_scorer("NDCG@10")
+
+    full = LambdaMART(n_trees=4, n_leaves=4, learning_rate=0.2)
+    full.fit(train, scorer, mesh=make_mesh(8))
+
+    part = LambdaMART(n_trees=2, n_leaves=4, learning_rate=0.2)
+    part.fit(train, scorer, mesh=make_mesh(8))
+    resumed = LambdaMART(n_trees=4, n_leaves=4, learning_rate=0.2)
+    resumed.ensemble = part.ensemble
+    resumed.fit(train, scorer, mesh=make_mesh(8))
+
+    assert len(resumed.ensemble) == 4
+    # the prior trees are carried verbatim...
+    assert (resumed.ensemble.to_text().split("</tree>")[:2]
+            == part.ensemble.to_text().split("</tree>")[:2])
+    # ...and the continued rounds land in the same quality ballpark as a
+    # straight-through run (seeded scores re-derive via the f32 eval path,
+    # so later trees may differ in low-order bits)
+    m_full = full.score_metric(train, scorer)
+    m_res = resumed.score_metric(train, scorer)
+    assert abs(m_full - m_res) < 0.05
