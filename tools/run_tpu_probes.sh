@@ -28,6 +28,7 @@ run() { # name cmd...
 }
 
 run phase_split   python tools/exp_phase_split.py
+run serving_prec  python tools/exp_serving_precision.py
 run errmap_ab     python tools/exp_errmap_ab.py
 run radix_tn1024  python tools/exp_radix_tn.py 1024
 run radix_tn2048  python tools/exp_radix_tn.py 2048
