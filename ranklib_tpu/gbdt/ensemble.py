@@ -78,19 +78,35 @@ class TreeEnsemble:
 
     # ---- vectorized eval ---------------------------------------------------
     #
-    # Matmul-only scoring (the serving hot path). Pointer-chasing traversal
+    # Matmul-path scoring (the serving hot path). Pointer-chasing traversal
     # is gather-bound and catastrophically slow on TPU (measured 174 s for
     # 262K docs × 1000 trees); instead:
     #
-    #   vals = X @ S          one-hot column selection    [N, TC·M]  (MXU)
-    #   pred = vals <= thr                                 (VPU)
+    #   vals = X[:, fid]      static column gather         [N, TC·M]  (VPU)
+    #   pred = vals <= thr    (bf16 0/1 — exact)            (VPU)
     #   hits = pred @ P + (1 − pred) @ Q  path agreement   [N, TC·L]  (MXU)
     #   ind  = hits == path_len           leaf indicator   (VPU)
     #   score += ind @ outw                                (MXU)
     #
     # where P/Q encode, per leaf, which internal nodes must test true/false
     # on its root path. Trees are processed in chunks of TC so the
-    # block-diagonal P/Q stay dense but small; every op is a large matmul.
+    # block-diagonal P/Q stay dense but small.
+    #
+    # Design notes (each measured on v5e at 262K docs × 1000 trees,
+    # tools/exp_serving_gatherT.py, 2026-08-19 — all variants EXACT):
+    #
+    # * Selection is a GATHER, not a matmul: every predicate column reads
+    #   exactly one feature of X, and the per-node index is static. The
+    #   earlier one-hot `X @ S` needed Precision.HIGHEST for exactness
+    #   (bf16 operand rounding misroutes docs at split boundaries): 202 ms.
+    #   Gathering rows of X^T (sublane-dim gather = plain DMA; lane-dim
+    #   gathers lower poorly) and keeping the whole pipeline transposed:
+    #   149 ms.
+    # * `pred` is 0/1 and path-agreement sums are small integers (≤ path
+    #   depth), exact in bf16 — the only [T·M, N]-sized intermediate is
+    #   stored bf16, halving its HBM traffic.
+    # * p@P + (1−p)@Q ≡ p@(P−Q) + colsum(Q): ONE path matmul instead of
+    #   two ((P−Q) ∈ {−1,0,1}, still exact in bf16): 115 ms.
     _TREE_CHUNK = 16
 
     def _pack_matmul(self, n_features: int):
@@ -101,7 +117,7 @@ class TreeEnsemble:
             L = max(t.is_leaf.sum() for t in self.trees)
             TC = self._TREE_CHUNK
             Tp = ((T + TC - 1) // TC) * TC
-            S = np.zeros((Tp, n_features, M), np.float32)
+            fid = np.zeros((Tp, M), np.int32)
             thr = np.zeros((Tp, M), np.float32)
             P = np.zeros((Tp, M, L), np.float32)
             Q = np.zeros((Tp, M, L), np.float32)
@@ -111,7 +127,7 @@ class TreeEnsemble:
                 internal = np.flatnonzero(~t.is_leaf)
                 slot_of = {int(n): i for i, n in enumerate(internal)}
                 for i, n in enumerate(internal):
-                    S[ti, t.feature[n], i] = 1.0
+                    fid[ti, i] = t.feature[n]
                     thr[ti, i] = t.threshold[n]
                 li = 0
                 # DFS collecting (leaf, path) pairs
@@ -128,9 +144,9 @@ class TreeEnsemble:
                         stack.append((int(t.right[node]), path + [(node, False)]))
                         stack.append((int(t.left[node]), path + [(node, True)]))
             nch = Tp // TC
-            # one selection matrix for ALL trees (X is read from HBM once),
-            # plus chunked dense P/Q blocks for the path matmuls
-            S_full = np.zeros((n_features, Tp * M), np.float32)
+            # one selection index vector for ALL trees (X is read from HBM
+            # once), plus chunked dense P/Q blocks for the path matmuls
+            fid_full = np.zeros((Tp * M,), np.int32)
             thr_full = np.zeros((Tp * M,), np.float32)
             Pc = np.zeros((nch, TC * M, TC * L), np.float32)
             Qc = np.zeros((nch, TC * M, TC * L), np.float32)
@@ -140,14 +156,17 @@ class TreeEnsemble:
                 for j in range(TC):
                     ti = c * TC + j
                     col = (c * TC + j) * M
-                    S_full[:, col: col + M] = S[ti]
+                    fid_full[col: col + M] = fid[ti]
                     thr_full[col: col + M] = thr[ti]
                     Pc[c, j * M:(j + 1) * M, j * L:(j + 1) * L] = P[ti]
                     Qc[c, j * M:(j + 1) * M, j * L:(j + 1) * L] = Q[ti]
                     plenc[c, j * L:(j + 1) * L] = plen[ti]
                     outwc[c, j * L:(j + 1) * L] = outw[ti]
+            PmQc = Pc - Qc                      # {-1, 0, 1}
+            csQc = Qc.sum(axis=1)               # [nch, TC·L]
             self._mm = (key, tuple(jnp.asarray(a) for a in
-                                   (S_full, thr_full, Pc, Qc, plenc, outwc)))
+                                   (fid_full, thr_full, PmQc, csQc, plenc,
+                                    outwc)))
         return self._mm[1]
 
     def _pack(self):
@@ -280,30 +299,36 @@ def _tree_from_nodes(nodes) -> Tree:
 
 
 @jax.jit
-def _mm_eval(X, S_full, thr_full, Pc, Qc, plenc, outwc):
-    """Matmul-only ensemble scoring; see _pack_matmul for the encoding.
+def _mm_eval(X, fid_full, thr_full, PmQc, csQc, plenc, outwc):
+    """Gather + path-matmul ensemble scoring; see _pack_matmul for the
+    encoding and the class comment for the measured design history.
 
-    X: [N, F]. All predicates come from ONE selection matmul (X streamed
-    from HBM once); the path matmuls scan over tree chunks, slicing the
-    predicate matrix.
+    X: [N, F]. All predicates come from ONE static row gather of X^T
+    (each predicate row reads exactly one feature — exact in f32, no
+    matmul rounding to guard against); the single path matmul per tree
+    chunk contracts the sublane dim of the transposed predicate matrix:
 
-    Numerics: the selection matmul picks one feature VALUE per column and
-    compares it to an exact training threshold, and the final matmul picks
-    real leaf outputs — both need HIGHEST precision (TPU's default bf16
-    multiplies would round the operands and misroute docs at split
-    boundaries / drift scores vs the exact traversal). The path-count
-    matmuls multiply 0/1 matrices with small-integer sums, exact in any
-    precision, so they keep the fast default."""
-    vals = jnp.dot(X, S_full, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    pred = (vals <= thr_full[None, :]).astype(jnp.float32)
-    nch, TCM, _ = Pc.shape
+        hits = pred @ (P−Q) + colsum(Q)
+
+    equals the path-agreement count pred @ P + (1−pred) @ Q. Numerics:
+    `pred` is 0/1, (P−Q) ∈ {−1,0,1} and the counts are small integers
+    (≤ path depth ≤ slot count) — all exact in bf16. Only the final
+    leaf-output matmul touches real-valued training outputs; it keeps
+    HIGHEST precision (it is [N, TC·L]·[TC·L] per chunk — tiny).
+    CPU XLA lacks bf16×bf16→f32 dots, so the predicate dtype falls back
+    to f32 off-TPU (trace-time choice; results identical either way)."""
+    pdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    valsT = jnp.take(X.T, fid_full, axis=0)          # [T·M, N] row gather
+    predT = (valsT <= thr_full[:, None]).astype(pdt)
+    nch, TCM, _ = PmQc.shape
 
     def chunk(score, args):
-        c, P, Q, plen, outw = args
-        p = jax.lax.dynamic_slice_in_dim(pred, c * TCM, TCM, axis=1)
-        hits = (jnp.dot(p, P, preferred_element_type=jnp.float32)
-                + jnp.dot(1.0 - p, Q, preferred_element_type=jnp.float32))
+        c, PmQ, csQ, plen, outw = args
+        pT = jax.lax.dynamic_slice_in_dim(predT, c * TCM, TCM, axis=0)
+        hits = jax.lax.dot_general(
+            pT, PmQ.astype(pdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + csQ[None, :]
         ind = (hits == plen[None, :]).astype(jnp.float32)
         return score + jnp.dot(ind, outw,
                                preferred_element_type=jnp.float32,
@@ -311,7 +336,7 @@ def _mm_eval(X, S_full, thr_full, Pc, Qc, plenc, outwc):
 
     score, _ = jax.lax.scan(
         chunk, jnp.zeros((X.shape[0],), jnp.float32),
-        (jnp.arange(nch, dtype=jnp.int32), Pc, Qc, plenc, outwc))
+        (jnp.arange(nch, dtype=jnp.int32), PmQc, csQc, plenc, outwc))
     return score
 
 

@@ -215,17 +215,18 @@ _RADIX_TF = 8                  # 16·TF = 128 output lanes exactly
 def _env_radix_tn() -> int:
     import os
 
-    return int(os.environ.get("RANKLIB_TPU_RADIX_TN", "1024"))
+    return int(os.environ.get("RANKLIB_TPU_RADIX_TN", "4096"))
 
 
 # Doc-tile width of the radix kernel, resolved ONCE at import (changing
 # the env var mid-process would not retrace the default-tn jit cache, so
 # late changes must not pretend to work). Larger tiles amortize per-
-# invocation grid overhead (the 17×176 grid at TN=1024 costs ~µs per
-# invocation) at the price of VMEM: intermediates are ~2.2 KB/doc (two
-# [128, TN] one-hots + the [256, TN] A block) — 2048 ≈ 4.5 MB of the
-# ~16 MB VMEM. Explicit per-call override: the ``tn`` static arg
-# (tools/exp_radix_tn.py).
+# invocation grid overhead at the price of VMEM: intermediates are
+# ~2.2 KB/doc (two [128, TN] one-hots + the [256, TN] A block), so
+# 4096 ≈ 9 MB of the ~16 MB budget — the measured sweet spot on v5e
+# (tools/exp_radix_tn.py, 2026-08-19: 3.44 / 2.95 / 2.59 ms per full
+# bench-shape pass at TN = 1024 / 2048 / 4096; 8192 would blow VMEM).
+# Explicit per-call override: the ``tn`` static arg.
 _RADIX_TN = _env_radix_tn()
 
 

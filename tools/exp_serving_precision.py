@@ -1,11 +1,11 @@
-"""Probe: matmul-only serving eval timing after the HIGHEST-precision fix.
+"""Probe: serving eval timing at the recorded shape (262K docs x 1000
+trees, 136 feats, 10 leaves).
 
-The selection and leaf-output matmuls in gbdt.ensemble._mm_eval now run at
-Precision.HIGHEST (bf16 default could misroute docs at split boundaries —
-see the _mm_eval docstring). This times the full device-resident eval at
-the recorded serving shape (262K docs x 1000 trees, 136 feats, 10 leaves)
-so the cost of exactness can be compared against the pre-fix baseline of
-~89 ms (PARITY.md perf notes).
+History: the one-hot selection matmul needed Precision.HIGHEST for
+exactness (bf16 operand rounding misroutes docs at split boundaries),
+measured 202 ms vs 89 ms pre-fix. The gather redesign (selection =
+static column gather, pred stored bf16) restores exactness with no
+HIGHEST selection matmul at all — this times it.
 
 Run on the real chip: python tools/exp_serving_precision.py
 """
