@@ -11,15 +11,18 @@ tree: O(N·F) histogram work + O(Σ n_q²) lambda pairs per tree in scalar
 Java). ``vs_baseline`` is measured throughput / 1e5; the target is ≥ 20.
 
 Method: train a fresh model for 2 trees (compiles every jit kernel), then
-fresh models for 2 and 102 trees (both fully compile-cached); the warm
-difference times exactly 100 steady-state boosting rounds including the
-per-round train-metric evaluation the reference also performs. Measured
-on v5e: ~7M doc·trees/sec/chip (dense padding buckets + radix-16
-histogram kernel + peeled final growth iteration + post-lambda barrier
-+ sort-free lambda path), near-linear from 70K to 3.6M docs (7.69M at
-MSLR-30K scale). Fit-differencing through the tunnel jitters ±5%; the
-chained-step probes (tools/exp_nosort_ab.py, exp_30k_round_probe.py)
-are the finer instrument.
+fresh models for 2 and 502 trees (both fully compile-cached); the warm
+difference times exactly 500 steady-state boosting rounds including the
+per-round train-metric evaluation the reference also performs. The wide
+span matters: a 2-tree fit is ~2 s of fixed overhead (binning, upload,
+final eval) with ±0.3 s tunnel jitter, so differencing ~100 rounds
+(~2 s steady work) swung ±15%; 500 rounds (~10 s) keeps the jitter
+under ~3% — consistent with the chained-step probes
+(tools/exp_phase_split.py, exp_30k_round_probe.py), the finest
+instrument. Measured on v5e: 20.4 ms/round at this shape (dense padding
+buckets + radix-16 histogram kernel at doc-tile 4096 + peeled final
+growth iteration + post-lambda barrier + sort-free lambda path)
+≈ 8.8M doc·trees/sec/chip, near-linear from 70K to 3.6M docs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -139,7 +142,7 @@ def main() -> int:
     # CPU: a wide tree span keeps the fit-differencing out of the noise
     # (12−2 trees spanned ~0.2 s against ±0.5 s run-to-run jitter, which
     # produced 1.8×–8.8× swings; 52−2 spans several seconds)
-    trees = 102 if on_tpu else 52
+    trees = 502 if on_tpu else 52
     train = synth_dataset(n_queries=nq, n_features=136, min_docs=80,
                           max_docs=160, gmax=4, seed=3, w_seed=11, signal=2.5)
     n_docs = train.n_docs
