@@ -195,26 +195,42 @@ class TreeEnsemble:
             )
         return self._packed
 
-    # docs per eval launch: bounds the [chunk, T·M] predicate matrix
+    # docs per eval launch. XLA path: bounds the [chunk, T·M] predicate
+    # matrix in HBM. Kernel path: predicates never leave VMEM, so the
+    # chunk only bounds the transposed f32 copy of X — much larger.
     _EVAL_CHUNK = 1 << 14
+    _EVAL_CHUNK_KERNEL = 1 << 20
+
+    @staticmethod
+    def _use_forest_kernel() -> bool:
+        import os
+
+        return (jax.default_backend() == "tpu"
+                and os.environ.get("RANKLIB_TPU_FOREST_KERNEL", "1") != "0")
 
     def eval_matrix(self, feats: np.ndarray) -> np.ndarray:
         """feats [N, F] → scores [N] = Σ_t w_t · tree_t(x).
 
-        One host→device upload, device-side doc chunking (bounds the
-        [chunk, T·M] predicate matrix), one download."""
+        One host→device upload, device-side doc chunking, one download.
+        On TPU the fully-fused Pallas kernel scores everything in VMEM
+        (ops.forest_eval, 82 ms vs 115 ms for the XLA scan at 262K docs
+        × 1000 trees — both exact); elsewhere the XLA scan path runs."""
         if not self.trees:
             return np.zeros(feats.shape[0], np.float32)
         packed = self._pack_matmul(feats.shape[1])
+        if self._use_forest_kernel():
+            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_full
+            eval_fn, C = forest_eval_pallas_full, self._EVAL_CHUNK_KERNEL
+        else:
+            eval_fn, C = _mm_eval, self._EVAL_CHUNK
         N = feats.shape[0]
-        C = self._EVAL_CHUNK
         Np = ((N + C - 1) // C) * C if N > C else N
         Xd = jnp.asarray(feats, jnp.float32)
         if Np > N:
             Xd = jnp.pad(Xd, ((0, Np - N), (0, 0)))
         if Np <= C:
-            return np.asarray(_mm_eval(Xd, *packed))[:N]
-        parts = [_mm_eval(jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0), *packed)
+            return np.asarray(eval_fn(Xd, *packed))[:N]
+        parts = [eval_fn(jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0), *packed)
                  for lo in range(0, Np, C)]
         return np.asarray(jnp.concatenate(parts))[:N]
 

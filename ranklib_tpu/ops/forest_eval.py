@@ -1,0 +1,202 @@
+"""Pallas TPU kernel: fused forest-eval epilogue (serving hot path).
+
+Replaces the scan-of-XLA-matmuls epilogue of gbdt.ensemble._mm_eval
+(ref: learning/tree/Ensemble.java:~20 eval = Σ w·tree(x); the reference
+walks pointers per doc — here scoring is one predicate pass plus this
+kernel). The XLA path materializes, per tree chunk, a [N, TC·L] `hits`
+matrix in HBM plus its leaf-indicator and output partials — ~3× the
+predicate matrix's traffic and 63 kernel launches at the default chunk
+size (measured 110-115 ms at 262K docs × 1000 trees on v5e, and a
+tree-chunk sweep showed the XLA formulation is at its floor:
+tools/exp_serving_tc.py). This kernel keeps the whole epilogue —
+
+    hits  = predᵀ ∘ (P−Q)   (MXU, contracting the node dim)
+    hits += colsum(Q)
+    ind   = (hits == path_len)
+    score += ind · outw      (VPU f32 multiply-reduce)
+
+— in VMEM per (doc-tile, tree-chunk) block; the only HBM traffic is one
+bf16 read of the predicate matrix and the [N] score vector, which stays
+block-resident across the chunk sweep (grid is (doc_tiles, chunks) with
+chunks minor — the same revisit pattern as ops.histogram).
+
+Numerics: pred ∈ {0,1} and (P−Q) ∈ {−1,0,1} with path-count sums ≤ the
+node count per chunk — exact in bf16 with f32 accumulation. The leaf
+indicator and the output fold run on the VPU entirely in f32, so leaf
+outputs are never rounded through a bf16 matmul (the XLA path needed
+Precision.HIGHEST for that last matmul).
+
+The leaf dim per chunk (TC·L) is padded to a lane multiple of 128 here;
+padded columns carry path_len = −1, which no non-negative hit count
+matches. Only B=256-style shape hazards apply (Mosaic has hung on
+unusual widths before — see CLAUDE.md); this kernel uses 128-multiple
+lanes and 16-multiple sublanes throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TN = 2048                     # docs per tile (lane multiples)
+
+
+def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref):
+    """Fully-fused forest eval: predicates never leave VMEM.
+
+    xt: [Fp, TN] f32 (features sublane-major, resident across the chunk
+    sweep); s: [1, TCM, Fp] f32 one-hot node→feature selection;
+    thr: [1, TCM, 128] f32 (thresholds lane-replicated);
+    pmq: [1, TCM, TCLp] bf16; aux: [1, 8, TCLp] f32 (row 0 colsum(Q),
+    row 1 path_len, row 2 outw); out: [8, TN] f32.
+
+    The selection dot runs at HIGHEST precision: its rows are one-hot,
+    so each output is a single f32 feature value reconstructed exactly
+    by the multi-pass decomposition (checksum-verified against the
+    gather path). The threshold compare happens HERE, in f32, against
+    the exact training threshold — the reason serving needs no bf16
+    exactness caveats anywhere.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vals = jax.lax.dot_general(
+        s_ref[0], xt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)            # [TCM, TN]
+    pred = (vals <= thr_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    hits += aux_ref[0, 0, :][None, :]
+    ind = (hits == aux_ref[0, 1, :][None, :]).astype(jnp.float32)
+    partial = jnp.sum(ind * aux_ref[0, 2, :][None, :], axis=1)  # [TN]
+    out_ref[:] += partial[None, :]
+
+
+@jax.jit
+def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
+                            outwc):
+    """X: [N, F] f32; remaining args in the gbdt.ensemble._pack_matmul
+    layout (fid_full/thr_full [nch·TCM], PmQc [nch, TCM, TCL],
+    csQc/plenc/outwc [nch, TCL]). Returns scores [N] f32."""
+    N, F = X.shape
+    nch, TCM, TCL = PmQc.shape
+    TCLp = ((TCL + 127) // 128) * 128
+    Fp = ((F + 127) // 128) * 128
+    Np = ((N + _TN - 1) // _TN) * _TN
+    XT = X.T
+    if Np > N or Fp > F:
+        XT = jnp.pad(XT, ((0, Fp - F), (0, Np - N)))
+
+    # one-hot selection blocks + lane-replicated thresholds
+    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp, dtype=jnp.float32)
+    thr = jnp.broadcast_to(
+        thr_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
+
+    pmq = PmQc.astype(jnp.bfloat16)
+    aux = jnp.stack([csQc, plenc, outwc], axis=1)       # [nch, 3, TCL]
+    aux = jnp.pad(aux, ((0, 0), (0, 5), (0, 0)))        # [nch, 8, TCL]
+    if TCLp > TCL:
+        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = aux.at[:, 1, TCL:].set(-1.0)
+
+    grid = (Np // _TN, nch)
+    out = pl.pallas_call(
+        _forest_full_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Fp, _TN), lambda d, c: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, Fp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, 128), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _TN), lambda d, c: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * nch * TCM * (3 * Fp + TCLp), transcendentals=0,
+            bytes_accessed=Fp * Np * 4 + 8 * Np * 4
+            + nch * TCM * (Fp + TCLp) * 4),
+    )(XT, sel, thr, pmq, aux)
+    return out[0, :N]
+
+
+def _forest_kernel(pred_ref, pmq_ref, aux_ref, out_ref):
+    """pred: [TCM, TN] bf16; pmq: [1, TCM, TCLp] bf16;
+    aux: [1, 8, TCLp] f32 (row 0 colsum(Q), row 1 path_len, row 2 outw);
+    out: [8, TN] f32 (all rows identical — sublane-aligned accumulator).
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    hits = jax.lax.dot_general(
+        pred_ref[:], pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    hits += aux_ref[0, 0, :][None, :]
+    ind = (hits == aux_ref[0, 1, :][None, :]).astype(jnp.float32)
+    partial = jnp.sum(ind * aux_ref[0, 2, :][None, :], axis=1)  # [TN]
+    out_ref[:] += partial[None, :]
+
+
+@jax.jit
+def forest_eval_pallas(predT, PmQc, csQc, plenc, outwc):
+    """predT: [nch·TCM, N] bf16 (chunk-major rows, gbdt.ensemble layout);
+    PmQc: [nch, TCM, TCL]; csQc/plenc/outwc: [nch, TCL] f32 (plen pads
+    are already −1). Returns scores [N] f32."""
+    nchTCM, N = predT.shape
+    nch, TCM, TCL = PmQc.shape
+    TCLp = ((TCL + 127) // 128) * 128
+    Np = ((N + _TN - 1) // _TN) * _TN
+    if Np > N:
+        predT = jnp.pad(predT, ((0, 0), (0, Np - N)))
+    pmq = PmQc.astype(jnp.bfloat16)
+    aux = jnp.stack([csQc, plenc, outwc], axis=1)       # [nch, 3, TCL]
+    aux = jnp.pad(aux, ((0, 0), (0, 5), (0, 0)))        # [nch, 8, TCL]
+    if TCLp > TCL:
+        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        # padded leaf columns: hits = 0 + csq(0) = 0; make plen −1 so
+        # they never match (real plen pads are −1 already upstream)
+        aux = aux.at[:, 1, TCL:].set(-1.0)
+
+    grid = (Np // _TN, nch)
+    out = pl.pallas_call(
+        _forest_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TCM, _TN), lambda d, c: (c, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _TN), lambda d, c: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * nch * TCM * TCLp, transcendentals=0,
+            bytes_accessed=nchTCM * Np * 2 + 8 * Np * 4),
+    )(predT, pmq, aux)
+    return out[0, :N]

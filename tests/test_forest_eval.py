@@ -1,0 +1,67 @@
+"""Fused forest-eval Pallas kernels vs the XLA scan path.
+
+On CPU the kernels run in TPU-interpret mode; on hardware the same code
+compiles to Mosaic. The XLA `_mm_eval` scan is the reference — itself
+pinned against pointer traversal in test_gbdt.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+import __graft_entry__ as g
+from ranklib_tpu.gbdt.ensemble import TreeEnsemble, _mm_eval
+from ranklib_tpu.ops.forest_eval import (forest_eval_pallas,
+                                         forest_eval_pallas_full)
+
+
+def _case(n_trees, n_leaves, n_features, n_docs, seed):
+    rng = np.random.default_rng(seed)
+    ens = g._synthetic_ensemble(n_trees=n_trees, n_leaves=n_leaves,
+                                n_features=n_features, rng=rng)
+    X = jnp.asarray(rng.normal(size=(n_docs, n_features)).astype(np.float32))
+    packed = ens._pack_matmul(n_features)
+    return ens, X, packed
+
+
+def test_full_kernel_matches_xla_scan():
+    _, X, packed = _case(50, 10, 20, 300, seed=7)
+    want = np.asarray(_mm_eval(X, *packed))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas_full(X, *packed))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_full_kernel_odd_shapes():
+    # non-multiple-of-16 trees (chunk padding), odd leaves/features/docs
+    _, X, packed = _case(23, 7, 13, 257, seed=11)
+    want = np.asarray(_mm_eval(X, *packed))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas_full(X, *packed))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_epilogue_kernel_matches_xla_scan():
+    _, X, packed = _case(50, 10, 20, 300, seed=7)
+    fid_full, thr_full, PmQc, csQc, plenc, outwc = packed
+    want = np.asarray(_mm_eval(X, *packed))
+    valsT = jnp.take(X.T, fid_full, axis=0)
+    predT = (valsT <= thr_full[:, None]).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas(predT, PmQc, csQc, plenc,
+                                            outwc))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_eval_matrix_kernel_route(monkeypatch):
+    # force the kernel route off-TPU (interpret mode) through the real
+    # eval_matrix entry, including the chunked path
+    ens, X, packed = _case(37, 7, 12, 600, seed=3)
+    Xn = np.asarray(X)
+    want = ens.eval_matrix(Xn)                    # XLA route on CPU
+    monkeypatch.setattr(TreeEnsemble, "_use_forest_kernel",
+                        staticmethod(lambda: True))
+    monkeypatch.setattr(TreeEnsemble, "_EVAL_CHUNK_KERNEL", 256)
+    with pltpu.force_tpu_interpret_mode():
+        got = ens.eval_matrix(Xn)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
