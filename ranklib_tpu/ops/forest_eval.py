@@ -45,7 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 _TN = 2048                     # docs per tile (lane multiples)
 
 
-def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref):
+def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref,
+                        *, sel_precision=None):
     """Fully-fused forest eval: predicates never leave VMEM.
 
     xt: [Fp, TN] f32 (features sublane-major, resident across the chunk
@@ -70,7 +71,8 @@ def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref):
     vals = jax.lax.dot_general(
         s_ref[0], xt_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(jax.lax.Precision.HIGHEST if sel_precision is None
+                   else sel_precision),
         preferred_element_type=jnp.float32)            # [TCM, TN]
     pred = (vals <= thr_ref[0][:, 0:1]).astype(jnp.bfloat16)
     hits = jax.lax.dot_general(
@@ -83,12 +85,16 @@ def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref):
     out_ref[:] += partial[None, :]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("sel_precision",))
 def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
-                            outwc):
+                            outwc, sel_precision=None):
     """X: [N, F] f32; remaining args in the gbdt.ensemble._pack_matmul
     layout (fid_full/thr_full [nch·TCM], PmQc [nch, TCM, TCL],
-    csQc/plenc/outwc [nch, TCL]). Returns scores [N] f32."""
+    csQc/plenc/outwc [nch, TCL]). Returns scores [N] f32.
+
+    ``sel_precision``: selection-dot override for timing probes ONLY —
+    anything below HIGHEST rounds feature values and can misroute docs
+    at split boundaries."""
     N, F = X.shape
     nch, TCM, TCL = PmQc.shape
     TCLp = ((TCL + 127) // 128) * 128
@@ -113,7 +119,7 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
 
     grid = (Np // _TN, nch)
     out = pl.pallas_call(
-        _forest_full_kernel,
+        functools.partial(_forest_full_kernel, sel_precision=sel_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Fp, _TN), lambda d, c: (0, d),
