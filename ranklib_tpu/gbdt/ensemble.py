@@ -200,13 +200,40 @@ class TreeEnsemble:
     # chunk only bounds the transposed f32 copy of X — much larger.
     _EVAL_CHUNK = 1 << 14
     _EVAL_CHUNK_KERNEL = 1 << 20
+    # Conservative VMEM ceiling for the fused kernel (v5e has ~16 MB;
+    # leave headroom for Mosaic's own scratch). Shapes past this fall
+    # back to _mm_eval, which handles any shape.
+    _KERNEL_VMEM_BUDGET = 12 << 20
 
-    @staticmethod
-    def _use_forest_kernel() -> bool:
+    def _use_forest_kernel(self, n_features: int) -> bool:
+        """Route to the fused Pallas kernel only on TPU AND when its
+        per-block VMEM footprint fits. Only ~(10 leaves, 136 feats) was
+        ever exercised on hardware; a wide-feature or deep-leaf model
+        (e.g. -leaf 500) would blow VMEM — or worse, hang the remote
+        Mosaic compiler (CLAUDE.md hazard) — so estimate first."""
         import os
 
-        return (jax.default_backend() == "tpu"
-                and os.environ.get("RANKLIB_TPU_FOREST_KERNEL", "1") != "0")
+        from ranklib_tpu.utils.backend import on_tpu
+
+        if not on_tpu() or os.environ.get(
+                "RANKLIB_TPU_FOREST_KERNEL", "1") == "0":
+            return False
+        # mirror forest_eval_pallas_full's block shapes (TN = 2048)
+        M = max(max((~t.is_leaf).sum(), 1) for t in self.trees)
+        L = max(t.is_leaf.sum() for t in self.trees)
+        TC = self._TREE_CHUNK
+        TCM, TCLp = TC * M, ((TC * L + 127) // 128) * 128
+        Fp, TN = ((n_features + 127) // 128) * 128, 2048
+        est = (2 * (Fp * TN * 4)               # xt tile, double-buffered
+               + 2 * (TCM * Fp * 4)            # sel
+               + 2 * (TCM * 128 * 4)           # thr
+               + 2 * (TCM * TCLp * 2)          # pmq (bf16)
+               + 2 * (8 * TCLp * 4)            # aux
+               + 8 * TN * 4                    # out accumulator
+               + TCM * TN * 4                  # vals intermediate
+               + TCM * TN * 2                  # pred (bf16)
+               + TN * TCLp * 4)                # hits intermediate
+        return est <= self._KERNEL_VMEM_BUDGET
 
     def eval_matrix(self, feats: np.ndarray) -> np.ndarray:
         """feats [N, F] → scores [N] = Σ_t w_t · tree_t(x).
@@ -218,20 +245,26 @@ class TreeEnsemble:
         if not self.trees:
             return np.zeros(feats.shape[0], np.float32)
         packed = self._pack_matmul(feats.shape[1])
-        if self._use_forest_kernel():
+        if self._use_forest_kernel(feats.shape[1]):
             from ranklib_tpu.ops.forest_eval import forest_eval_pallas_full
             eval_fn, C = forest_eval_pallas_full, self._EVAL_CHUNK_KERNEL
         else:
             eval_fn, C = _mm_eval, self._EVAL_CHUNK
         N = feats.shape[0]
-        Np = ((N + C - 1) // C) * C if N > C else N
         Xd = jnp.asarray(feats, jnp.float32)
-        if Np > N:
-            Xd = jnp.pad(Xd, ((0, Np - N), (0, 0)))
-        if Np <= C:
+        if N <= C:
             return np.asarray(eval_fn(Xd, *packed))[:N]
-        parts = [eval_fn(jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0), *packed)
-                 for lo in range(0, Np, C)]
+        # Full C-sized chunks share one compiled program; the tail runs
+        # at its true length (both eval paths handle any N internally)
+        # instead of padding N up to a C multiple — padding 1.05M docs
+        # to 2M nearly doubled upload + kernel work.
+        parts = []
+        for lo in range(0, N, C):
+            if lo + C <= N:
+                part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0)
+            else:
+                part = Xd[lo:N]
+            parts.append(eval_fn(part, *packed))
         return np.asarray(jnp.concatenate(parts))[:N]
 
     # ---- text format ---------------------------------------------------------
@@ -333,7 +366,8 @@ def _mm_eval(X, fid_full, thr_full, PmQc, csQc, plenc, outwc):
     HIGHEST precision (it is [N, TC·L]·[TC·L] per chunk — tiny).
     CPU XLA lacks bf16×bf16→f32 dots, so the predicate dtype falls back
     to f32 off-TPU (trace-time choice; results identical either way)."""
-    pdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    from ranklib_tpu.utils.backend import on_tpu
+    pdt = jnp.bfloat16 if on_tpu() else jnp.float32
     valsT = jnp.take(X.T, fid_full, axis=0)          # [T·M, N] row gather
     predT = (valsT <= thr_full[:, None]).astype(pdt)
     nch, TCM, _ = PmQc.shape

@@ -39,6 +39,8 @@ import functools
 from typing import NamedTuple
 
 import jax
+
+from ranklib_tpu.utils.backend import on_tpu
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,7 +101,7 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
     # exercised every LambdaMART fit), so on TPU the T+1 real bins are
     # PADDED into a 256-bin radix-kernel call and the unused columns
     # sliced off; CPU keeps the exact segment-sum.
-    if T + 1 <= 256 and jax.default_backend() in ("tpu", "axon"):
+    if T + 1 <= 256 and on_tpu():
         from ranklib_tpu.ops.histogram import hist_pallas_radix
 
         def histfn(bt, g, m, nb):

@@ -38,6 +38,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from ranklib_tpu.utils.backend import on_tpu
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -335,13 +337,13 @@ def _hist_multi_auto(binned_T, grads, weights, n_bins: int):
 
 def histogram_fn():
     """Backend-appropriate histogram implementation."""
-    if jax.default_backend() in ("tpu", "axon"):
+    if on_tpu():
         return _hist_auto
     return hist_xla
 
 
 def histogram_multi_fn():
     """Backend-appropriate batched (C-bag) histogram implementation."""
-    if jax.default_backend() in ("tpu", "axon"):
+    if on_tpu():
         return _hist_multi_auto
     return hist_multi_xla

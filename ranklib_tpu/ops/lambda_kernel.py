@@ -32,6 +32,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from ranklib_tpu.utils.backend import on_tpu
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -169,4 +171,4 @@ def supports_fused(scorer) -> bool:
 
     return (os.environ.get("RANKLIB_TPU_FUSED_LAMBDA") == "1"
             and scorer.metric in SEPARABLE_METRICS
-            and jax.default_backend() in ("tpu", "axon"))
+            and on_tpu())

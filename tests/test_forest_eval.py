@@ -60,8 +60,22 @@ def test_eval_matrix_kernel_route(monkeypatch):
     Xn = np.asarray(X)
     want = ens.eval_matrix(Xn)                    # XLA route on CPU
     monkeypatch.setattr(TreeEnsemble, "_use_forest_kernel",
-                        staticmethod(lambda: True))
+                        lambda self, n_features: True)
     monkeypatch.setattr(TreeEnsemble, "_EVAL_CHUNK_KERNEL", 256)
     with pltpu.force_tpu_interpret_mode():
         got = ens.eval_matrix(Xn)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_vmem_guard_rejects_large_shapes(monkeypatch):
+    # Pretend to be on TPU: a small model fits the VMEM budget, a deep
+    # -leaf model (ADVICE r1: e.g. 500 leaves) must fall back to XLA.
+    import ranklib_tpu.utils.backend as backend
+    monkeypatch.setattr(backend, "on_tpu", lambda: True)
+    small, _, _ = _case(50, 10, 20, 64, seed=5)
+    assert small._use_forest_kernel(136)
+    big, _, _ = _case(4, 500, 20, 64, seed=5)
+    assert not big._use_forest_kernel(136)
+    # env kill switch still wins
+    monkeypatch.setenv("RANKLIB_TPU_FOREST_KERNEL", "0")
+    assert not small._use_forest_kernel(136)
