@@ -150,7 +150,7 @@ def collect_hparams(args) -> dict:
         hp["ckpt_path"] = (args.save + ".ckpt") if args.save else "model.ckpt"
     if getattr(args, "resume", None) and args.ranker in (0, 6):
         hp["_resume_from"] = args.resume
-    if args.randomSeed and args.ranker in (1, 5, 7, 8):
+    if args.randomSeed and args.ranker in (1, 4, 5, 7, 8):
         hp.setdefault("seed", args.randomSeed)
     return hp
 

@@ -9,7 +9,8 @@ Line format (ref: learning/DataPoint.java:~120):
 * docs of one query must be CONSECUTIVE lines (qid order across the file is
   free, but a qid may not be interleaved — ref: FeatureManager.readInput,
   features/FeatureManager.java:~60 groups consecutive same-qid lines);
-* unknown fids read as 0 ("missing zero" semantics);
+* unspecified fids read as 0 with ``missing_zero`` (CLI ``-missingZero``),
+  otherwise they are an error (the reference's default);
 * ``#`` starts a description kept verbatim for re-ranking output;
 * gzip files are handled transparently.
 
@@ -63,13 +64,21 @@ def _parse_line(line: str):
 
 def read_letor(path: str, must_have_rel_doc: bool = False,
                n_features: int | None = None, quiet: bool = False,
-               use_native: bool = True) -> Dataset:
+               use_native: bool = True, missing_zero: bool = True) -> Dataset:
     """Read a LETOR file into a :class:`Dataset`.
 
     ``must_have_rel_doc`` drops queries with no relevant (label>0) document
     (ref: Evaluator's ``mustHaveRelDoc``, set when a train metric requires
     relevance). ``n_features`` pre-pins the feature-vector width (otherwise
     the global max fid in the file defines it, like DataPoint.featureCount).
+
+    ``missing_zero=False`` reproduces the reference's strict semantics
+    (ref: learning/DataPoint.java:~120 — `missingZero` static, default
+    off): a line that does not specify every fid 1..max_fid is an error.
+    Training touches every feature of every doc, so the reference's lazy
+    access-time error is equivalent to this eager parse-time check. The
+    CLI passes `-missingZero` through; the library default stays
+    permissive (missing fids read 0) for programmatic use.
 
     Plain files go through the native C++ parser when available
     (ranklib_tpu.native — MSLR-scale files parse in seconds instead of
@@ -88,7 +97,11 @@ def read_letor(path: str, must_have_rel_doc: bool = False,
         except OSError:
             parsed = None
         if parsed is not None:
-            return _from_arrays(path, *parsed, must_have_rel_doc, quiet)
+            labels, feats, qptr, qids, descs, counts, file_max_fid = parsed
+            if not missing_zero:
+                _check_fully_specified(path, counts, file_max_fid, qptr, qids)
+            return _from_arrays(path, labels, feats, qptr, qids, descs,
+                                must_have_rel_doc, quiet)
 
     raw = []  # (qid, labels, fid_lists, val_lists, descs) per query, file order
     max_fid = 0
@@ -114,6 +127,11 @@ def read_letor(path: str, must_have_rel_doc: bool = False,
             cur[1].append(fids)
             cur[2].append(vals)
             cur[3].append(desc)
+    if not missing_zero:
+        for qid, (_, fid_lists, _, _) in raw:
+            for fids in fid_lists:
+                if len(set(fids)) < max_fid:
+                    _raise_missing(path, qid, fids, max_fid)
     if n_features is not None:
         max_fid = max(max_fid, int(n_features))
     queries = []
@@ -137,6 +155,31 @@ def read_letor(path: str, must_have_rel_doc: bool = False,
         if n_dropped:
             log(f"({n_dropped} queries with no relevant documents dropped)")
     return Dataset(queries=queries, n_features=max_fid)
+
+
+def _raise_missing(path, qid, fids, max_fid):
+    have = set(fids)
+    missing = next(f for f in range(1, max_fid + 1) if f not in have)
+    raise RankLibError(
+        f"{path}: qid {qid} does not specify feature {missing} "
+        f"(features run 1..{max_fid}); unspecified features are an error "
+        f"unless -missingZero is given "
+        f"(ref: learning/DataPoint.java missingZero)")
+
+
+def _check_fully_specified(path, counts, max_fid, qptr, qids):
+    """Strict missing-feature check on the native parse: every line must
+    carry max_fid fid:val pairs (duplicate fids on one line would mask a
+    miss — the reference doesn't detect that case either)."""
+    bad = np.flatnonzero(counts < max_fid)
+    if bad.size:
+        doc = int(bad[0])
+        qi = int(np.searchsorted(qptr, doc, side="right") - 1)
+        raise RankLibError(
+            f"{path}: qid {qids[qi]} specifies only {int(counts[doc])} of "
+            f"{max_fid} features; unspecified features are an error unless "
+            f"-missingZero is given (ref: learning/DataPoint.java "
+            f"missingZero)")
 
 
 def _from_arrays(path, labels, feats, qptr, qids, descs,

@@ -23,8 +23,9 @@ from ranklib_tpu.utils.logging import log
 
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
-             qrel=None):
-    ds = read_letor(path, must_have_rel_doc=must_have_rel, n_features=n_features)
+             qrel=None, missing_zero=False):
+    ds = read_letor(path, must_have_rel_doc=must_have_rel,
+                    n_features=n_features, missing_zero=missing_zero)
     if n_features is not None and ds.n_features != n_features:
         # file has fids above the training width: clip to the train/model
         # feature space (extra fids are unusable by the model — exactly the
@@ -84,6 +85,7 @@ def evaluate_train(args) -> Ranker:
     )
     must_rel = train_scorer.needs_rel
     train = _prepare(args.train, args.norm, feature_fids, must_rel,
+                     missing_zero=args.missingZero,
                      qrel=args.qrel)
     split_test = None
     tts = getattr(args, "tts", -1.0)
@@ -96,7 +98,8 @@ def evaluate_train(args) -> Ranker:
             f"{len(split_test.queries)} queries")
     validation = None
     if args.validate:
-        validation = _prepare(args.validate, args.norm, feature_fids, must_rel,
+        validation = _prepare(args.validate, args.norm, feature_fids,
+                               must_rel, missing_zero=args.missingZero,
                               n_features=train.n_features, qrel=args.qrel)
     elif args.tvs and args.tvs > 0 and not has_tts:
         train, validation = split_tvs(train, args.tvs)
@@ -112,7 +115,8 @@ def evaluate_train(args) -> Ranker:
     if args.test or split_test is not None:
         test = split_test if split_test is not None else _prepare(
             args.test, args.norm, feature_fids, False,
-            n_features=train.n_features, qrel=args.qrel)
+            n_features=train.n_features, qrel=args.qrel,
+            missing_zero=args.missingZero)
         m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
         log(f"{test_scorer.name} on test data: {m_test:.4f}")
         if args.idv:
@@ -131,7 +135,8 @@ def evaluate_kcv(args) -> None:
         if args.metric2T else train_scorer
     )
     ds = _prepare(args.train, args.norm, feature_fids,
-                  train_scorer.needs_rel, qrel=args.qrel)
+                  train_scorer.needs_rel, qrel=args.qrel,
+                  missing_zero=args.missingZero)
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):
@@ -163,7 +168,7 @@ def evaluate_test_only(args) -> None:
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
     test = _prepare(args.test, args.norm, feature_fids, False,
-                    qrel=args.qrel)
+                    qrel=args.qrel, missing_zero=args.missingZero)
     m, per_q = score_dataset(scorer, test, ranker.eval_dataset(test))
     log(f"{scorer.name} on test data: {m:.4f}")
     if args.idv:
@@ -175,12 +180,16 @@ def evaluate_rank(args) -> None:
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
     data = _prepare(args.rank, args.norm, feature_fids, False,
-                    qrel=args.qrel)
+                    qrel=args.qrel, missing_zero=args.missingZero)
     scores = ranker.eval_dataset(data)
     if args.score:
         write_score_file(args.score, data, scores)
     if args.indri:
         write_indri_rankings(args.indri, data, scores)
     if not args.score and not args.indri:
-        write_score_file("ranklib.score", data, scores)
+        # No implicit side-effect file: the reference's rank flow only
+        # writes where asked. Print the reranking to stdout instead.
+        for q, s in zip(data.queries, scores):
+            order = np.argsort(-np.asarray(s), kind="stable")
+            log(f"{q.qid}\t" + " ".join(str(int(i)) for i in order))
 

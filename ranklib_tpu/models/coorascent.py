@@ -113,6 +113,7 @@ class CoorAscent(Ranker):
         self.tolerance = 0.001
         self.reg = None               # L2 penalty weight (None = off)
         self.max_passes = 25          # full feature sweeps per restart
+        self.seed = 0                 # -randomSeed: offsets restart shuffles
         self.weights = None           # np.float64 [F], Σ|w| = 1
         super().__init__(**hp)
 
@@ -121,9 +122,12 @@ class CoorAscent(Ranker):
         R = self.n_restart
         ev = LinearMetricEvaluator(train, scorer)
         buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
-        # same deterministic per-restart orders as the reference's shuffle
+        # same deterministic per-restart orders as the reference's shuffle;
+        # -randomSeed offsets the streams so restarts differ run-to-run
+        # when asked (the reference reshuffles every restart)
         order_T = jnp.asarray(np.stack(
-            [np.random.default_rng(r).permutation(F) for r in range(R)],
+            [np.random.default_rng(self.seed + r).permutation(F)
+             for r in range(R)],
             axis=1).astype(np.int32))                  # [F, R]
         depth = max(4, self.n_max_iteration)
 

@@ -241,7 +241,10 @@ class RankNet(Ranker):
             if not silent and (epoch % max(1, self.n_epoch // 10) == 0
                                or epoch == 1):
                 mis = float(state.mis[epoch - 1])
-                vm = (float(state.best_val)
+                # the EPOCH's validation value, as the reference's table
+                # prints (ref: learning/neuralnet/RankNet.java:~150) — not
+                # the running best (which is only used for the snapshot)
+                vm = (float(state.val_m[epoch - 1])
                       if validation is not None else None)
                 vtxt = f"{vm:.4f}" if vm is not None else "-"
                 log(f"{epoch:<8}| {mis:<20.0f}| {vtxt:<10}")

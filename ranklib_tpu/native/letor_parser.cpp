@@ -176,11 +176,15 @@ int letor_stat(const char* path, int64_t* n_docs, int64_t* n_queries,
 
 // Pass 2: fill caller-allocated buffers (feats pre-zeroed [n_docs, n_feat]).
 // qidbuf: n_queries * qid_stride chars; descbuf: optional, n_docs *
-// desc_stride. Returns 0 ok, -1 io, -2 malformed, -3 overflow vs stat,
+// desc_stride; counts: optional [n_docs] int32 — number of fid:val pairs
+// per line, for the strict missing-feature check (the reference errors on
+// an unspecified fid unless -missingZero: learning/DataPoint.java:~120).
+// Returns 0 ok, -1 io, -2 malformed, -3 overflow vs stat,
 // -4 capacity (oversized qid/desc — caller falls back to Python).
 int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
                int64_t n_feat, int64_t* qptr, int64_t n_queries, char* qidbuf,
-               int64_t qid_stride, char* descbuf, int64_t desc_stride) {
+               int64_t qid_stride, char* descbuf, int64_t desc_stride,
+               int32_t* counts) {
   int64_t size = 0;
   char* buf = read_file(path, &size);
   if (buf == nullptr) return -1;
@@ -202,10 +206,12 @@ int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
     char* desc = (descbuf != nullptr && doc < n_docs)
                      ? descbuf + doc * desc_stride
                      : nullptr;
+    int64_t npairs = 0;
     int r = parse_line<true>(
         p, lend, &label, qid,
         [&](int64_t fid, float val) {
           if (fid >= 1 && fid <= n_feat && doc < n_docs) row[fid - 1] = val;
+          ++npairs;
         },
         desc, desc_stride);
     if (r < 0) {
@@ -217,6 +223,7 @@ int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
         rc = -3;
         break;
       }
+      if (counts != nullptr) counts[doc] = static_cast<int32_t>(npairs);
       labels[doc] = label;
       if (doc == 0 || strcmp(qid, prev_qid) != 0) {
         if (query >= n_queries) {

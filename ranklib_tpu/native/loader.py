@@ -65,6 +65,7 @@ def _get_lib():
         lib.letor_fill.argtypes = [
             ctypes.c_char_p, p_f32, p_f32, i64, i64, p_i64, i64,
             ctypes.c_char_p, i64, ctypes.c_char_p, i64,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.letor_fill.restype = ctypes.c_int
         _lib = lib
@@ -80,9 +81,13 @@ def native_parse_letor(path: str, want_descs: bool = True,
     """Parse a LETOR file natively.
 
     Returns (labels[N] f32, feats[N, F] f32, qptr[Q+1] i64, qids list[str],
-    descs list[str] | None), or None when the native path is unavailable
-    (no compiler / undecodable gzip). Raises NativeParseError on malformed
-    input so the caller can re-parse in Python for a precise error message.
+    descs list[str] | None, counts[N] i32, max_fid int) — ``counts`` is the
+    per-line number of fid:val pairs and ``max_fid`` the file's own max fid
+    (before ``min_features`` widening), both for the strict missing-feature
+    check (ref: learning/DataPoint.java:~120 missingZero) — or None when
+    the native path is unavailable (no compiler / undecodable gzip). Raises
+    NativeParseError on malformed input so the caller can re-parse in
+    Python for a precise error message.
     """
     if path.endswith(".gz"):
         # keep the native path for gzip: decompress once to a temp file
@@ -138,6 +143,7 @@ def native_parse_letor(path: str, want_descs: bool = True,
     labels = np.zeros(N, np.float32)
     feats = np.zeros((N, F), np.float32)
     qptr = np.zeros(Q + 1, np.int64)
+    counts = np.zeros(N, np.int32)
     qidbuf = ctypes.create_string_buffer(Q * QID_STRIDE)
     descbuf = ctypes.create_string_buffer(N * DESC_STRIDE) if want_descs else None
 
@@ -149,6 +155,7 @@ def native_parse_letor(path: str, want_descs: bool = True,
         qptr.ctypes.data_as(ctypes.POINTER(i64)), i64(Q),
         qidbuf, i64(QID_STRIDE),
         descbuf, i64(DESC_STRIDE),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if rc != 0:
         raise NativeParseError(f"native parse failed (rc={rc}): {path}")
@@ -162,7 +169,7 @@ def native_parse_letor(path: str, want_descs: bool = True,
         descs = [draw[i * DESC_STRIDE:(i + 1) * DESC_STRIDE]
                  .split(b"\0", 1)[0].decode(errors="replace")
                  for i in range(N)]
-    return labels, feats, qptr, qids, descs
+    return labels, feats, qptr, qids, descs, counts, max_fid.value
 
 
 # ---- native feature binner (binner.cpp) -------------------------------------

@@ -69,6 +69,24 @@ def test_cli_rank_indri_and_score(tmp_path, letor):
     assert iline[1] == "Q0" and iline[-1] == "indri"
 
 
+def test_cli_rank_without_outputs_writes_no_file(tmp_path, letor, capsys,
+                                                 monkeypatch):
+    """-rank with neither -score nor -indri prints the reranking and must
+    NOT silently create a file (the reference's rank flow only writes
+    where asked)."""
+    tr, te = letor
+    model = tmp_path / "m.txt"
+    assert main(["-train", tr, "-ranker", "9", "-metric2t", "NDCG@10",
+                 "-save", str(model)]) == 0
+    monkeypatch.chdir(tmp_path)
+    before = set(os.listdir(tmp_path))
+    capsys.readouterr()
+    assert main(["-load", str(model), "-rank", te]) == 0
+    assert set(os.listdir(tmp_path)) == before
+    out = capsys.readouterr().out
+    assert any("\t" in ln for ln in out.splitlines())
+
+
 def test_cli_qrel_changes_metric(tmp_path, letor, capsys):
     tr, te = letor
     model = tmp_path / "m.txt"

@@ -146,3 +146,49 @@ def test_prepare_cv_with_tvs():
     for train, valid, test in splits:
         assert valid is not None
         assert len(train.queries) == 6 and len(valid.queries) == 2
+
+
+def test_missing_zero_strict_semantics(tmp_path):
+    """The reference errors on an unspecified fid unless -missingZero
+    (ref: learning/DataPoint.java:~120). Both parsers must enforce it;
+    with missing_zero=True the gap reads as 0."""
+    import pytest
+
+    from ranklib_tpu.data.letor import read_letor
+    from ranklib_tpu.utils.errors import RankLibError
+
+    sparse = tmp_path / "sparse.txt"
+    sparse.write_text("2 qid:1 1:0.5 3:1.0\n"     # fid 2 missing
+                      "0 qid:1 1:0.1 2:0.2 3:0.3\n")
+    for use_native in (False, True):
+        with pytest.raises(RankLibError, match="missingZero"):
+            read_letor(str(sparse), quiet=True, use_native=use_native,
+                       missing_zero=False)
+        ds = read_letor(str(sparse), quiet=True, use_native=use_native,
+                        missing_zero=True)
+        assert ds.queries[0].feats[0, 1] == 0.0
+
+    dense = tmp_path / "dense.txt"
+    dense.write_text("2 qid:1 1:0.5 2:0.0 3:1.0\n"
+                     "0 qid:1 1:0.1 2:0.2 3:0.3\n")
+    for use_native in (False, True):
+        ds = read_letor(str(dense), quiet=True, use_native=use_native,
+                        missing_zero=False)
+        assert ds.n_features == 3
+
+
+def test_cli_missing_zero_flag(tmp_path):
+    """-missingZero is real CLI surface: strict by default, permissive
+    with the flag (train flow, LinearRegRank for speed)."""
+    from ranklib_tpu.cli import main
+
+    train = tmp_path / "train.txt"
+    train.write_text("2 qid:1 1:0.9 2:0.8\n0 qid:1 1:0.1\n"
+                     "1 qid:2 1:0.5 2:0.4\n0 qid:2 1:0.2 2:0.6\n")
+    save = str(tmp_path / "m.txt")
+    base = ["-train", str(train), "-ranker", "9",
+            "-metric2t", "NDCG@10", "-save", save]
+    assert main(base) == 1                 # strict default: error exit
+    assert not (tmp_path / "m.txt").exists()
+    assert main(base + ["-missingZero"]) == 0
+    assert (tmp_path / "m.txt").exists()

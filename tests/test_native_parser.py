@@ -44,7 +44,7 @@ def test_native_matches_python(tmp_path):
 
 def test_native_direct_outputs(tmp_path):
     path = _write(tmp_path, SAMPLE)
-    labels, feats, qptr, qids, descs = native_parse_letor(path)
+    labels, feats, qptr, qids, descs, counts, max_fid = native_parse_letor(path)
     assert qids == ["10", "20", "10"]
     np.testing.assert_array_equal(qptr, [0, 2, 4, 5])
     np.testing.assert_array_equal(labels, [2, 0, 1, 0, 2])
@@ -53,6 +53,8 @@ def test_native_direct_outputs(tmp_path):
     assert feats[1, 1] == pytest.approx(1e-3)
     assert feats[3, 2] == 0.125 and feats[3, 0] == 0.0   # missing → 0
     assert descs[0] == "# docA" and descs[3] == ""
+    np.testing.assert_array_equal(counts, [2, 2, 5, 1, 1])
+    assert max_fid == 5
 
 
 def test_native_rejects_malformed_falls_back(tmp_path):
