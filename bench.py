@@ -157,6 +157,63 @@ def main() -> int:
         print(f"bench fit({n_trees}): {dt:.1f}s", file=sys.stderr, flush=True)
         return dt
 
+    def extra_metrics() -> dict:
+        """Secondary machine-readable numbers (VERDICT round-1 task 8):
+        serving latency and the other fused-loop rankers at fixed shapes.
+        Every block is independently guarded — a failure records null
+        rather than sinking the primary metric."""
+        import jax.numpy as jnp
+
+        extra = {}
+        try:                                   # ---- serving eval
+            from __graft_entry__ import _synthetic_ensemble
+            rng = np.random.default_rng(0)
+            n_serve, trees_serve = (262144, 1000) if on_tpu else (16384, 100)
+            ens = _synthetic_ensemble(n_trees=trees_serve, n_leaves=10,
+                                      n_features=136, rng=rng)
+            packed = ens._pack_matmul(136)
+            Xs = jnp.asarray(rng.normal(size=(n_serve, 136))
+                             .astype(np.float32))
+            if ens._use_forest_kernel(136):
+                from ranklib_tpu.ops.forest_eval import \
+                    forest_eval_pallas_full as _ev
+            else:
+                from ranklib_tpu.gbdt.ensemble import _mm_eval as _ev
+            ev = jax.jit(_ev)
+            float(ev(Xs, *packed).sum())       # compile + warm
+            best = min(
+                _timed_value_read(lambda: ev(Xs, *packed))
+                for _ in range(3))
+            extra[f"serving_eval_ms_{n_serve}docs_{trees_serve}trees"] = (
+                round(best * 1e3, 1))
+        except Exception as e:                 # noqa: BLE001
+            print(f"bench extra serving failed: {e!r}", file=sys.stderr)
+            extra["serving_eval_ms"] = None
+        for name, make in (
+            ("rankboost", lambda R: __import__(
+                "ranklib_tpu.models.rankboost", fromlist=["RankBoost"]
+            ).RankBoost(n_rounds=R)),
+            ("adarank", lambda R: __import__(
+                "ranklib_tpu.models.adarank", fromlist=["AdaRank"]
+            ).AdaRank(n_rounds=R)),
+        ):
+            try:
+                R = 300 if on_tpu else 30
+                make(2).fit(train, scorer)     # compile
+                t0 = time.perf_counter()
+                make(R).fit(train, scorer)
+                extra[f"{name}_{R}rounds_s"] = round(
+                    time.perf_counter() - t0, 2)
+            except Exception as e:             # noqa: BLE001
+                print(f"bench extra {name} failed: {e!r}", file=sys.stderr)
+                extra[f"{name}_rounds_s"] = None
+        return extra
+
+    def _timed_value_read(fn) -> float:
+        t0 = time.perf_counter()
+        float(fn().sum())                      # VALUE READ (tunnel rule)
+        return time.perf_counter() - t0
+
     timed_fit(2)                   # cold: compiles every jit kernel
     if on_tpu:
         # best-of-2 on each warm measurement: the remote-tunnel dispatch
@@ -180,6 +237,7 @@ def main() -> int:
         "unit": "doc_trees/sec/chip",
         "vs_baseline": round(doctrees_per_sec / JAVA_BASELINE_DOCTREES_PER_SEC, 3),
         "backend": jax.default_backend(),
+        "extra_metrics": extra_metrics(),
     }))
     return 0
 

@@ -107,7 +107,11 @@ class TreeEnsemble:
     #   stored bf16, halving its HBM traffic.
     # * p@P + (1−p)@Q ≡ p@(P−Q) + colsum(Q): ONE path matmul instead of
     #   two ((P−Q) ∈ {−1,0,1}, still exact in bf16): 115 ms.
-    _TREE_CHUNK = 16
+    # 25 trees/chunk: TC·L = 250 → 256 lane pad (2% waste vs 60% at
+    # TC=16) and a 5120-block grid (vs 8064): 56.8 → 52.9 ms at 262K
+    # docs × 1000 trees (tools/exp_serving_chunk_sweep.py, 2026-08-19;
+    # per-doc parity ≤ 4.3e-6 vs TC=16 and vs _mm_eval on hardware).
+    _TREE_CHUNK = 25
 
     def _pack_matmul(self, n_features: int):
         key = ("mm", n_features)
@@ -144,18 +148,25 @@ class TreeEnsemble:
                         stack.append((int(t.right[node]), path + [(node, False)]))
                         stack.append((int(t.left[node]), path + [(node, True)]))
             nch = Tp // TC
+            # Per-chunk predicate ROW count (TC·M) padded to a multiple of
+            # 16 — the bf16 sublane tile. Mosaic silently computed WRONG
+            # hits from a bf16 dot whose sublane dim was 225 (TC=25, M=9):
+            # checksum drift ~2.5e-5/doc on v5e, exact on CPU/interpret
+            # (tools/exp_serving_chunk_sweep.py, 2026-08-19). Dead rows are
+            # harmless by construction: fid 0, thr 0, zero P/Q rows.
+            TCM = ((TC * M + 15) // 16) * 16
             # one selection index vector for ALL trees (X is read from HBM
             # once), plus chunked dense P/Q blocks for the path matmuls
-            fid_full = np.zeros((Tp * M,), np.int32)
-            thr_full = np.zeros((Tp * M,), np.float32)
-            Pc = np.zeros((nch, TC * M, TC * L), np.float32)
-            Qc = np.zeros((nch, TC * M, TC * L), np.float32)
+            fid_full = np.zeros((nch * TCM,), np.int32)
+            thr_full = np.zeros((nch * TCM,), np.float32)
+            Pc = np.zeros((nch, TCM, TC * L), np.float32)
+            Qc = np.zeros((nch, TCM, TC * L), np.float32)
             plenc = np.full((nch, TC * L), -1.0, np.float32)
             outwc = np.zeros((nch, TC * L), np.float32)
             for c in range(nch):
                 for j in range(TC):
                     ti = c * TC + j
-                    col = (c * TC + j) * M
+                    col = c * TCM + j * M
                     fid_full[col: col + M] = fid[ti]
                     thr_full[col: col + M] = thr[ti]
                     Pc[c, j * M:(j + 1) * M, j * L:(j + 1) * L] = P[ti]
@@ -203,7 +214,9 @@ class TreeEnsemble:
     # Conservative VMEM ceiling for the fused kernel (v5e has ~16 MB;
     # leave headroom for Mosaic's own scratch). Shapes past this fall
     # back to _mm_eval, which handles any shape.
-    _KERNEL_VMEM_BUDGET = 12 << 20
+    # 13 MB: the TC=25 default estimates 12.6 MB and runs clean on v5e
+    # (the estimate double-buffers everything, so it overstates).
+    _KERNEL_VMEM_BUDGET = 13 << 20
 
     def _use_forest_kernel(self, n_features: int) -> bool:
         """Route to the fused Pallas kernel only on TPU AND when its
@@ -222,10 +235,11 @@ class TreeEnsemble:
         M = max(max((~t.is_leaf).sum(), 1) for t in self.trees)
         L = max(t.is_leaf.sum() for t in self.trees)
         TC = self._TREE_CHUNK
-        TCM, TCLp = TC * M, ((TC * L + 127) // 128) * 128
+        TCM = ((TC * M + 15) // 16) * 16      # _pack_matmul's row padding
+        TCLp = ((TC * L + 127) // 128) * 128
         Fp, TN = ((n_features + 127) // 128) * 128, 2048
-        est = (2 * (Fp * TN * 4)               # xt tile, double-buffered
-               + 2 * (TCM * Fp * 4)            # sel
+        est = (2 * (3 * Fp * TN * 2)           # xt3 bf16 tile, double-buffered
+               + 2 * (TCM * 3 * Fp * 2)        # sel3 bf16
                + 2 * (TCM * 128 * 4)           # thr
                + 2 * (TCM * TCLp * 2)          # pmq (bf16)
                + 2 * (8 * TCLp * 4)            # aux
@@ -240,7 +254,7 @@ class TreeEnsemble:
 
         One host→device upload, device-side doc chunking, one download.
         On TPU the fully-fused Pallas kernel scores everything in VMEM
-        (ops.forest_eval, 82 ms vs 115 ms for the XLA scan at 262K docs
+        (ops.forest_eval, 52.9 ms vs 115 ms for the XLA scan at 262K docs
         × 1000 trees — both exact); elsewhere the XLA scan path runs."""
         if not self.trees:
             return np.zeros(feats.shape[0], np.float32)

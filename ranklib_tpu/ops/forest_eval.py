@@ -45,6 +45,57 @@ from jax.experimental.pallas import tpu as pltpu
 _TN = 2048                     # docs per tile (lane multiples)
 
 
+def _forest_full3_kernel(xt3_ref, s3_ref, thr_ref, pmq_ref, aux_ref,
+                         out_ref):
+    """3-plane exact selection variant (the default on hardware).
+
+    xt3: [3·Fp, TN] bf16 — the f32 feature tile split exactly into three
+    bf16 planes (hi = bf16(x), mid = bf16(x − hi), lo = x − hi − mid; the
+    last residual has ≤ 8 significant bits so it IS a bf16 — the split is
+    an exact real-number identity for normal f32 inputs). s3: [1, TCM,
+    3·Fp] bf16 one-hot selection tiled across the three plane groups, so
+
+        vals = s3 · xt3   (ONE default-precision bf16 matmul, f32 accum)
+             = hi[fid] + mid[fid] + lo[fid]  =  x[fid]   exactly
+
+    — each sel row has exactly 3 nonzero products, every partial sum is
+    representable, so the f32 accumulation is exact in any order. This
+    replaces the f32 HIGHEST selection dot (6 bf16 passes) with 3 passes'
+    worth of flops in a single MXU call: with the TC=25 chunking, 82 →
+    52.9 ms at 262K docs × 1000 trees (tools/exp_serving_3plane.py,
+    exp_serving_chunk_sweep.py; per-doc parity ≤ 4.3e-6 vs _mm_eval).
+    Sub-bf16-subnormal feature values (<2^−133) are the only inexact
+    corner; LETOR features are nowhere near it.
+
+    Measured breakdown at that shape (2026-08-19): the 3 selection passes
+    are ~21 ms (7.1 ms/pass — a 1-pass inexact variant runs 40.1 ms
+    total), the path matmul ~10 ms, and ~22 ms is per-block fixed cost
+    (5120 grid blocks: DMA waits, pred conversion, VPU epilogue). The
+    formulation's floor is therefore COMPUTE/overhead-bound at ~40 ms;
+    the ~12 ms figure in older notes was the XLA path's HBM-traffic
+    floor, unreachable here without giving up exact f32 compares.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vals = jax.lax.dot_general(
+        s3_ref[0], xt3_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TCM, TN] exact f32
+    pred = (vals <= thr_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    hits += aux_ref[0, 0, :][None, :]
+    ind = (hits == aux_ref[0, 1, :][None, :]).astype(jnp.float32)
+    partial = jnp.sum(ind * aux_ref[0, 2, :][None, :], axis=1)  # [TN]
+    out_ref[:] += partial[None, :]
+
+
 def _forest_full_kernel(xt_ref, s_ref, thr_ref, pmq_ref, aux_ref, out_ref,
                         *, sel_precision=None):
     """Fully-fused forest eval: predicates never leave VMEM.
@@ -92,9 +143,11 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
     layout (fid_full/thr_full [nch·TCM], PmQc [nch, TCM, TCL],
     csQc/plenc/outwc [nch, TCL]). Returns scores [N] f32.
 
-    ``sel_precision``: selection-dot override for timing probes ONLY —
-    anything below HIGHEST rounds feature values and can misroute docs
-    at split boundaries."""
+    Default path: the 3-plane exact bf16 selection (_forest_full3_kernel).
+    ``sel_precision``: switches to the f32 selection-dot kernel with that
+    precision — HIGHEST is the exact reference variant, anything below
+    rounds feature values and can misroute docs at split boundaries
+    (timing probes only)."""
     N, F = X.shape
     nch, TCM, TCL = PmQc.shape
     TCLp = ((TCL + 127) // 128) * 128
@@ -108,6 +161,7 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
     sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp, dtype=jnp.float32)
     thr = jnp.broadcast_to(
         thr_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
+    three_plane = sel_precision is None
 
     pmq = PmQc.astype(jnp.bfloat16)
     aux = jnp.stack([csQc, plenc, outwc], axis=1)       # [nch, 3, TCL]
@@ -117,14 +171,45 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
         aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
         aux = aux.at[:, 1, TCL:].set(-1.0)
 
+    if three_plane:
+        # Exact 3-way bf16 split of the f32 feature tile (see kernel doc).
+        # The split MUST truncate via mantissa bitmasking, not round via
+        # convert: XLA-TPU's excess-precision simplification cancels the
+        # f32→bf16→f32 round-trip in `x − f32(bf16(x))`, folding the
+        # residual planes to zero (measured: r1 ≡ 0 on hardware, exact in
+        # interpret mode). A masked value is a valid bf16 value, every
+        # residual subtraction is exact, and the final residual has ≤ 8
+        # significant bits, so hi+mid+lo == x exactly.
+        def _trunc(v):
+            return jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(v, jnp.uint32)
+                & jnp.uint32(0xFFFF0000), jnp.float32)
+
+        hi = _trunc(XT)
+        r1 = XT - hi
+        mid = _trunc(r1)
+        lo = r1 - mid
+        XT_in = jnp.concatenate(
+            [hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16),
+             lo.astype(jnp.bfloat16)], axis=0)              # [3Fp, Np]
+        sel_in = jnp.tile(sel.astype(jnp.bfloat16), (1, 1, 3))
+        kernel = _forest_full3_kernel
+        Fk = 3 * Fp
+        xt_bytes, sel_bytes = 2, 2
+    else:
+        XT_in, sel_in, Fk = XT, sel, Fp
+        kernel = functools.partial(_forest_full_kernel,
+                                   sel_precision=sel_precision)
+        xt_bytes, sel_bytes = 4, 4
+
     grid = (Np // _TN, nch)
     out = pl.pallas_call(
-        functools.partial(_forest_full_kernel, sel_precision=sel_precision),
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Fp, _TN), lambda d, c: (0, d),
+            pl.BlockSpec((Fk, _TN), lambda d, c: (0, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TCM, Fp), lambda d, c: (c, 0, 0),
+            pl.BlockSpec((1, TCM, Fk), lambda d, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TCM, 128), lambda d, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -137,10 +222,10 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Np * nch * TCM * (3 * Fp + TCLp), transcendentals=0,
-            bytes_accessed=Fp * Np * 4 + 8 * Np * 4
-            + nch * TCM * (Fp + TCLp) * 4),
-    )(XT, sel, thr, pmq, aux)
+            flops=2 * Np * nch * TCM * (Fk + TCLp), transcendentals=0,
+            bytes_accessed=Fk * Np * xt_bytes + 8 * Np * 4
+            + nch * TCM * (Fk * sel_bytes + TCLp * 2)),
+    )(XT_in, sel_in, thr, pmq, aux)
     return out[0, :N]
 
 
