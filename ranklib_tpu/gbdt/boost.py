@@ -62,6 +62,14 @@ class BoostData(NamedTuple):
     tb_scale: tuple = ()         # per chunk [rows] f32: per-fit constant
                                  #   swap-delta scale for the sort-free
                                  #   lambda path (empty → sorted path)
+    tb_inv: jnp.ndarray | None = None
+    # [Npad] int32: position of each real doc in the concatenation of the
+    # tb chunks' flattened [rows·D] layouts (pad docs → a guaranteed-zero
+    # tail slot). Chunks PARTITION the docs, so the per-chunk
+    # `lam.at[didx].add` scatters are one big permutation — profiled at
+    # ~3.4 ms/round of serialized TPU scatter work at bench shape
+    # (tools/exp_round_profile.py, 2026-08-19) — and invert into a single
+    # gather here.
 
 
 class BoostState(NamedTuple):
@@ -102,6 +110,14 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
     if scorer is not None and scorer.metric in SEPARABLE_METRICS:
         tb_scale = tuple(chunk_scale(scorer, lab, msk)
                          for lab, msk, _ in tb)
+    # inverse permutation of the chunk layout (see BoostData.tb_inv):
+    # position of doc d inside concat(chunk didx.flatten()); pad docs and
+    # chunk pad slots resolve to the zero tail slot appended by the step
+    didx_flat = np.concatenate(
+        [np.asarray(didx).reshape(-1) for _, _, didx in tb])
+    inv = np.full(Npad + 1, len(didx_flat), np.int64)
+    real = didx_flat < n_real
+    inv[didx_flat[real]] = np.flatnonzero(real)
     return BoostData(
         binned_T=_upload_bins(np.ascontiguousarray(binned_pad.T)),
         labels_flat=jnp.asarray(labels_pad),
@@ -112,6 +128,7 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
         vbinned=_upload_bins(vbinned) if vbinned is not None else None,
         vb=vb,
         tb_scale=tb_scale,
+        tb_inv=jnp.asarray(inv[:Npad].astype(np.int32)),
     ), Npad, Nvpad
 
 
@@ -212,19 +229,37 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
             # per-doc bag multiplicity (weighted RF bags) is applied by
             # grow_tree/leaf_outputs via doc_mask weights, so lambdas stay
             # per-unique-doc here
-            lam_f = jnp.zeros_like(scores)
-            w_f = jnp.zeros_like(scores)
             nosort = use_nosort and len(data.tb_scale) == len(data.tb)
             scales = data.tb_scale if nosort else (None,) * len(data.tb)
+            parts_l, parts_w = [], []
+            lam_f = w_f = None
             for (lab, msk, didx), scl in zip(data.tb, scales):
                 if nosort:
                     l_, w_ = lambda_weights_nosort(scorer, lab,
                                                    scores[didx], msk, scl)
                 else:
                     l_, w_ = lam_fn(scorer, lab, scores[didx], msk)
-                lam_f = lam_f.at[didx].add(jnp.where(msk, l_, 0.0))
-                w_f = w_f.at[didx].add(jnp.where(msk, w_, 0.0))
-            lam, w = lam_f[:-1], w_f[:-1]
+                if data.tb_inv is not None:
+                    parts_l.append(l_.reshape(-1))
+                    parts_w.append(w_.reshape(-1))
+                else:
+                    # distributed path (no inverse index yet): scatter-add
+                    if lam_f is None:
+                        lam_f = jnp.zeros_like(scores)
+                        w_f = jnp.zeros_like(scores)
+                    lam_f = lam_f.at[didx].add(jnp.where(msk, l_, 0.0))
+                    w_f = w_f.at[didx].add(jnp.where(msk, w_, 0.0))
+            if data.tb_inv is not None:
+                # chunks PARTITION the docs, so gathering through the
+                # precomputed inverse index replaces the per-chunk
+                # scatter-adds (~3.4 ms/round of serialized scatter at
+                # bench shape — tools/exp_round_profile.py). Chunk pad
+                # slots are never referenced; pad docs hit the zero tail.
+                zero = jnp.zeros((1,), scores.dtype)
+                lam = jnp.concatenate(parts_l + [zero])[data.tb_inv]
+                w = jnp.concatenate(parts_w + [zero])[data.tb_inv]
+            else:
+                lam, w = lam_f[:-1], w_f[:-1]
             # Force ONE materialization of the pair-phase outputs. grad is
             # read by every child histogram inside the growth loop, and at
             # MSLR-30K scale XLA chose to REMATERIALIZE the whole pairwise
