@@ -67,3 +67,85 @@ def write_letor_text(ds: Dataset, path) -> None:
                     f"{j + 1}:{q.feats[i, j]:.6g}" for j in range(q.feats.shape[1])
                 )
                 f.write(f"{int(q.labels[i])} qid:{q.qid} {feats} # doc{q.qid}_{i}\n")
+
+
+# MSLR-WEB10K published marginals (dataset page / LETOR 4.0 papers):
+# graded labels are heavily skewed toward 0, queries average ~120 docs
+# with a long right tail, and the 136 features fall into per-stream
+# families (body/anchor/title/url/whole-doc × TF/IDF/TF-IDF/BM25/LMIR…)
+# that are strongly correlated WITHIN a family plus a handful of
+# query-independent web-graph features (PageRank, URL stats, clicks).
+_MSLR_LABEL_PROBS = (0.517, 0.323, 0.133, 0.019, 0.008)
+_MSLR_N_FAMILIES = 25          # feature families of ~5 streams each
+_MSLR_STREAMS = 5
+
+
+def mslr_like_dataset(n_queries: int = 100, seed: int = 0,
+                      w_seed: int | None = None,
+                      mean_docs: float = 120.0) -> Dataset:
+    """Synthetic data matching MSLR-WEB10K's published statistics
+    (VERDICT round-1 task 2: the real-data-shaped quality gate).
+
+    * labels 0–4 with the WEB10K skew (≈52/32/13/2/1 %), assigned by
+      GLOBAL thresholds on a noisy per-doc relevance latent, so per-query
+      label mixes vary like the real data (some queries have no relevant
+      docs at all);
+    * doc counts per query: log-normal, mean ≈ ``mean_docs``, clipped to
+      [8, 1000] — the long right tail that stresses the padded-bucket
+      ladder;
+    * 136 features = 25 families × ~5 streams: one family latent per
+      (query, family) mixes the doc relevance signal (families carry it
+      with different strengths, like TF/BM25 families vs URL-depth) and
+      per-stream transforms add heavy tails (log-normal TF-like counts),
+      [0,1] normalizations, and integer quantization (click-ish counts).
+      Within-family correlation is high, across-family low — matching the
+      redundancy structure real LTR models exploit.
+    """
+    rng = np.random.default_rng(seed)
+    w_rng = np.random.default_rng(seed if w_seed is None else w_seed)
+    F = 136
+    fam_of = np.arange(F) % _MSLR_N_FAMILIES
+    # family signal strengths: a few strong (BM25-like), many weak/noise
+    fam_strength = np.where(w_rng.random(_MSLR_N_FAMILIES) < 0.4,
+                            w_rng.uniform(0.6, 1.6, _MSLR_N_FAMILIES), 
+                            w_rng.uniform(0.0, 0.25, _MSLR_N_FAMILIES))
+    feat_sign = w_rng.choice([-1.0, 1.0], F)
+    feat_kind = w_rng.integers(0, 3, F)       # 0 lognormal, 1 [0,1], 2 int
+    # global label thresholds on the latent: standard-normal quantiles of
+    # the cumulative WEB10K label mass
+    from math import erf, sqrt
+    cum = np.cumsum(_MSLR_LABEL_PROBS)[:-1]
+    # invert Phi via binary search (avoid scipy)
+    def _phi_inv(p):
+        lo, hi = -8.0, 8.0
+        for _ in range(60):
+            m = (lo + hi) / 2
+            if 0.5 * (1 + erf(m / sqrt(2))) < p:
+                lo = m
+            else:
+                hi = m
+        return (lo + hi) / 2
+    thr = np.array([_phi_inv(p) for p in cum])
+
+    queries = []
+    for qi in range(n_queries):
+        n = int(np.clip(rng.lognormal(np.log(mean_docs) - 0.32, 0.8),
+                        8, 1000))
+        z = rng.normal(size=n)                          # relevance latent
+        labels = np.digitize(z, thr).astype(np.float32)
+        fam_lat = (fam_strength[None, :] * z[:, None]
+                   + rng.normal(size=(n, _MSLR_N_FAMILIES))
+                   + 0.5 * rng.normal(size=(1, _MSLR_N_FAMILIES)))  # query shift
+        raw = (fam_lat[:, fam_of] * feat_sign[None, :]
+               + 0.35 * rng.normal(size=(n, F)))
+        feats = np.empty((n, F), np.float32)
+        ln = feat_kind == 0
+        feats[:, ln] = np.expm1(np.clip(raw[:, ln] + 2.0, 0, 12))  # heavy tail
+        un = feat_kind == 1
+        feats[:, un] = 1.0 / (1.0 + np.exp(-raw[:, un]))           # [0,1]
+        iq = feat_kind == 2
+        feats[:, iq] = np.floor(np.clip(raw[:, iq] * 3 + 6, 0, 50))
+        queries.append(Query(qid=str(qi + 1), labels=labels,
+                             feats=feats.astype(np.float32),
+                             descs=["" for _ in range(n)]))
+    return Dataset(queries, F)
