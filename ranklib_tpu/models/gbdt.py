@@ -193,10 +193,15 @@ class LambdaMART(Ranker):
                 self.ensemble = export(state, built, built)
                 self.save(self.ckpt_path)
             if has_val and self.early_stop > 0 and (t + 1) % check == 0:
+                # replay the reference's per-round rule over the history so
+                # the stop ROUND is identical no matter how rarely the host
+                # syncs (silent mode checks in batches; a late new best must
+                # not resurrect a run that had already stopped semantically)
                 hist = np.asarray(state.val_m[: t + 1])
-                best = int(np.nanargmax(hist))
-                if t - best >= self.early_stop:
-                    log(f"Early stop at round {t + 1} "
+                sr = _stop_round(hist, self.early_stop)
+                if sr is not None:
+                    built = sr
+                    log(f"Early stop at round {built} "
                         f"(no validation gain in {self.early_stop} rounds)")
                     break
 
@@ -319,6 +324,22 @@ class MART(LambdaMART):
     NAME = "MART"
     _NEWTON = False
     _POINTWISE = True
+
+
+def _stop_round(hist: np.ndarray, estop: int):
+    """Replay the reference's per-round early-stop rule over a validation
+    history: stop after the FIRST round t (1-based return) with
+    t - best_so_far >= estop, where ties keep the earliest best (the
+    reference's strict `>` improvement test — ref: LambdaMART learn()).
+    Returns the 1-based round count to truncate training to, or None."""
+    best = 0
+    for t in range(len(hist)):
+        if not np.isnan(hist[t]) and (np.isnan(hist[best])
+                                      or hist[t] > hist[best]):
+            best = t
+        if t - best >= estop:
+            return t + 1
+    return None
 
 
 def _pad_doc_count(n: int) -> int:

@@ -29,3 +29,15 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True)
+def _reset_silent():
+    """CLI tests that pass -silent set a process-global flag; training
+    behavior must not depend on which test ran last (silent mode batches
+    host syncs), so reset it around every test."""
+    from ranklib_tpu.utils.logging import set_silent
+
+    set_silent(False)
+    yield
+    set_silent(False)

@@ -452,3 +452,28 @@ def test_single_leaf_rejected():
     from ranklib_tpu.utils.errors import RankLibError
     with pytest.raises(RankLibError, match="-leaf"):
         LambdaMART(n_leaves=1)
+
+
+def test_silent_mode_early_stop_identical():
+    """Silent mode batches host syncs (checks early stop every `check`
+    rounds); the STOP ROUND and the exported model must still be identical
+    to per-round checking — the reference's rule replayed over the device
+    history (models/gbdt._stop_round)."""
+    from ranklib_tpu.utils.logging import set_silent
+
+    train = synth_dataset(n_queries=12, n_features=6, min_docs=5,
+                          max_docs=14, gmax=2, seed=31)
+    val = synth_dataset(n_queries=6, n_features=6, min_docs=5, max_docs=14,
+                        gmax=2, seed=32, w_seed=31)
+    scorer = create_scorer("NDCG@10")
+
+    def fit(silent):
+        set_silent(silent)
+        try:
+            r = LambdaMART(n_trees=25, n_leaves=4, early_stop=4)
+            r.fit(train, scorer, validation=val)
+        finally:
+            set_silent(False)
+        return r.model_str()
+
+    assert fit(True) == fit(False)
