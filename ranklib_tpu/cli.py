@@ -46,7 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-test", metavar="file")
     p.add_argument("-norm", choices=["sum", "zscore", "linear"])
     p.add_argument("-sparse", action="store_true",
-                   help="accepted for compatibility; storage is dense on TPU")
+                   help="tree rankers: stream the input straight into the "
+                        "int16 bin matrix (never materializes the dense "
+                        "float matrix — for wide/sparse data); other "
+                        "rankers keep dense storage")
     p.add_argument("-save", metavar="file")
     p.add_argument("-kcv", type=int, default=-1)
     p.add_argument("-kcvmd", metavar="dir")

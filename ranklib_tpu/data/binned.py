@@ -1,0 +1,159 @@
+"""Streaming parse→bin loader for wide/sparse inputs (``-sparse``).
+
+The dense pipeline (data.letor → gbdt.binning) materializes the full
+``[N, F]`` float32 feature matrix before pre-binning — the right call for
+MSLR-class dense data, but the host-RAM wall for wide sparse files (the
+case the reference serves with storage-level sparse vectors, ref:
+learning/SparseDataPoint.java:~15). This loader never materializes raw
+values at all:
+
+  pass 1  letor_stat          — doc/query counts + max fid;
+  pass 2  letor_value_stats   — per-feature capped unique sets + min/max,
+                                streamed off the file (implicit zeros of
+                                unspecified fids folded in);
+          thresholds_from_uniques — the SAME decision code the dense
+                                pipeline uses, so grids are bit-identical;
+  pass 3  letor_fill_binned   — parse + bin in one stream straight into
+                                the int16 bin matrix the GBDT engine
+                                uploads anyway.
+
+Peak host memory is the 2-byte bin matrix (plus the raw file buffer),
+~4× below the dense pipeline's f32 matrix + int bin matrix, independent
+of how sparse the file is. GBDT trains bit-identically to the dense path
+(tests/test_data.py pins model-string equality); rankers that need raw
+feature values (neural, linear, CoorAscent, boosting) use the dense path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ranklib_tpu.data.dataset import Dataset, Query
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.logging import log
+
+
+@dataclass
+class BinnedDataset(Dataset):
+    """A feats-free Dataset plus its doc-major bin matrix.
+
+    ``queries[i].feats is None``; the training representation is
+    ``binned[N, F] int16`` in query file order with ``thresholds[F, B]``
+    (value ≤ thresholds[f, b] ⟺ bin ≤ b). Metric/lambda code only needs
+    labels+masks and works unchanged; GBDT consumes ``binned`` directly.
+    """
+
+    thresholds: np.ndarray = None   # [F, B] float32, +inf padded
+    binned: np.ndarray = None       # [N, F] int16, query file order
+
+
+def read_letor_binned(path: str, n_threshold: int = 256,
+                      thresholds: np.ndarray | None = None,
+                      must_have_rel_doc: bool = False,
+                      n_features: int | None = None,
+                      missing_zero: bool = True,
+                      quiet: bool = False) -> BinnedDataset:
+    """Stream a LETOR file directly into a :class:`BinnedDataset`.
+
+    ``thresholds``: bin with an existing grid (validation/test files bin
+    with the TRAINING grid, exactly like the dense pipeline). Otherwise
+    the grid is computed from this file's own streamed value statistics —
+    bit-identical to ``compute_thresholds`` on the dense matrix.
+
+    Raises :class:`RankLibError` when the native parser is unavailable
+    (no g++) or the file needs the Python parser (oversized tokens) —
+    callers fall back to the dense pipeline.
+    """
+    from ranklib_tpu.gbdt.binning import thresholds_from_uniques
+    from ranklib_tpu.native.loader import (
+        NativeParseError, native_letor_stat, native_letor_value_stats,
+        native_parse_letor_binned,
+    )
+
+    if path.endswith(".gz"):
+        raise RankLibError(
+            f"streaming -sparse loader reads plain files only (got {path}); "
+            f"decompress first or use the dense pipeline")
+    try:
+        stat = native_letor_stat(path)
+    except NativeParseError as e:
+        raise RankLibError(str(e)) from None
+    if stat is None:
+        raise RankLibError(
+            "streaming -sparse loader requires the native parser "
+            "(g++ unavailable?); use the dense pipeline")
+    n_docs, n_queries, max_fid = stat
+    if n_docs == 0 or n_queries == 0:
+        raise RankLibError(f"No queries read from {path}")
+    F = max(max_fid, int(n_features or 0))
+    try:
+        if thresholds is None:
+            if n_threshold > 400:
+                raise RankLibError(
+                    f"-sparse streaming supports -tc up to 400 "
+                    f"(got {n_threshold}); use the dense pipeline")
+            stats = native_letor_value_stats(path, F, n_threshold)
+            if stats is None:
+                raise RankLibError(
+                    "native streaming stats unavailable; use the dense "
+                    "pipeline")
+            vals, counts, minmax = stats
+            thresholds, _ = thresholds_from_uniques(vals, counts, minmax,
+                                                    n_threshold)
+        elif thresholds.shape[0] != F:
+            # the model/train grid defines the feature space; extra fids in
+            # this file are unusable by the model (clip — the dense path's
+            # with_width semantics), missing ones read as 0
+            F = thresholds.shape[0]
+        parsed = native_parse_letor_binned(path, thresholds, n_docs,
+                                           n_queries)
+        if parsed is None:
+            raise RankLibError(
+                "native streaming binner unavailable; use the dense "
+                "pipeline")
+        labels, bins, qptr, qids, counts_per_doc = parsed
+    except NativeParseError as e:
+        raise RankLibError(str(e)) from None
+    if not missing_zero:
+        from ranklib_tpu.data.letor import _check_fully_specified
+        _check_fully_specified(path, counts_per_doc, max_fid, qptr, qids)
+
+    queries = []
+    keep_rows = None
+    n_dropped = 0
+    if must_have_rel_doc:
+        keep_rows = np.ones(n_docs, bool)
+    for i, qid in enumerate(qids):
+        s, e = int(qptr[i]), int(qptr[i + 1])
+        lab = labels[s:e]
+        if must_have_rel_doc and not (lab > 0).any():
+            keep_rows[s:e] = False
+            n_dropped += 1
+            continue
+        queries.append(Query(qid=qid, labels=lab, feats=None, descs=[]))
+    if not queries:
+        raise RankLibError(f"No queries read from {path}")
+    if n_dropped:
+        bins = bins[keep_rows]
+    if not quiet:
+        log(f"Reading feature file [{path}]... [Done.] (streamed to bins)")
+        log(f"({len(queries)} ranked lists, "
+            f"{sum(q.n for q in queries)} entries read)")
+        if n_dropped:
+            log(f"({n_dropped} queries with no relevant documents dropped)")
+    return BinnedDataset(queries=queries, n_features=F,
+                         thresholds=thresholds, binned=bins)
+
+
+def split_binned(ds: BinnedDataset, n_train: int):
+    """Split by query count into two BinnedDatasets (contiguous, so the
+    bin matrix slices as views — the -tvs/-tts carve-outs)."""
+    n_docs_a = sum(q.n for q in ds.queries[:n_train])
+    return (
+        BinnedDataset(queries=ds.queries[:n_train], n_features=ds.n_features,
+                      thresholds=ds.thresholds, binned=ds.binned[:n_docs_a]),
+        BinnedDataset(queries=ds.queries[n_train:], n_features=ds.n_features,
+                      thresholds=ds.thresholds, binned=ds.binned[n_docs_a:]),
+    )

@@ -42,10 +42,14 @@ def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0):
 
 
 def split_tvs(ds: Dataset, tvs: float):
-    """Split one dataset into (train, validation) by ratio (ref: -tvs flag)."""
+    """Split one dataset into (train, validation) by ratio (ref: -tvs flag).
+    Streaming binned datasets split with their bin-matrix views intact."""
     n_train = int(len(ds.queries) * tvs)
     if n_train < 1 or n_train >= len(ds.queries):
         raise RankLibError(f"-tvs {tvs} leaves an empty train or validation split")
+    if getattr(ds, "binned", None) is not None:
+        from ranklib_tpu.data.binned import split_binned
+        return split_binned(ds, n_train)
     return (
         Dataset(ds.queries[:n_train], ds.n_features),
         Dataset(ds.queries[n_train:], ds.n_features),

@@ -177,6 +177,20 @@ def bucketize(ds: Dataset, with_feats: bool = True) -> list:
     return buckets
 
 
+def flatten_meta(ds: Dataset):
+    """labels[N] f32 + qptr[Q+1] — :func:`flatten` without materializing
+    the feature matrix (also serves feats-free binned datasets)."""
+    N = ds.n_docs
+    labels = np.empty((N,), dtype=np.float32)
+    qptr = np.zeros((len(ds.queries) + 1,), dtype=np.int64)
+    pos = 0
+    for i, q in enumerate(ds.queries):
+        labels[pos: pos + q.n] = q.labels
+        pos += q.n
+        qptr[i + 1] = pos
+    return labels, qptr
+
+
 def flatten(ds: Dataset):
     """Flat doc-major arrays for GBDT: feats[N, F], labels[N], qptr[Q+1].
 

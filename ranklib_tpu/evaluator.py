@@ -15,6 +15,7 @@ from ranklib_tpu.data.cv import prepare_cv, split_tvs
 from ranklib_tpu.data.dataset import Dataset, read_feature_file
 from ranklib_tpu.data.letor import read_letor
 from ranklib_tpu.data.normalize import normalize_dataset
+from ranklib_tpu.data.qrel import apply_qrel
 from ranklib_tpu.metrics.base import MetricScorer, create_scorer, score_dataset
 from ranklib_tpu.models.base import Ranker, load_ranker_file
 from ranklib_tpu.models.trainer import train_ranker
@@ -34,7 +35,6 @@ def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
             f"(aligned to the training feature space)")
         ds = ds.with_width(n_features)
     if qrel:
-        from ranklib_tpu.data.qrel import apply_qrel
         apply_qrel(ds, qrel)
     if feature_fids is not None:
         ds = ds.subset_features(feature_fids)
@@ -75,6 +75,16 @@ def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
     log(f"Reranked lists saved to: {path}")
 
 
+def _try_stream(args) -> bool:
+    """-sparse routes tree rankers through the streaming parse→bin loader
+    (data.binned) when its preconditions hold: GBDT-family ranker (only
+    trees consume bins; other rankers need raw values), no per-query
+    normalization or feature zeroing (both transform raw values before
+    binning), plain (non-gzip) input, native parser available."""
+    return bool(args.sparse and args.ranker in (0, 6)
+                and not args.norm and not args.feature)
+
+
 def evaluate_train(args) -> Ranker:
     """Flow 3.1/3.2-adjacent: train (+validate) (+test), save model."""
     feature_fids = read_feature_file(args.feature) if args.feature else None
@@ -84,9 +94,24 @@ def evaluate_train(args) -> Ranker:
         if args.metric2T else train_scorer
     )
     must_rel = train_scorer.needs_rel
-    train = _prepare(args.train, args.norm, feature_fids, must_rel,
-                     missing_zero=args.missingZero,
-                     qrel=args.qrel)
+    stream = _try_stream(args)
+    if stream:
+        from ranklib_tpu.data.binned import read_letor_binned
+        tc = args.tc if args.tc is not None else 256
+        try:
+            train = read_letor_binned(
+                args.train, n_threshold=tc, must_have_rel_doc=must_rel,
+                missing_zero=args.missingZero)
+            if args.qrel:
+                apply_qrel(train, args.qrel)
+        except RankLibError as e:
+            log(f"[-sparse] streaming loader not applicable ({e}); "
+                f"using the dense pipeline")
+            stream = False
+    if not stream:
+        train = _prepare(args.train, args.norm, feature_fids, must_rel,
+                         missing_zero=args.missingZero,
+                         qrel=args.qrel)
     split_test = None
     tts = getattr(args, "tts", -1.0)
     has_tts = bool(tts) and tts > 0
@@ -98,9 +123,19 @@ def evaluate_train(args) -> Ranker:
             f"{len(split_test.queries)} queries")
     validation = None
     if args.validate:
-        validation = _prepare(args.validate, args.norm, feature_fids,
-                               must_rel, missing_zero=args.missingZero,
-                              n_features=train.n_features, qrel=args.qrel)
+        if stream:
+            from ranklib_tpu.data.binned import read_letor_binned
+            validation = read_letor_binned(
+                args.validate, thresholds=train.thresholds,
+                must_have_rel_doc=must_rel, n_features=train.n_features,
+                missing_zero=args.missingZero)
+            if args.qrel:
+                apply_qrel(validation, args.qrel)
+        else:
+            validation = _prepare(args.validate, args.norm, feature_fids,
+                                  must_rel, missing_zero=args.missingZero,
+                                  n_features=train.n_features,
+                                  qrel=args.qrel)
     elif args.tvs and args.tvs > 0 and not has_tts:
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
@@ -113,10 +148,20 @@ def evaluate_train(args) -> Ranker:
                                  ranker.eval_dataset(validation))
         log(f"{train_scorer.name} on validation data: {m_val:.4f}")
     if args.test or split_test is not None:
-        test = split_test if split_test is not None else _prepare(
-            args.test, args.norm, feature_fids, False,
-            n_features=train.n_features, qrel=args.qrel,
-            missing_zero=args.missingZero)
+        if split_test is not None:
+            test = split_test
+        elif stream:
+            from ranklib_tpu.data.binned import read_letor_binned
+            test = read_letor_binned(
+                args.test, thresholds=train.thresholds,
+                n_features=train.n_features,
+                missing_zero=args.missingZero)
+            if args.qrel:
+                apply_qrel(test, args.qrel)
+        else:
+            test = _prepare(args.test, args.norm, feature_fids, False,
+                            n_features=train.n_features, qrel=args.qrel,
+                            missing_zero=args.missingZero)
         m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
         log(f"{test_scorer.name} on test data: {m_test:.4f}")
         if args.idv:

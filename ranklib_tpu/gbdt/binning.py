@@ -18,40 +18,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def compute_thresholds(feats: np.ndarray, n_threshold: int):
-    """Per-feature candidate split values.
+def thresholds_from_uniques(vals, counts, minmax, n_threshold: int):
+    """Per-feature candidate decisions from capped-unique statistics —
+    the shared core of :func:`compute_thresholds` (dense pipeline) and
+    the streaming loader (data.binned), so both produce bit-identical
+    grids: ≤ n_threshold uniques → use them all (sorted), else the evenly
+    spaced min/max grid with the last point pinned to the max (ref:
+    FeatureHistogram construct — step = (max-min)/nThreshold).
 
-    Returns (thresholds[F, B] float32 padded with +inf, n_bins[F] int32)
-    where B = max over features of the candidate count. The last real
-    threshold of each feature equals the feature max, so every training
-    value lands in a real bin.
+    Returns (thresholds[F, B] float32 padded with +inf, n_bins[F] int32).
     """
-    from ranklib_tpu.native.loader import native_feature_uniques
-
-    N, F = feats.shape
+    F = len(counts)
     per_feature = []
-    # one capped-hash C++ pass replaces F sort-based np.uniques (~5× at
-    # MSLR scale); identical decisions — ≤ tc uniques → use them all
-    # (sorted), else the evenly spaced min/max grid
-    nat = native_feature_uniques(np.asarray(feats, np.float32), n_threshold)
     for f in range(F):
-        if nat is not None:
-            vals_f, counts, minmax = nat
-            if counts[f] <= n_threshold:
-                vals = np.sort(vals_f[f, : counts[f]])
-            else:
-                vals = None
-                lo, hi = float(minmax[f, 0]), float(minmax[f, 1])
+        if counts[f] <= n_threshold:
+            thr = np.sort(vals[f][: counts[f]]).astype(np.float32)
         else:
-            vals = np.unique(feats[:, f])
-            if len(vals) > n_threshold:
-                lo, hi = float(vals[0]), float(vals[-1])
-                vals = None
-        if vals is not None:
-            thr = vals.astype(np.float32)
-        else:
-            # evenly spaced grid, last point == max (ref: FeatureHistogram
-            # construct — step = (max-min)/nThreshold)
+            lo, hi = float(minmax[f, 0]), float(minmax[f, 1])
             thr = np.linspace(lo, hi, n_threshold, dtype=np.float32)
             thr[-1] = hi
         per_feature.append(thr)
@@ -64,6 +47,35 @@ def compute_thresholds(feats: np.ndarray, n_threshold: int):
         thresholds[f, : len(t)] = t
         n_bins[f] = len(t)
     return thresholds, n_bins
+
+
+def compute_thresholds(feats: np.ndarray, n_threshold: int):
+    """Per-feature candidate split values.
+
+    Returns (thresholds[F, B] float32 padded with +inf, n_bins[F] int32)
+    where B = max over features of the candidate count. The last real
+    threshold of each feature equals the feature max, so every training
+    value lands in a real bin.
+    """
+    from ranklib_tpu.native.loader import native_feature_uniques
+
+    N, F = feats.shape
+    # one capped-hash C++ pass replaces F sort-based np.uniques (~5× at
+    # MSLR scale); identical decisions — ≤ tc uniques → use them all
+    # (sorted), else the evenly spaced min/max grid
+    nat = native_feature_uniques(np.asarray(feats, np.float32), n_threshold)
+    if nat is not None:
+        vals_f, counts, minmax = nat
+        return thresholds_from_uniques(vals_f, counts, minmax, n_threshold)
+    vals, counts, minmax = [], [], np.zeros((F, 2), np.float32)
+    for f in range(F):
+        u = np.unique(feats[:, f])
+        vals.append(u[:n_threshold + 1])
+        counts.append(len(u))
+        if len(u):
+            minmax[f] = (u[0], u[-1])
+    return thresholds_from_uniques(vals, np.asarray(counts), minmax,
+                                   n_threshold)
 
 
 def bin_features(feats: np.ndarray, thresholds: np.ndarray) -> np.ndarray:

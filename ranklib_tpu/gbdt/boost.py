@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, bucketize, flatten
+from ranklib_tpu.data.dataset import Dataset, bucketize, flatten_meta
 from ranklib_tpu.gbdt.grow import grow_tree, leaf_outputs
 from ranklib_tpu.gbdt.lambdas import (
     chunk_scale, lambda_weights, lambda_weights_nosort,
@@ -152,7 +152,7 @@ def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
     exceeds the budget (the 'long-context' guard of SURVEY §5: pair
     matrices never pad to the global max doc count, and never blow HBM
     when a bucket holds thousands of queries)."""
-    _, _, qptr = flatten(ds)
+    _, qptr = flatten_meta(ds)
     out = []
     for b in bucketize(ds, with_feats=False):
         didx = np.full((b.B, b.D), sentinel, np.int32)

@@ -71,10 +71,10 @@ def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
     """Per-device padded flat arrays + uniform bucket chunks for one
     dataset. Returns (binned_T [n_dev,F,Npad], labels_flat, doc_mask,
     chunks tuple, Npad)."""
-    from ranklib_tpu.data.dataset import flatten
+    from ranklib_tpu.data.dataset import flatten_meta
     from ranklib_tpu.models.gbdt import _pad_doc_count
 
-    _, _, qptr = flatten(ds)
+    _, qptr = flatten_meta(ds)
     F = binned.shape[1]
     per_dev, class_rows = _shard_queries(ds, n_dev)
 

@@ -76,6 +76,34 @@ class TreeEnsemble:
     def __len__(self):
         return len(self.trees)
 
+    def to_bin_space(self, thresholds: np.ndarray) -> "TreeEnsemble":
+        """Rewrite every split threshold t on feature f into its bin id
+        ``b = searchsorted(thresholds[f], t, 'left')`` so the ensemble
+        evaluates EXACTLY on a bin matrix: ``value <= t ⟺ bin <= b``
+        whenever t is a grid point — true by construction for ensembles
+        trained with this grid (the streaming ``-sparse`` path, which
+        keeps no raw feature values to evaluate on). Raises when a split
+        threshold is not on the grid (e.g. a model loaded from elsewhere)
+        — that model needs the dense pipeline."""
+        out = TreeEnsemble()
+        B = thresholds.shape[1]
+        for tree, w in zip(self.trees, self.weights):
+            split = ~tree.is_leaf
+            rows = thresholds[tree.feature]                  # [S, B]
+            b = (rows < tree.threshold[:, None]).sum(axis=1)  # lower_bound
+            on_grid = np.take_along_axis(
+                rows, np.minimum(b, B - 1)[:, None], axis=1
+            )[:, 0] == tree.threshold
+            if not np.all(on_grid[split] & (b[split] < B)):
+                raise RankLibError(
+                    "ensemble has split thresholds off the binning grid; "
+                    "bin-space evaluation needs a model trained with this "
+                    "grid (use the dense pipeline instead)")
+            thr = np.where(split, b.astype(np.float32), 0.0)
+            out.add(Tree(tree.feature, thr, tree.left, tree.right,
+                         tree.is_leaf, tree.output), w)
+        return out
+
     # ---- vectorized eval ---------------------------------------------------
     #
     # Matmul-path scoring (the serving hot path). Pointer-chasing traversal

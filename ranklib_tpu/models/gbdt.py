@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.data.dataset import Dataset, flatten, flatten_meta
 from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
 from ranklib_tpu.gbdt.boost import init_state, make_boost_data, make_round_step
 from ranklib_tpu.gbdt.ensemble import Tree, TreeEnsemble
@@ -82,15 +82,26 @@ class LambdaMART(Ranker):
         if mesh is not None and mesh.size > 1:
             return self._fit_distributed(train, scorer, validation, mesh,
                                          feature_mask, prebinned)
-        feats, labels, _ = flatten(train)
-        N, F = feats.shape
-        # thresholds from REAL docs only, then pad the doc axis to a coarse
-        # grid so RF bags / CV folds of varying size reuse one compilation
-        if prebinned is not None:
-            thresholds, binned_real = prebinned
+        # streaming -sparse datasets carry their bin matrix and grid and
+        # no raw feature values at all (data.binned); everything below is
+        # bit-identical to binning the dense matrix with the same grid
+        stream = getattr(train, "binned", None) is not None
+        feats = None
+        if stream:
+            labels, _ = flatten_meta(train)
+            thresholds, binned_real = train.thresholds, train.binned
+            N, F = binned_real.shape
         else:
-            thresholds, _ = compute_thresholds(feats, self.n_threshold)
-            binned_real = None
+            feats, labels, _ = flatten(train)
+            N, F = feats.shape
+            # thresholds from REAL docs only, then pad the doc axis to a
+            # coarse grid so RF bags / CV folds of varying size reuse one
+            # compilation
+            if prebinned is not None:
+                thresholds, binned_real = prebinned
+            else:
+                thresholds, _ = compute_thresholds(feats, self.n_threshold)
+                binned_real = None
         B = thresholds.shape[1]
         Npad = _pad_doc_count(N)
         if binned_real is None:
@@ -102,8 +113,11 @@ class LambdaMART(Ranker):
 
         vbinned = None
         if validation is not None:
-            vfeats, _, _ = flatten(validation)
-            vbinned = bin_features(vfeats, thresholds)
+            if getattr(validation, "binned", None) is not None:
+                vbinned = validation.binned
+            else:
+                vfeats, _, _ = flatten(validation)
+                vbinned = bin_features(vfeats, thresholds)
 
         data, Npad, Nvpad = make_boost_data(
             train, binned, labels_pad, N, validation, vbinned, feature_mask,
@@ -119,9 +133,17 @@ class LambdaMART(Ranker):
         if len(self.ensemble):
             prior = self.ensemble
             rounds = max(0, self.n_trees - len(prior))
-            init_scores = prior.eval_matrix(feats[:N])
-            if validation is not None:
-                init_vscores = prior.eval_matrix(vfeats)
+            if stream:
+                # no raw values to evaluate on: score the prior ensemble in
+                # bin space (exact when its grid is this grid)
+                ens_bin = prior.to_bin_space(thresholds)
+                init_scores = _eval_binned(ens_bin, binned_real)
+                if validation is not None:
+                    init_vscores = _eval_binned(ens_bin, vbinned)
+            else:
+                init_scores = prior.eval_matrix(feats[:N])
+                if validation is not None:
+                    init_vscores = prior.eval_matrix(vfeats)
             log(f"Warm start from {len(prior)} trees "
                 f"({rounds} rounds to go)")
 
@@ -232,17 +254,25 @@ class LambdaMART(Ranker):
         )
 
         n_dev = mesh.size
-        feats, _, _ = flatten(train)
-        if prebinned is not None:
-            thresholds, binned = prebinned
+        stream = getattr(train, "binned", None) is not None
+        feats = None
+        if stream:
+            thresholds, binned = train.thresholds, train.binned
         else:
-            thresholds, _ = compute_thresholds(feats, self.n_threshold)
-            binned = bin_features(feats, thresholds)
+            feats, _, _ = flatten(train)
+            if prebinned is not None:
+                thresholds, binned = prebinned
+            else:
+                thresholds, _ = compute_thresholds(feats, self.n_threshold)
+                binned = bin_features(feats, thresholds)
         B = thresholds.shape[1]
         vbinned = None
         if validation is not None:
-            vfeats, _, _ = flatten(validation)
-            vbinned = bin_features(vfeats, thresholds)
+            if getattr(validation, "binned", None) is not None:
+                vbinned = validation.binned
+            else:
+                vfeats, _, _ = flatten(validation)
+                vbinned = bin_features(vfeats, thresholds)
         data, Npad, Nvpad = build_sharded_data(
             train, binned, n_dev, validation, vbinned, feature_mask,
             mesh=mesh, scorer=None if self._POINTWISE else scorer)
@@ -256,7 +286,7 @@ class LambdaMART(Ranker):
                         else 1),
             train_metric=not silent)
         state = init_dist_state(self.n_trees, self.n_leaves, n_dev, Npad,
-                                mesh, Nvpad, n_features=feats.shape[1])
+                                mesh, Nvpad, n_features=binned.shape[1])
 
         # warm start (same semantics as the single-device path): seed the
         # sharded model scores from the loaded/partial ensemble and train
@@ -267,12 +297,19 @@ class LambdaMART(Ranker):
             from ranklib_tpu.gbdt.boost_dist import _place, scatter_doc_values
             prior = self.ensemble
             rounds = max(0, self.n_trees - len(prior))
-            init = scatter_doc_values(train, prior.eval_matrix(feats),
-                                      n_dev, Npad)
+            if stream:
+                ens_bin = prior.to_bin_space(thresholds)
+                sc = _eval_binned(ens_bin, binned)
+                vsc = (_eval_binned(ens_bin, vbinned)
+                       if validation is not None else None)
+            else:
+                sc = prior.eval_matrix(feats)
+                vsc = (prior.eval_matrix(vfeats)
+                       if validation is not None else None)
+            init = scatter_doc_values(train, sc, n_dev, Npad)
             state = state._replace(scores=_place(init, mesh, sharded=True))
             if validation is not None:
-                vinit = scatter_doc_values(
-                    validation, prior.eval_matrix(vfeats), n_dev, Nvpad)
+                vinit = scatter_doc_values(validation, vsc, n_dev, Nvpad)
                 state = state._replace(
                     vscores=_place(vinit, mesh, sharded=True))
             log(f"Warm start from {len(prior)} trees "
@@ -286,6 +323,14 @@ class LambdaMART(Ranker):
     def eval_dataset(self, ds: Dataset):
         if not len(self.ensemble):
             raise RankLibError("Model not trained/loaded")
+        if getattr(ds, "binned", None) is not None:
+            # streaming -sparse dataset: evaluate in bin space (exact —
+            # this model was trained on this grid)
+            flat = _eval_binned(self.ensemble.to_bin_space(ds.thresholds),
+                                ds.binned)
+            _, qptr = flatten_meta(ds)
+            return [flat[qptr[i]: qptr[i + 1]]
+                    for i in range(len(ds.queries))]
         max_fid = 1 + max(int(t.feature.max()) for t in self.ensemble.trees)
         feats, _, qptr = flatten(ds)
         if feats.shape[1] < max_fid:
@@ -324,6 +369,18 @@ class MART(LambdaMART):
     NAME = "MART"
     _NEWTON = False
     _POINTWISE = True
+
+
+def _eval_binned(ens_bin: TreeEnsemble, bins: np.ndarray,
+                 chunk: int = 1 << 18) -> np.ndarray:
+    """Score a bin-space ensemble (TreeEnsemble.to_bin_space) over an
+    int16 bin matrix, casting to f32 in doc chunks so the cast never
+    materializes a second full-size matrix."""
+    out = np.empty(bins.shape[0], np.float64)
+    for lo in range(0, bins.shape[0], chunk):
+        hi = min(lo + chunk, bins.shape[0])
+        out[lo:hi] = ens_bin.eval_matrix(bins[lo:hi].astype(np.float32))
+    return out
 
 
 def _stop_round(hist: np.ndarray, estop: int):

@@ -249,3 +249,244 @@ int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
 }
 
 }  // extern "C"
+
+// ---- streaming parse→bin path (wide/sparse inputs) --------------------------
+//
+// The dense pipeline materializes [N, F] float32 before binning — fine for
+// MSLR (136 features) but the host-RAM wall for wide sparse data
+// (ref: learning/SparseDataPoint.java:~15 is the reference's storage-level
+// answer). These two passes keep the raw values OUT of memory entirely:
+//
+//   letor_value_stats: per-feature capped unique sets + min/max (the exact
+//     inputs compute_thresholds needs), streamed off the file. Implicit
+//     zeros of unspecified fids are folded in afterward, so decisions are
+//     bit-identical to running the capped-hash pass on the dense matrix.
+//   letor_fill_binned: second stream, binning each value straight to an
+//     int16 bin id (same branchless lower_bound as binner.cpp) — the only
+//     [N, F] array that ever exists is the 2-byte bin matrix the GBDT
+//     engine uploads anyway.
+
+namespace {
+
+struct CappedSet {
+  // open addressing over float bit patterns (mirror of binner.cpp);
+  // TABLE > 2*cap for cap <= 400
+  static const int64_t TABLE = 1024;
+  uint32_t keys[TABLE];
+  uint8_t used[TABLE];
+  int64_t count;
+  bool dead;
+};
+
+inline uint32_t fbits(float v) {
+  if (v == 0.0f) v = 0.0f;  // -0.0 -> +0.0
+  if (v != v) return 0x7FC00000u;
+  uint32_t b;
+  memcpy(&b, &v, sizeof(b));
+  return b;
+}
+
+inline void capped_insert(CappedSet& s, float v, float* vals, int64_t cap) {
+  if (s.dead) return;
+  const uint32_t b = fbits(v);
+  uint64_t h =
+      (static_cast<uint64_t>(b) * 0x9E3779B97F4A7C15ull) >> 54;
+  while (true) {
+    if (!s.used[h]) {
+      if (s.count >= cap) {
+        s.dead = true;
+        return;
+      }
+      s.used[h] = 1;
+      s.keys[h] = b;
+      vals[s.count] = (b == 0 ? 0.0f : v);
+      ++s.count;
+      return;
+    }
+    if (s.keys[h] == b) return;
+    h = (h + 1) & (CappedSet::TABLE - 1);
+  }
+}
+
+// branchless lower_bound over a sorted +inf-padded row: count of t[j] < v;
+// NaN -> B (numpy sort order puts NaN after +inf) — exact binner.cpp parity
+inline int64_t bin_of(const float* t, int64_t B, float v) {
+  if (v != v) return B;
+  int64_t lo = 0, len = B;
+  while (len > 1) {
+    const int64_t half = len >> 1;
+    lo += (t[lo + half - 1] < v) ? half : 0;
+    len -= half;
+  }
+  return lo + (t[lo] < v ? 1 : 0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Streaming per-feature value statistics. Caller sizes buffers from a
+// prior letor_stat pass: out_vals [n_feat, cap], out_counts [n_feat]
+// (cap+1 = over cap), out_minmax [n_feat, 2]. Returns 0 ok, -1 io,
+// -2 malformed, -4 capacity (fall back to the dense Python pipeline).
+int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
+                      float* out_vals, int64_t* out_counts,
+                      float* out_minmax) {
+  if (n_feat <= 0 || cap <= 0 || cap > 400) return -2;
+  int64_t size = 0;
+  char* buf = read_file(path, &size);
+  if (buf == nullptr) return -1;
+  CappedSet* sets = static_cast<CappedSet*>(
+      calloc(static_cast<size_t>(n_feat), sizeof(CappedSet)));
+  int64_t* specified = static_cast<int64_t*>(
+      calloc(static_cast<size_t>(n_feat), sizeof(int64_t)));
+  // min/max over SPECIFIED values; implicit zeros folded in at the end
+  float* mn = static_cast<float*>(malloc(sizeof(float) * n_feat));
+  float* mx = static_cast<float*>(malloc(sizeof(float) * n_feat));
+  if (sets == nullptr || specified == nullptr || mn == nullptr ||
+      mx == nullptr) {
+    free(buf); free(sets); free(specified); free(mn); free(mx);
+    return -1;
+  }
+  for (int64_t f = 0; f < n_feat; ++f) {
+    mn[f] = 0.0f;  // overwritten on the first specified value
+    mx[f] = 0.0f;
+  }
+  int64_t docs = 0;
+  char qid[QID_MAX + 1];
+  char* p = buf;
+  char* fend = buf + size;
+  int rc = 0;
+  while (p < fend) {
+    char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
+    char* lend = (nl != nullptr) ? nl : fend;
+    float label;
+    int r = parse_line<true>(
+        p, lend, &label, qid,
+        [&](int64_t fid, float val) {
+          if (fid >= 1 && fid <= n_feat) {
+            const int64_t f = fid - 1;
+            if (specified[f] == 0) {
+              mn[f] = val;
+              mx[f] = val;
+            } else {
+              if (val < mn[f]) mn[f] = val;
+              if (val > mx[f]) mx[f] = val;
+            }
+            ++specified[f];
+            capped_insert(sets[f], val, out_vals + f * cap, cap);
+          }
+        },
+        nullptr, 0);
+    if (r < 0) {
+      rc = (r == -2) ? -4 : -2;
+      break;
+    }
+    if (r == 1) ++docs;
+    p = lend + 1;
+  }
+  free(buf);
+  if (rc == 0) {
+    for (int64_t f = 0; f < n_feat; ++f) {
+      if (specified[f] < docs) {  // at least one implicit 0.0
+        capped_insert(sets[f], 0.0f, out_vals + f * cap, cap);
+        if (specified[f] == 0) {
+          mn[f] = 0.0f;
+          mx[f] = 0.0f;
+        } else {
+          if (0.0f < mn[f]) mn[f] = 0.0f;
+          if (0.0f > mx[f]) mx[f] = 0.0f;
+        }
+      }
+      out_counts[f] = sets[f].dead ? cap + 1 : sets[f].count;
+      out_minmax[f * 2] = mn[f];
+      out_minmax[f * 2 + 1] = mx[f];
+    }
+  }
+  free(sets); free(specified); free(mn); free(mx);
+  return rc;
+}
+
+// Second stream: parse + bin in one pass. thr: [n_feat, n_bins] sorted
+// ascending, +inf padded. bins: [n_docs, n_feat] int16 (unspecified fids
+// get the feature's bin of 0.0). Other buffers as letor_fill. Returns 0 ok,
+// -1 io, -2 malformed, -3 overflow vs stat, -4 capacity, -5 bin id does
+// not fit int16.
+int letor_fill_binned(const char* path, const float* thr, int64_t n_bins,
+                      float* labels, int16_t* bins, int64_t n_docs,
+                      int64_t n_feat, int64_t* qptr, int64_t n_queries,
+                      char* qidbuf, int64_t qid_stride, int32_t* counts) {
+  if (n_bins <= 0 || n_bins >= 32767) return -5;
+  int64_t size = 0;
+  char* buf = read_file(path, &size);
+  if (buf == nullptr) return -1;
+  // per-feature bin of the implicit 0.0 — the row template
+  int16_t* tmpl = static_cast<int16_t*>(malloc(sizeof(int16_t) * n_feat));
+  if (tmpl == nullptr) {
+    free(buf);
+    return -1;
+  }
+  for (int64_t f = 0; f < n_feat; ++f)
+    tmpl[f] = static_cast<int16_t>(bin_of(thr + f * n_bins, n_bins, 0.0f));
+  int64_t doc = 0, query = 0;
+  char prev_qid[QID_MAX + 1] = {0};
+  char qid[QID_MAX + 1];
+  char* p = buf;
+  char* fend = buf + size;
+  int rc = 0;
+  while (p < fend) {
+    char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
+    char* lend = (nl != nullptr) ? nl : fend;
+    float label;
+    if (doc > n_docs) {
+      rc = -3;
+      break;
+    }
+    int16_t* row = bins + doc * n_feat;
+    if (doc < n_docs) memcpy(row, tmpl, sizeof(int16_t) * n_feat);
+    int64_t npairs = 0;
+    int r = parse_line<true>(
+        p, lend, &label, qid,
+        [&](int64_t fid, float val) {
+          if (fid >= 1 && fid <= n_feat && doc < n_docs)
+            row[fid - 1] = static_cast<int16_t>(
+                bin_of(thr + (fid - 1) * n_bins, n_bins, val));
+          ++npairs;
+        },
+        nullptr, 0);
+    if (r < 0) {
+      rc = (r == -2) ? -4 : -2;
+      break;
+    }
+    if (r == 1) {
+      if (doc >= n_docs) {
+        rc = -3;
+        break;
+      }
+      if (counts != nullptr) counts[doc] = static_cast<int32_t>(npairs);
+      labels[doc] = label;
+      if (doc == 0 || strcmp(qid, prev_qid) != 0) {
+        if (query >= n_queries) {
+          rc = -3;
+          break;
+        }
+        qptr[query] = doc;
+        strncpy(qidbuf + query * qid_stride, qid,
+                static_cast<size_t>(qid_stride - 1));
+        qidbuf[query * qid_stride + qid_stride - 1] = '\0';
+        ++query;
+        strcpy(prev_qid, qid);
+      }
+      ++doc;
+    }
+    p = lend + 1;
+  }
+  free(buf);
+  free(tmpl);
+  if (rc != 0) return rc;
+  if (doc != n_docs || query != n_queries) return -3;
+  qptr[n_queries] = n_docs;
+  return 0;
+}
+
+}  // extern "C"

@@ -68,6 +68,17 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.letor_fill.restype = ctypes.c_int
+        if hasattr(lib, "letor_value_stats"):
+            lib.letor_value_stats.argtypes = [
+                ctypes.c_char_p, i64, i64, p_f32, p_i64, p_f32,
+            ]
+            lib.letor_value_stats.restype = ctypes.c_int
+            lib.letor_fill_binned.argtypes = [
+                ctypes.c_char_p, p_f32, i64, p_f32,
+                ctypes.POINTER(ctypes.c_int16), i64, i64, p_i64, i64,
+                ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.letor_fill_binned.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -258,3 +269,83 @@ def native_feature_uniques(feats: np.ndarray, cap: int):
     if rc != 0:
         return None
     return vals, counts, minmax
+
+
+# ---- streaming parse→bin (letor_parser.cpp letor_value_stats/fill_binned) ---
+
+def native_letor_stat(path: str):
+    """Cheap first pass: (n_docs, n_queries, max_fid) or None."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    i64 = ctypes.c_int64
+    n_docs, n_queries, max_fid = i64(0), i64(0), i64(0)
+    rc = lib.letor_stat(path.encode(), ctypes.byref(n_docs),
+                        ctypes.byref(n_queries), ctypes.byref(max_fid))
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise NativeParseError(f"malformed LETOR file: {path} (rc={rc})")
+    return n_docs.value, n_queries.value, max_fid.value
+
+
+def native_letor_value_stats(path: str, n_feat: int, cap: int):
+    """Streaming per-feature capped uniques + min/max (implicit zeros of
+    unspecified fids folded in — bit-identical decisions to running the
+    dense capped-hash pass). Returns (vals [F, cap] f32, counts [F] i64
+    with cap+1 = over, minmax [F, 2] f32) or None when unavailable."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "letor_value_stats"):
+        return None
+    if cap <= 0 or cap > 400:
+        return None
+    vals = np.empty((n_feat, cap), np.float32)
+    counts = np.empty((n_feat,), np.int64)
+    minmax = np.empty((n_feat, 2), np.float32)
+    i64 = ctypes.c_int64
+    rc = lib.letor_value_stats(
+        path.encode(), i64(n_feat), i64(cap),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        counts.ctypes.data_as(ctypes.POINTER(i64)),
+        minmax.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise NativeParseError(f"streaming stats failed (rc={rc}): {path}")
+    return vals, counts, minmax
+
+
+def native_parse_letor_binned(path: str, thresholds, n_docs: int,
+                              n_queries: int):
+    """Second stream: parse + bin in one pass without a dense [N, F] f32.
+
+    Returns (labels [N] f32, bins [N, F] int16, qptr [Q+1] i64,
+    qids list[str], counts [N] i32) or None when unavailable."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "letor_fill_binned"):
+        return None
+    thr = np.ascontiguousarray(thresholds, dtype=np.float32)
+    F, B = thr.shape
+    labels = np.zeros(n_docs, np.float32)
+    bins = np.empty((n_docs, F), np.int16)
+    qptr = np.zeros(n_queries + 1, np.int64)
+    counts = np.zeros(n_docs, np.int32)
+    qidbuf = ctypes.create_string_buffer(n_queries * QID_STRIDE)
+    i64 = ctypes.c_int64
+    rc = lib.letor_fill_binned(
+        path.encode(),
+        thr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), i64(B),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bins.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        i64(n_docs), i64(F),
+        qptr.ctypes.data_as(ctypes.POINTER(i64)), i64(n_queries),
+        qidbuf, i64(QID_STRIDE),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise NativeParseError(f"streaming bin failed (rc={rc}): {path}")
+    qraw = qidbuf.raw
+    qids = [qraw[i * QID_STRIDE:(i + 1) * QID_STRIDE]
+            .split(b"\0", 1)[0].decode() for i in range(n_queries)]
+    return labels, bins, qptr, qids, counts
