@@ -216,8 +216,7 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
         elif scorer.metric == "MAP":
             lam_fn = lambda_weights_nosort_map
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: BoostState, t, data: BoostData) -> BoostState:
+    def step_impl(state: BoostState, t, data: BoostData) -> BoostState:
         scores = state.scores
 
         # ---- pseudo-responses ------------------------------------------
@@ -318,7 +317,42 @@ def make_round_step(scorer, *, n_bins: int, n_leaves: int,
             impacts=state.impacts + arr.impacts,
         )
 
-    return step
+    return _make_stepper(step_impl)
+
+
+def _make_stepper(step_impl):
+    """Wrap the raw round body into a callable stepper with two compiled
+    entry points:
+
+    * ``stepper(state, t, data)`` — one round per dispatch (used when the
+      host needs per-round values: the reference's live console table).
+    * ``stepper.multi(state, t0, t1, data)`` — rounds [t0, t1) chained in
+      ONE dispatch via ``lax.fori_loop`` with *traced* bounds, so a single
+      executable serves every chunk length. Through the remote tunnel each
+      dispatch costs ~2 ms amortized (and far more on a congested day —
+      BENCH_r02 recorded +7 ms/round of pure dispatch inflation vs the
+      chained-step probes); silent-mode training only needs host values at
+      checkpoint/early-stop boundaries, so everything between them chains
+      on device. Metric histories land in state.train_m/val_m exactly as
+      with per-round stepping — semantics are bit-identical
+      (tests/test_gbdt.py::test_multi_round_chunks_bit_identical).
+
+    ``stepper.impl`` exposes the untraced body for shard_map wrappers
+    (gbdt.boost_dist).
+    """
+    step = jax.jit(step_impl, donate_argnums=(0,))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, t0, t1, data):
+        return jax.lax.fori_loop(
+            t0, t1, lambda t, s: step_impl(s, t, data), state)
+
+    def stepper(state, t, data):
+        return step(state, t, data)
+
+    stepper.multi = multi
+    stepper.impl = step_impl
+    return stepper
 
 
 def init_state(n_trees: int, n_leaves: int, Npad: int, Nvpad: int,

@@ -209,7 +209,7 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
         scorer, n_bins=n_bins, n_leaves=n_leaves,
         min_leaf_support=min_leaf_support, learning_rate=learning_rate,
         pointwise=pointwise, newton=newton, n_queries=n_queries,
-        n_vqueries=n_vqueries, train_metric=train_metric, axis_name=axis)
+        n_vqueries=n_vqueries, train_metric=train_metric, axis_name=axis).impl
 
     def per_device(state, t, data):
         sq = lambda x: x[0]
@@ -237,7 +237,25 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
     mapped = jax.shard_map(per_device, mesh=mesh,
                            in_specs=(state_specs, rep, data_specs),
                            out_specs=state_specs, check_vma=False)
-    return jax.jit(mapped, donate_argnums=(0,))
+
+    # chained rounds [t0, t1) in one dispatch (see boost._make_stepper):
+    # the fori wraps the per-device body INSIDE shard_map so histograms
+    # still psum every round while the host stays out of the loop
+    def per_device_multi(state, t0, t1, data):
+        return jax.lax.fori_loop(
+            t0, t1, lambda t, s: per_device(s, t, data), state)
+
+    mapped_multi = jax.shard_map(per_device_multi, mesh=mesh,
+                                 in_specs=(state_specs, rep, rep,
+                                           data_specs),
+                                 out_specs=state_specs, check_vma=False)
+
+    def stepper(state, t, data):
+        return stepper._single(state, t, data)
+
+    stepper._single = jax.jit(mapped, donate_argnums=(0,))
+    stepper.multi = jax.jit(mapped_multi, donate_argnums=(0,))
+    return stepper
 
 
 def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,

@@ -197,29 +197,52 @@ class LambdaMART(Ranker):
         silent = is_silent()
         # silent (bench/production) mode: only sync at early-stop checkpoints
         check = 1 if not silent else max(1, min(self.early_stop or 50, 50))
+        multi = getattr(step, "multi", None)
         built = 0
-        for t in range(rounds):
-            state = step(state, t, data)
-            built = t + 1
+        t = 0
+        while t < rounds:
+            # chain every round up to the next host event (per-round table
+            # line when not silent, else checkpoint write or early-stop
+            # check) in ONE dispatch — per-round dispatch through the
+            # remote tunnel costs ~2 ms amortized and is the bench's
+            # dominant noise source (BENCH_r02). All modes run the SAME
+            # chained executable (chunk length 1 when live-printing), so
+            # models are bit-identical at any sync cadence.
+            if silent:
+                nxt = rounds
+                if self.ckpt_every:
+                    nxt = min(nxt,
+                              (t // self.ckpt_every + 1) * self.ckpt_every)
+                if has_val and self.early_stop > 0:
+                    nxt = min(nxt, (t // check + 1) * check)
+            else:
+                nxt = t + 1
+            if multi is not None:
+                state = multi(state, t, nxt, data)
+            else:
+                for k in range(t, nxt):
+                    state = step(state, k, data)
+            built = nxt
+            t = nxt
             if not silent:
-                tm = float(state.train_m[t])
-                line = f"{t + 1:<8}| {tm:<11.4f}"
+                tm = float(state.train_m[t - 1])
+                line = f"{t:<8}| {tm:<11.4f}"
                 vm = None
                 if has_val:
-                    vm = float(state.val_m[t])
+                    vm = float(state.val_m[t - 1])
                     line += f"| {vm:<11.4f}"
                 log(line)
-                event("round", ranker=self.NAME, round=t + 1,
+                event("round", ranker=self.NAME, round=t,
                       train_metric=tm, val_metric=vm)
             if self.ckpt_every and built % self.ckpt_every == 0:
                 self.ensemble = export(state, built, built)
                 self.save(self.ckpt_path)
-            if has_val and self.early_stop > 0 and (t + 1) % check == 0:
+            if has_val and self.early_stop > 0 and built % check == 0:
                 # replay the reference's per-round rule over the history so
                 # the stop ROUND is identical no matter how rarely the host
                 # syncs (silent mode checks in batches; a late new best must
                 # not resurrect a run that had already stopped semantically)
-                hist = np.asarray(state.val_m[: t + 1])
+                hist = np.asarray(state.val_m[:built])
                 sr = _stop_round(hist, self.early_stop)
                 if sr is not None:
                     built = sr

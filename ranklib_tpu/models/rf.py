@@ -159,8 +159,8 @@ class RFRanker(Ranker):
             bag_data = data._replace(doc_mask=jnp.asarray(doc_w),
                                      feat_mask=jnp.asarray(fmask))
             state = init_state(self.n_trees, self.n_leaves, Npad, 0, F)
-            for t in range(self.n_trees):
-                state = step(state, t, bag_data)
+            # whole bag in one dispatch: no host event between rounds
+            state = step.multi(state, 0, self.n_trees, bag_data)
             arrs = jax.device_get((state.tfeat, state.tbin, state.tleft,
                                    state.tright, state.tleaf, state.tout,
                                    state.tnodes))
