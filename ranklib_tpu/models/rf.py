@@ -239,6 +239,7 @@ class RFRanker(Ranker):
             m = np.zeros((Cb, Q + 1), np.float32)       # col Q = pad docs
             fm = np.ones((Cb, F), bool)                 # pad bags: no-ops
             m[:n_real, :Q] = bag_m[lo:lo + n_real]
+            fm[:n_real] = np.stack(bag_f[lo:lo + n_real])
             mult = jnp.asarray(m)
             fmask = jnp.asarray(fm)
             scores = jnp.zeros((Cb, Npad), jnp.float32)
