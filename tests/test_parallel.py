@@ -209,3 +209,17 @@ def test_mesh_fit_warm_start_resume():
     m_full = full.score_metric(train, scorer)
     m_res = resumed.score_metric(train, scorer)
     assert abs(m_full - m_res) < 0.05
+
+
+def test_scaling_harness_mechanism():
+    """The one-command scaling harness (VERDICT round-2 task 6) runs the
+    full device-count ladder on the virtual CPU mesh: mechanism + sanity
+    only — the ≥80% efficiency NUMBER needs real multi-host hardware
+    (docs/SCALING.md holds the committed virtual-mesh table)."""
+    import numpy as np
+
+    from __graft_entry__ import scaling_harness
+
+    rows = scaling_harness((1, 2, 4, 8), n_rounds=4, n_queries=48)
+    assert [nd for nd, _ in rows] == [1, 2, 4, 8]
+    assert all(np.isfinite(dt) and dt > 0 for _, dt in rows)
