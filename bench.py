@@ -216,6 +216,16 @@ def main() -> int:
             except Exception as e:             # noqa: BLE001
                 print(f"bench extra {name} failed: {e!r}", file=sys.stderr)
                 extra[f"{name}_rounds_s"] = None
+        try:                                   # ---- RankNet at ref defaults
+            from ranklib_tpu.models.neural import RankNet
+            E = 100 if on_tpu else 10
+            RankNet(n_epoch=2).fit(train, scorer)     # compile
+            t0 = time.perf_counter()
+            RankNet(n_epoch=E).fit(train, scorer)
+            extra[f"ranknet_{E}epochs_s"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:                 # noqa: BLE001
+            print(f"bench extra ranknet failed: {e!r}", file=sys.stderr)
+            extra["ranknet_epochs_s"] = None
         return extra
 
     def _timed_value_read(fn) -> float:

@@ -238,3 +238,44 @@ def test_estop_and_rollback_parity():
     # same number of trees survive early stop + best-round rollback
     assert len(eng.ensemble.trees) == len(o.trees)
     _assert_model_parity(eng, o, ds, scorer)
+
+
+@pytest.mark.slow
+def test_drift_at_depth_100_trees():
+    """f32 drift over a deep ensemble (VERDICT round-2 task 8; SURVEY §7
+    names this the main parity risk). Measured 2026-08-20
+    (tools/exp_drift_depth.py): structures stay split-for-split identical
+    through 250 trees; max |score drift| 7.1e-07 at 100 trees / 2.3e-06 at
+    250 (≈9e-9/tree — extrapolates to ~1e-5 at the reference's 1000-tree
+    default, 200× inside the ±0.002 north star); train-NDCG diff < 5e-8.
+    The engine needs no f64 score accumulation. This test pins the
+    100-tree point with headroom."""
+    ds = synth_dataset(n_queries=60, n_features=8, min_docs=20, max_docs=40,
+                       gmax=2, seed=171)
+    scorer = create_scorer("NDCG@10")
+    eng = LambdaMART(n_trees=100, n_leaves=4, learning_rate=0.1,
+                     n_threshold=32, early_stop=0)
+    eng.fit(ds, scorer)
+    o = orc.OracleLambdaMART(
+        n_trees=100, n_leaves=4, learning_rate=0.1, n_threshold=32,
+        min_leaf_support=1.0, early_stop=0, metric="NDCG", k=10,
+        gmax=scorer.gmax, pointwise=False, newton=True)
+    oq = orc.dataset_to_oracle(ds)
+    o.fit(oq)
+
+    assert len(eng.ensemble.trees) == len(o.trees) == 100
+    for t, (te, to) in enumerate(zip(eng.ensemble.trees, o.trees)):
+        assert te.n_slots == len(to.nodes), f"tree {t} slot count"
+        for s in range(te.n_slots):
+            nd = to.nodes[s]
+            assert bool(te.is_leaf[s]) == nd.is_leaf, f"tree {t} slot {s}"
+            if not nd.is_leaf:
+                assert int(te.feature[s]) == nd.feature, f"tree {t} slot {s}"
+
+    eng_scores = eng.eval_dataset(ds)
+    drift = max(float(np.abs(np.asarray(es) - o.predict_query(q)).max())
+                for q, es in zip(oq, eng_scores))
+    assert drift < 5e-6, f"score drift {drift:.2e} at 100 trees"
+    m_eng = score_dataset(scorer, ds, eng_scores)[0]
+    m_orc = o._dataset_metric(oq, [o.predict_query(q) for q in oq])
+    assert abs(m_eng - m_orc) < 1e-6
