@@ -46,10 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-test", metavar="file")
     p.add_argument("-norm", choices=["sum", "zscore", "linear"])
     p.add_argument("-sparse", action="store_true",
-                   help="tree rankers: stream the input straight into the "
-                        "int16 bin matrix (never materializes the dense "
-                        "float matrix — for wide/sparse data); other "
-                        "rankers keep dense storage")
+                   help="memory-lean input for wide/sparse data: tree "
+                        "rankers stream straight into the int16 bin "
+                        "matrix; neural/linear/CoorAscent/AdaRank land in "
+                        "host CSR with bounded dense chunks (neither ever "
+                        "materializes the full dense float matrix); "
+                        "RankBoost keeps dense storage")
     p.add_argument("-save", metavar="file")
     p.add_argument("-kcv", type=int, default=-1)
     p.add_argument("-kcvmd", metavar="dir")

@@ -50,6 +50,9 @@ def split_tvs(ds: Dataset, tvs: float):
     if getattr(ds, "binned", None) is not None:
         from ranklib_tpu.data.binned import split_binned
         return split_binned(ds, n_train)
+    if hasattr(ds, "subset_queries"):        # CSRDataset keeps CSR views
+        return (ds.subset_queries(range(n_train)),
+                ds.subset_queries(range(n_train, len(ds.queries))))
     return (
         Dataset(ds.queries[:n_train], ds.n_features),
         Dataset(ds.queries[n_train:], ds.n_features),

@@ -151,29 +151,51 @@ def bucketize(ds: Dataset, with_feats: bool = True) -> list:
 
     Query order inside a bucket follows file order; macro-averaged metrics
     are order-independent so bucketing never changes results.
+
+    CSR datasets (``data.sparse.CSRDataset``: feats live in host CSR, not
+    on the Query objects) are materialized here in bounded CHUNKS — each
+    yielded bucket's dense block stays under the sparse chunk budget, so
+    the peak host allocation is one chunk instead of [N, F]. Chunking
+    splits a size class into more buckets but preserves query order, so
+    sequential consumers (the neural per-query SGD scan) visit queries in
+    exactly the dense pipeline's order.
     """
     groups = {}
     for qi, q in enumerate(ds.queries):
         groups.setdefault(padded_size(q.n), []).append(qi)
+    sparse = with_feats and hasattr(ds, "materialize_query")
+    if sparse:
+        from ranklib_tpu.data.sparse import _chunk_bytes
+        rows_cap_bytes = _chunk_bytes()
     buckets = []
     for D in sorted(groups):
-        idxs = groups[D]
-        B = len(idxs)
-        labels = np.zeros((B, D), dtype=np.float32)
-        mask = np.zeros((B, D), dtype=bool)
-        n_docs = np.zeros((B,), dtype=np.int32)
-        feats = np.zeros((B, D, ds.n_features), dtype=np.float32) if with_feats else None
-        for b, qi in enumerate(idxs):
-            q = ds.queries[qi]
-            labels[b, : q.n] = q.labels
-            mask[b, : q.n] = True
-            n_docs[b] = q.n
-            if with_feats:
-                feats[b, : q.n] = q.feats
-        buckets.append(
-            QueryBucket(feats=feats, labels=labels, mask=mask,
-                        qidx=np.asarray(idxs, dtype=np.int32), n_docs=n_docs)
-        )
+        idxs_all = groups[D]
+        if sparse:
+            rows = max(1, rows_cap_bytes // (D * ds.n_features * 4))
+            chunks = [idxs_all[i: i + rows]
+                      for i in range(0, len(idxs_all), rows)]
+        else:
+            chunks = [idxs_all]
+        for idxs in chunks:
+            B = len(idxs)
+            labels = np.zeros((B, D), dtype=np.float32)
+            mask = np.zeros((B, D), dtype=bool)
+            n_docs = np.zeros((B,), dtype=np.int32)
+            feats = (np.zeros((B, D, ds.n_features), dtype=np.float32)
+                     if with_feats else None)
+            for b, qi in enumerate(idxs):
+                q = ds.queries[qi]
+                labels[b, : q.n] = q.labels
+                mask[b, : q.n] = True
+                n_docs[b] = q.n
+                if with_feats:
+                    feats[b, : q.n] = (ds.materialize_query(qi) if sparse
+                                       else q.feats)
+            buckets.append(
+                QueryBucket(feats=feats, labels=labels, mask=mask,
+                            qidx=np.asarray(idxs, dtype=np.int32),
+                            n_docs=n_docs)
+            )
     return buckets
 
 
@@ -208,3 +230,17 @@ def flatten(ds: Dataset):
         pos += q.n
         qptr[i + 1] = pos
     return feats, labels, qptr
+
+
+def query_feats(ds: Dataset, qi: int) -> np.ndarray:
+    """Raw [n, F] feature block of query ``qi`` — direct for dense
+    datasets, materialized on demand for CSR ones. Raises for bin-only
+    datasets (the streaming GBDT representation has no raw values)."""
+    q = ds.queries[qi]
+    if q.feats is not None:
+        return q.feats
+    if hasattr(ds, "materialize_query"):
+        return ds.materialize_query(qi)
+    raise RankLibError(
+        "dataset carries no raw feature values (streamed bin matrix); "
+        "use the dense or CSR pipeline for this ranker")

@@ -1,0 +1,282 @@
+"""Host-CSR dataset for wide/sparse inputs feeding RAW-VALUE rankers.
+
+The streaming parse→bin loader (data.binned) serves the GBDT family,
+which only consumes bin ids — but neural, linear, Coordinate Ascent and
+AdaRank train on raw feature VALUES, and routing them through the dense
+pipeline materializes the full ``[N, F]`` float32 matrix: the host-RAM
+wall the reference avoids with storage-level sparse vectors
+(ref: learning/SparseDataPoint.java:~15 fid[]/val[] arrays).
+
+This module is the TPU-shaped equivalent: the file lands in host CSR
+(``indptr``/``fids``/``vals`` — memory ~ nnz), and dense blocks are
+materialized ON DEMAND in bounded chunks:
+
+* :func:`ranklib_tpu.data.dataset.bucketize` detects a CSRDataset and
+  yields bucket CHUNKS whose dense block stays under
+  ``SPARSE_CHUNK_BYTES`` (env ``RANKLIB_TPU_SPARSE_CHUNK_MB``), so the
+  peak host allocation is one chunk, never the whole matrix. Training
+  loops iterate buckets anyway — chunking preserves query visit order
+  bit-for-bit (pinned by the parity tests).
+* Linear regression accumulates its f64 normal equations chunk by chunk
+  (models/linear.py) — the Gram matrix is [F+1, F+1], never [N, F].
+* Per-query scoring paths materialize one query at a time.
+
+Note the DEVICE footprint of CA/AdaRank is unchanged (their evaluators
+keep every chunk resident in HBM because the metric is re-evaluated each
+sweep); the host-RAM ceiling is what this lifts. A gather/segment-sum
+first layer (embedding-style sparse matmul) would lift the HBM ceiling
+too and is the natural next step if truly wide data shows up.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ranklib_tpu.data.dataset import Dataset, Query
+from ranklib_tpu.utils.errors import RankLibError
+from ranklib_tpu.utils.logging import log
+
+
+def _chunk_bytes() -> int:
+    mb = os.environ.get("RANKLIB_TPU_SPARSE_CHUNK_MB", "256")
+    try:
+        return max(1, int(mb)) << 20
+    except ValueError:
+        return 256 << 20
+
+
+@dataclass
+class CSRDataset(Dataset):
+    """A feats-free Dataset plus host CSR storage of the raw values.
+
+    ``queries[i].feats is None``; rows are docs in query file order.
+    """
+
+    indptr: np.ndarray = None    # [N+1] int64 — per-doc pair ranges
+    fids: np.ndarray = None      # [nnz] int32, 0-based feature ids
+    vals: np.ndarray = None      # [nnz] float32
+    qrow: np.ndarray = None      # [Q+1] int64 — query → doc-row range
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    # ---- dense materialization (bounded by the caller) ---------------------
+    def materialize_rows(self, lo: int, hi: int,
+                         width: int | None = None) -> np.ndarray:
+        """Dense [hi-lo, width] block of doc rows [lo, hi). Duplicate fids
+        on one line keep last-wins semantics like the dense parser's
+        overwrite; fids ≥ width are clipped (unusable by the model)."""
+        F = int(width if width is not None else self.n_features)
+        out = np.zeros((hi - lo, F), np.float32)
+        s, e = int(self.indptr[lo]), int(self.indptr[hi])
+        if e > s:
+            rows = np.repeat(np.arange(hi - lo),
+                             np.diff(self.indptr[lo: hi + 1]))
+            f = self.fids[s:e]
+            keep = f < F
+            out[rows[keep], f[keep]] = self.vals[s:e][keep]
+        return out
+
+    def materialize_query(self, qi: int,
+                          width: int | None = None) -> np.ndarray:
+        return self.materialize_rows(int(self.qrow[qi]),
+                                     int(self.qrow[qi + 1]), width)
+
+    # ---- Dataset contract overrides ----------------------------------------
+    def subset_queries(self, idxs) -> "CSRDataset":
+        """New CSRDataset of the given query indices (file order of idxs)."""
+        idxs = list(idxs)
+        counts = np.diff(self.indptr)
+        row_chunks, fid_chunks, val_chunks, queries = [], [], [], []
+        for qi in idxs:
+            lo, hi = int(self.qrow[qi]), int(self.qrow[qi + 1])
+            row_chunks.append(counts[lo:hi])
+            s, e = int(self.indptr[lo]), int(self.indptr[hi])
+            fid_chunks.append(self.fids[s:e])
+            val_chunks.append(self.vals[s:e])
+            queries.append(self.queries[qi])
+        new_counts = (np.concatenate(row_chunks) if row_chunks
+                      else np.zeros(0, np.int64))
+        indptr = np.zeros(len(new_counts) + 1, np.int64)
+        np.cumsum(new_counts, out=indptr[1:])
+        qrow = np.zeros(len(idxs) + 1, np.int64)
+        np.cumsum([q.n for q in queries], out=qrow[1:])
+        return CSRDataset(
+            queries=queries, n_features=self.n_features, indptr=indptr,
+            fids=(np.concatenate(fid_chunks) if fid_chunks
+                  else np.zeros(0, np.int32)),
+            vals=(np.concatenate(val_chunks) if val_chunks
+                  else np.zeros(0, np.float32)),
+            qrow=qrow)
+
+    def subset_features(self, fids) -> "CSRDataset":
+        keep = np.zeros(self.n_features, dtype=bool)
+        for fid in fids:
+            if fid < 1 or fid > self.n_features:
+                raise RankLibError(
+                    f"Feature id {fid} out of range 1..{self.n_features}")
+            keep[fid - 1] = True
+        sel = keep[self.fids]
+        counts = np.diff(self.indptr)
+        new_counts = np.zeros(len(counts), np.int64)
+        np.add.at(new_counts,
+                  np.repeat(np.arange(len(counts)), counts)[sel], 1)
+        indptr = np.zeros(len(counts) + 1, np.int64)
+        np.cumsum(new_counts, out=indptr[1:])
+        return CSRDataset(
+            queries=self.queries, n_features=self.n_features,
+            indptr=indptr, fids=self.fids[sel], vals=self.vals[sel],
+            qrow=self.qrow)
+
+    def with_width(self, n_features: int) -> "CSRDataset":
+        """Clip/pad is a pure width change: materialization already clips
+        fids ≥ width and implicit columns read 0."""
+        if n_features == self.n_features:
+            return self
+        return CSRDataset(queries=self.queries, n_features=n_features,
+                          indptr=self.indptr, fids=self.fids,
+                          vals=self.vals, qrow=self.qrow)
+
+
+def _py_parse_csr(path: str):
+    """Python fallback (no g++ / oversized tokens): same outputs as
+    native_parse_letor_csr."""
+    import gzip
+
+    labels, counts, qids = [], [], []
+    fid_chunks, val_chunks, starts = [], [], []
+    prev_qid = None
+    max_fid = 0
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as fh:
+        for ln, line in enumerate(fh, 1):
+            body = line.split("#", 1)[0].strip()
+            if not body:
+                continue
+            toks = body.split()
+            if len(toks) < 2 or not toks[1].startswith("qid:"):
+                raise RankLibError(f"{path}:{ln}: malformed line")
+            try:
+                label = float(toks[0])
+            except ValueError:
+                raise RankLibError(f"{path}:{ln}: bad label {toks[0]!r}")
+            if label < 0:
+                raise RankLibError(f"{path}:{ln}: negative label")
+            qid = toks[1][4:]
+            row_f, row_v = [], []
+            for tok in toks[2:]:
+                fid_s, _, val_s = tok.partition(":")
+                try:
+                    fid = int(fid_s)
+                    val = float(val_s)
+                except ValueError:
+                    raise RankLibError(f"{path}:{ln}: bad pair {tok!r}")
+                if fid <= 0:
+                    raise RankLibError(f"{path}:{ln}: fid must be >= 1")
+                row_f.append(fid - 1)
+                row_v.append(val)
+                max_fid = max(max_fid, fid)
+            labels.append(label)
+            counts.append(len(row_f))
+            fid_chunks.append(row_f)
+            val_chunks.append(row_v)
+            if qid != prev_qid:
+                qids.append(qid)
+                starts.append(len(labels) - 1)
+                prev_qid = qid
+    if not labels:
+        raise RankLibError(f"No queries read from {path}")
+    qptr = np.asarray(starts + [len(labels)], np.int64)
+    counts = np.asarray(counts, np.int32)
+    indptr = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    fids = np.asarray([f for row in fid_chunks for f in row], np.int32)
+    vals = np.asarray([v for row in val_chunks for v in row], np.float32)
+    return (np.asarray(labels, np.float32), qptr, qids, indptr, fids, vals,
+            counts, max_fid)
+
+
+def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
+                      n_features: int | None = None,
+                      missing_zero: bool = True,
+                      quiet: bool = False) -> CSRDataset:
+    """Stream a LETOR file into a :class:`CSRDataset` (native parser when
+    available, Python fallback otherwise; gzip via streamed temp
+    decompression like the dense native path)."""
+    from ranklib_tpu.native.loader import (
+        NativeParseError, native_parse_letor_csr,
+    )
+
+    parsed = None
+    if path.endswith(".gz"):
+        import gzip
+        import shutil
+        import tempfile
+        import zlib
+
+        with tempfile.NamedTemporaryFile(suffix=".letor",
+                                         delete=False) as tmp:
+            tmp_path = tmp.name
+        try:
+            try:
+                with gzip.open(path, "rb") as src, \
+                        open(tmp_path, "wb") as dst:
+                    shutil.copyfileobj(src, dst, length=1 << 20)
+            except (OSError, EOFError, zlib.error):
+                parsed = _py_parse_csr(path)     # exact gzip error surfaces
+            if parsed is None:
+                try:
+                    parsed = native_parse_letor_csr(tmp_path)
+                except NativeParseError:
+                    parsed = None
+                if parsed is None:
+                    parsed = _py_parse_csr(tmp_path)
+        finally:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+    else:
+        try:
+            parsed = native_parse_letor_csr(path)
+        except NativeParseError:
+            parsed = None
+        if parsed is None:
+            parsed = _py_parse_csr(path)
+    labels, qptr, qids, indptr, fids, vals, counts, max_fid = parsed
+
+    if not missing_zero:
+        from ranklib_tpu.data.letor import _check_fully_specified
+        _check_fully_specified(path, counts, max_fid, qptr, qids)
+
+    F = max(int(max_fid), int(n_features or 0))
+    queries = []
+    qrow = [0]
+    for i, qid in enumerate(qids):
+        s, e = int(qptr[i]), int(qptr[i + 1])
+        queries.append(Query(qid=qid, labels=labels[s:e], feats=None,
+                             descs=[]))
+        qrow.append(e)
+    ds = CSRDataset(queries=queries, n_features=F,
+                    indptr=indptr, fids=fids, vals=vals,
+                    qrow=np.asarray(qrow, np.int64))
+    if must_have_rel_doc:
+        keep = [i for i, q in enumerate(ds.queries) if (q.labels > 0).any()]
+        if not keep:
+            raise RankLibError(f"No queries with a relevant doc in {path}")
+        if len(keep) < len(ds.queries):
+            if not quiet:
+                log(f"[-sparse] dropped {len(ds.queries) - len(keep)} "
+                    f"queries with no relevant doc")
+            ds = ds.subset_queries(keep)
+    if not quiet:
+        dense_mb = ds.n_docs * F * 4 / (1 << 20)
+        csr_mb = (ds.nnz * 8 + ds.n_docs * 8) / (1 << 20)
+        log(f"(CSR: {len(ds.queries)} ranked lists, {ds.n_docs} entries, "
+            f"{ds.nnz} stored values — {csr_mb:.0f} MB vs "
+            f"{dense_mb:.0f} MB dense)")
+    return ds

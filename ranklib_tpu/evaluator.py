@@ -85,6 +85,18 @@ def _try_stream(args) -> bool:
                 and not args.norm and not args.feature)
 
 
+def _try_csr(args) -> bool:
+    """-sparse routes RAW-VALUE rankers (neural 1/5/7, AdaRank 3,
+    CoorAscent 4, linear 9) through the host-CSR loader (data.sparse):
+    memory ~ nnz, dense blocks materialized in bounded chunks. Per-query
+    normalization densifies (implicit zeros become nonzero), so -norm
+    falls back to the dense pipeline; RF (8) trains through the GBDT
+    binned stream only via -rtype plumbing and RankBoost (2) still needs
+    the dense pipeline (its weak search consumes its own bin grid)."""
+    return bool(args.sparse and args.ranker in (1, 3, 4, 5, 7, 9)
+                and not args.norm)
+
+
 def evaluate_train(args) -> Ranker:
     """Flow 3.1/3.2-adjacent: train (+validate) (+test), save model."""
     feature_fids = read_feature_file(args.feature) if args.feature else None
@@ -95,6 +107,7 @@ def evaluate_train(args) -> Ranker:
     )
     must_rel = train_scorer.needs_rel
     stream = _try_stream(args)
+    csr = not stream and _try_csr(args)
     if stream:
         from ranklib_tpu.data.binned import read_letor_binned
         tc = args.tc if args.tc is not None else 256
@@ -108,7 +121,21 @@ def evaluate_train(args) -> Ranker:
             log(f"[-sparse] streaming loader not applicable ({e}); "
                 f"using the dense pipeline")
             stream = False
-    if not stream:
+    if csr:
+        from ranklib_tpu.data.sparse import read_letor_sparse
+        try:
+            train = read_letor_sparse(
+                args.train, must_have_rel_doc=must_rel,
+                missing_zero=args.missingZero)
+            if args.qrel:
+                apply_qrel(train, args.qrel)
+            if feature_fids is not None:
+                train = train.subset_features(feature_fids)
+        except RankLibError as e:
+            log(f"[-sparse] CSR loader not applicable ({e}); "
+                f"using the dense pipeline")
+            csr = False
+    if not stream and not csr:
         train = _prepare(args.train, args.norm, feature_fids, must_rel,
                          missing_zero=args.missingZero,
                          qrel=args.qrel)
@@ -131,6 +158,18 @@ def evaluate_train(args) -> Ranker:
                 missing_zero=args.missingZero)
             if args.qrel:
                 apply_qrel(validation, args.qrel)
+        elif csr:
+            from ranklib_tpu.data.sparse import read_letor_sparse
+            validation = read_letor_sparse(
+                args.validate, must_have_rel_doc=must_rel,
+                n_features=train.n_features,
+                missing_zero=args.missingZero)
+            if validation.n_features != train.n_features:
+                validation = validation.with_width(train.n_features)
+            if args.qrel:
+                apply_qrel(validation, args.qrel)
+            if feature_fids is not None:
+                validation = validation.subset_features(feature_fids)
         else:
             validation = _prepare(args.validate, args.norm, feature_fids,
                                   must_rel, missing_zero=args.missingZero,
@@ -158,6 +197,17 @@ def evaluate_train(args) -> Ranker:
                 missing_zero=args.missingZero)
             if args.qrel:
                 apply_qrel(test, args.qrel)
+        elif csr:
+            from ranklib_tpu.data.sparse import read_letor_sparse
+            test = read_letor_sparse(
+                args.test, n_features=train.n_features,
+                missing_zero=args.missingZero)
+            if test.n_features != train.n_features:
+                test = test.with_width(train.n_features)
+            if args.qrel:
+                apply_qrel(test, args.qrel)
+            if feature_fids is not None:
+                test = test.subset_features(feature_fids)
         else:
             test = _prepare(args.test, args.norm, feature_fids, False,
                             n_features=train.n_features, qrel=args.qrel,

@@ -231,12 +231,14 @@ class AdaRank(Ranker):
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
+        from ranklib_tpu.data.dataset import query_feats
+
         if self.weights is None:
             raise RankLibError("Model not trained/loaded")
         w = np.zeros(ds.n_features, np.float32)
         k = min(len(self.weights), len(w))
         w[:k] = self.weights[:k]
-        return [q.feats @ w for q in ds.queries]
+        return [query_feats(ds, qi) @ w for qi in range(len(ds.queries))]
 
     # ---- serialization -----------------------------------------------------
     def model_str(self) -> str:

@@ -174,13 +174,15 @@ class CoorAscent(Ranker):
 
     # ---- scoring / io ------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
+        from ranklib_tpu.data.dataset import query_feats
+
         if self.weights is None:
             raise RankLibError("Model not trained/loaded")
         w = np.zeros(ds.n_features, np.float64)
         n = min(len(self.weights), ds.n_features)
         w[:n] = self.weights[:n]
         wf = w.astype(np.float32)
-        return [q.feats @ wf for q in ds.queries]
+        return [query_feats(ds, qi) @ wf for qi in range(len(ds.queries))]
 
     def model_str(self) -> str:
         hdr = model_header(

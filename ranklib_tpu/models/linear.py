@@ -44,17 +44,41 @@ class LinearRegRank(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer=None, validation=None):
-        feats, labels, _ = flatten(train)
-        N, F = feats.shape
-        X = np.concatenate([np.ones((N, 1), np.float32), feats], axis=1)
-        if N * (F + 1) <= (1 << 22):
-            # small problems: full f64 on host for exact normal equations
-            Xd = X.astype(np.float64)
-            xtx = Xd.T @ Xd
-            xty = Xd.T @ labels.astype(np.float64)
+        if (train.queries and train.queries[0].feats is None
+                and hasattr(train, "materialize_rows")):
+            # CSR (-sparse): chunked f64 normal equations — the Gram
+            # matrix is [F+1, F+1]; the dense [N, F] block never
+            # materializes (data/sparse.py)
+            from ranklib_tpu.data.dataset import flatten_meta
+            from ranklib_tpu.data.sparse import _chunk_bytes
+
+            F = train.n_features
+            labels, _ = flatten_meta(train)
+            N = train.n_docs
+            # chunk budget counts BOTH live blocks: the f32 materialized
+            # rows (4 B/elem) and their f64 design-matrix copy (8 B/elem)
+            rows = max(1, _chunk_bytes() // (F * 12))
+            xtx = np.zeros((F + 1, F + 1), np.float64)
+            xty = np.zeros((F + 1,), np.float64)
+            for lo in range(0, N, rows):
+                hi = min(lo + rows, N)
+                X = np.empty((hi - lo, F + 1), np.float64)
+                X[:, 0] = 1.0
+                X[:, 1:] = train.materialize_rows(lo, hi)
+                xtx += X.T @ X
+                xty += X.T @ labels[lo:hi].astype(np.float64)
         else:
-            xtx, xty = (np.asarray(a, np.float64) for a in _gram(
-                jnp.asarray(X), jnp.asarray(labels)))
+            feats, labels, _ = flatten(train)
+            N, F = feats.shape
+            X = np.concatenate([np.ones((N, 1), np.float32), feats], axis=1)
+            if N * (F + 1) <= (1 << 22):
+                # small problems: full f64 on host for exact normal equations
+                Xd = X.astype(np.float64)
+                xtx = Xd.T @ Xd
+                xty = Xd.T @ labels.astype(np.float64)
+            else:
+                xtx, xty = (np.asarray(a, np.float64) for a in _gram(
+                    jnp.asarray(X), jnp.asarray(labels)))
         xtx[np.diag_indices_from(xtx)] += self.lam
         try:
             self.weights = np.linalg.solve(xtx, xty)
@@ -65,13 +89,15 @@ class LinearRegRank(Ranker):
                 f"{self.score_metric(train, scorer):.4f}")
 
     def eval_dataset(self, ds: Dataset):
+        from ranklib_tpu.data.dataset import query_feats
+
         w = self.weights
         if w is None:
             raise RankLibError("Model not trained/loaded")
         wf = np.zeros(ds.n_features + 1, np.float64)
         wf[: min(len(w), len(wf))] = w[: len(wf)]
-        return [q.feats @ wf[1:].astype(np.float32) + np.float32(wf[0])
-                for q in ds.queries]
+        return [query_feats(ds, qi) @ wf[1:].astype(np.float32)
+                + np.float32(wf[0]) for qi in range(len(ds.queries))]
 
     def model_str(self) -> str:
         body = " ".join(f"{i}:{self.weights[i]}" for i in range(len(self.weights)))

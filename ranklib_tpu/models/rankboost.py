@@ -318,18 +318,20 @@ class RankBoost(Ranker):
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):
+        from ranklib_tpu.data.dataset import query_feats
+
         if not self.weaks:
             raise RankLibError("Model not trained/loaded")
-        feats, _, qptr = flatten(ds)
-        F = feats.shape[1]
+        F = ds.n_features
         fids = np.array([min(w[0] - 1, F - 1) for w in self.weaks])
         inrange = np.array([w[0] <= F for w in self.weaks], np.float32)
         thetas = np.array([w[1] for w in self.weaks], np.float32)
         alphas = np.array([w[2] for w in self.weaks], np.float32) * inrange
         # H(d) = Σ_t α_t · [v_{f_t}(d) > θ_t] — one gather + one matvec
-        flat = (feats[:, fids] > thetas[None, :]).astype(np.float32) @ alphas
-        return [flat[qptr[i]: qptr[i + 1]].astype(np.float32)
-                for i in range(len(ds.queries))]
+        return [
+            ((query_feats(ds, qi)[:, fids] > thetas[None, :])
+             .astype(np.float32) @ alphas).astype(np.float32)
+            for qi in range(len(ds.queries))]
 
     # ---- serialization -----------------------------------------------------
     def model_str(self) -> str:

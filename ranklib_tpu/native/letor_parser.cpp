@@ -490,3 +490,121 @@ int letor_fill_binned(const char* path, const float* thr, int64_t n_bins,
 }
 
 }  // extern "C"
+
+// ---- CSR path (raw values for wide/sparse inputs) ---------------------------
+//
+// The raw-value rankers (neural, linear, CoorAscent, AdaRank) need actual
+// feature VALUES, which the binned stream above deliberately discards.
+// These two passes land the file in host CSR — memory ~ nnz instead of
+// N*F — and the Python side materializes bounded dense chunks on demand
+// (ref: learning/SparseDataPoint.java:~15 fid[]/val[] storage).
+
+extern "C" {
+
+// Pair count pass (letor_stat does not count fid:val pairs). Returns 0 ok,
+// -1 io error, -2 malformed, -4 capacity (oversized qid).
+int letor_nnz(const char* path, int64_t* nnz_out) {
+  int64_t size = 0;
+  char* buf = read_file(path, &size);
+  if (buf == nullptr) return -1;
+  int64_t nnz = 0;
+  char qid[QID_MAX + 1];
+  char* p = buf;
+  char* fend = buf + size;
+  int rc = 0;
+  while (p < fend) {
+    char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
+    char* lend = (nl != nullptr) ? nl : fend;
+    float label;
+    int r = parse_line<false>(
+        p, lend, &label, qid, [&](int64_t, float) { ++nnz; }, nullptr, 0);
+    if (r < 0) {
+      rc = (r == -2) ? -4 : -2;
+      break;
+    }
+    p = lend + 1;
+  }
+  free(buf);
+  if (rc != 0) return rc;
+  *nnz_out = nnz;
+  return 0;
+}
+
+// CSR fill: labels[n_docs], qptr[n_queries+1], qids, counts[n_docs]
+// (fid:val pairs per line — doubles as the CSR indptr diffs AND feeds the
+// strict missing-feature check), fids[nnz] int32 0-BASED, vals[nnz] f32.
+// Pair order is file order; duplicate fids on one line are kept as-is so
+// last-wins materialization matches letor_fill's overwrite semantics.
+// Returns 0 ok, -1 io, -2 malformed, -3 overflow vs the stat/nnz passes,
+// -4 capacity (oversized qid — caller falls back to Python).
+int letor_fill_csr(const char* path, float* labels, int64_t n_docs,
+                   int64_t* qptr, int64_t n_queries, char* qidbuf,
+                   int64_t qid_stride, int32_t* fids, float* vals,
+                   int64_t nnz, int32_t* counts) {
+  int64_t size = 0;
+  char* buf = read_file(path, &size);
+  if (buf == nullptr) return -1;
+  int64_t doc = 0, query = 0, pos = 0;
+  char prev_qid[QID_MAX + 1] = {0};
+  char qid[QID_MAX + 1];
+  char* p = buf;
+  char* fend = buf + size;
+  int rc = 0;
+  while (p < fend) {
+    char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
+    char* lend = (nl != nullptr) ? nl : fend;
+    float label;
+    int64_t npairs = 0;
+    bool over = false;
+    int r = parse_line<true>(
+        p, lend, &label, qid,
+        [&](int64_t fid, float val) {
+          if (pos >= nnz) {
+            over = true;
+            return;
+          }
+          fids[pos] = static_cast<int32_t>(fid - 1);
+          vals[pos] = val;
+          ++pos;
+          ++npairs;
+        },
+        nullptr, 0);
+    if (r < 0) {
+      rc = (r == -2) ? -4 : -2;
+      break;
+    }
+    if (over) {
+      rc = -3;
+      break;
+    }
+    if (r == 1) {
+      if (doc >= n_docs) {
+        rc = -3;
+        break;
+      }
+      counts[doc] = static_cast<int32_t>(npairs);
+      labels[doc] = label;
+      if (doc == 0 || strcmp(qid, prev_qid) != 0) {
+        if (query >= n_queries) {
+          rc = -3;
+          break;
+        }
+        qptr[query] = doc;
+        strncpy(qidbuf + query * qid_stride, qid,
+                static_cast<size_t>(qid_stride - 1));
+        qidbuf[query * qid_stride + qid_stride - 1] = '\0';
+        ++query;
+        strcpy(prev_qid, qid);
+      }
+      ++doc;
+    }
+    p = lend + 1;
+  }
+  free(buf);
+  if (rc != 0) return rc;
+  if (doc != n_docs || query != n_queries || pos != nnz) return -3;
+  qptr[n_queries] = n_docs;
+  return 0;
+}
+
+}  // extern "C"

@@ -79,6 +79,15 @@ def _get_lib():
                 ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32),
             ]
             lib.letor_fill_binned.restype = ctypes.c_int
+        if hasattr(lib, "letor_nnz"):
+            lib.letor_nnz.argtypes = [ctypes.c_char_p, p_i64]
+            lib.letor_nnz.restype = ctypes.c_int
+            lib.letor_fill_csr.argtypes = [
+                ctypes.c_char_p, p_f32, i64, p_i64, i64,
+                ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32),
+                p_f32, i64, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.letor_fill_csr.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -349,3 +358,62 @@ def native_parse_letor_binned(path: str, thresholds, n_docs: int,
     qids = [qraw[i * QID_STRIDE:(i + 1) * QID_STRIDE]
             .split(b"\0", 1)[0].decode() for i in range(n_queries)]
     return labels, bins, qptr, qids, counts
+
+
+def native_parse_letor_csr(path: str):
+    """Parse a LETOR file straight into host CSR.
+
+    Returns (labels[N] f32, qptr[Q+1] i64, qids list[str],
+    indptr[N+1] i64, fids[nnz] i32 0-based, vals[nnz] f32,
+    counts[N] i32, max_fid int) — memory ~ nnz, never [N, F] — or None
+    when the native path is unavailable. Raises NativeParseError on
+    malformed/oversized input so the caller can fall back to the Python
+    parser for the exact error message.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "letor_nnz"):
+        return None
+    i64 = ctypes.c_int64
+    stat = native_letor_stat(path)
+    if stat is None:
+        return None
+    N, Q, max_fid = stat
+    if N == 0 or Q == 0:
+        raise NativeParseError(f"no data lines in {path}")
+    nnz = i64(0)
+    rc = lib.letor_nnz(path.encode(), ctypes.byref(nnz))
+    if rc == -1:
+        return None
+    if rc == -4:
+        raise NativeParseError(f"oversized token in {path}")
+    if rc != 0:
+        raise NativeParseError(f"malformed LETOR file: {path}")
+    nnz = nnz.value
+
+    labels = np.zeros(N, np.float32)
+    qptr = np.zeros(Q + 1, np.int64)
+    counts = np.zeros(N, np.int32)
+    fids = np.zeros(nnz, np.int32)
+    vals = np.zeros(nnz, np.float32)
+    qidbuf = ctypes.create_string_buffer(Q * QID_STRIDE)
+    rc = lib.letor_fill_csr(
+        path.encode(),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i64(N),
+        qptr.ctypes.data_as(ctypes.POINTER(i64)), i64(Q),
+        qidbuf, i64(QID_STRIDE),
+        fids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i64(nnz),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc == -4:
+        raise NativeParseError(f"oversized token in {path}")
+    if rc != 0:
+        raise NativeParseError(f"native CSR parse failed (rc={rc}): {path}")
+    qraw = qidbuf.raw
+    qids = [qraw[i * QID_STRIDE:(i + 1) * QID_STRIDE]
+            .split(b"\0", 1)[0].decode() for i in range(Q)]
+    indptr = np.zeros(N + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return labels, qptr, qids, indptr, fids, vals, counts, max_fid

@@ -1,0 +1,223 @@
+"""Host-CSR pipeline for raw-value rankers (VERDICT round-2 task 7).
+
+The reference serves ALL rankers from storage-level sparse vectors
+(ref: learning/SparseDataPoint.java:~15); here `-sparse` lands the file
+in host CSR (data/sparse.py) and neural/linear/CoorAscent/AdaRank train
+from bounded dense chunks. These tests pin: reader equivalence vs the
+dense parser, bit-parity of trained models through the CSR path (incl.
+forced tiny chunking), the CLI flow, and the actual host-RAM ceiling.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ranklib_tpu.data.dataset import bucketize
+from ranklib_tpu.data.letor import read_letor
+from ranklib_tpu.data.sparse import CSRDataset, read_letor_sparse
+from ranklib_tpu.metrics.base import create_scorer, score_dataset
+from tests.fixtures import synth_dataset
+
+
+def _write_sparse_letor(ds, path, keep_prob=0.4, seed=0):
+    """Write ds as a LETOR file OMITTING ~1-keep_prob of the entries
+    (zeroing them) — the written file is the ground truth both pipelines
+    then read."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for q in ds.queries:
+            for i in range(q.n):
+                keep = rng.random(q.feats.shape[1]) < keep_prob
+                pairs = " ".join(
+                    f"{j + 1}:{q.feats[i, j]:.6g}"
+                    for j in range(q.feats.shape[1]) if keep[j])
+                if not pairs:          # always keep at least one pair
+                    pairs = f"1:{q.feats[i, 0]:.6g}"
+                f.write(f"{int(q.labels[i])} qid:{q.qid} {pairs}\n")
+
+
+@pytest.fixture()
+def sparse_file(tmp_path):
+    ds = synth_dataset(n_queries=12, n_features=9, min_docs=5, max_docs=14,
+                       gmax=2, seed=201)
+    path = str(tmp_path / "sparse.txt")
+    _write_sparse_letor(ds, path)
+    return path
+
+
+def test_csr_reader_matches_dense(sparse_file):
+    dense = read_letor(sparse_file)
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    assert isinstance(csr, CSRDataset)
+    assert csr.n_features == dense.n_features
+    assert len(csr.queries) == len(dense.queries)
+    full = csr.materialize_rows(0, csr.n_docs)
+    from ranklib_tpu.data.dataset import flatten
+    feats_d, labels_d, _ = flatten(dense)
+    np.testing.assert_array_equal(full, feats_d)
+    for qd, qc in zip(dense.queries, csr.queries):
+        assert qd.qid == qc.qid
+        np.testing.assert_array_equal(qd.labels, qc.labels)
+
+
+def test_csr_python_fallback_matches_native(sparse_file):
+    from ranklib_tpu.data.sparse import _py_parse_csr
+    from ranklib_tpu.native.loader import native_parse_letor_csr
+
+    nat = native_parse_letor_csr(sparse_file)
+    if nat is None:
+        pytest.skip("native parser unavailable")
+    py = _py_parse_csr(sparse_file)
+    for a, b, name in zip(nat, py, ("labels", "qptr", "qids", "indptr",
+                                    "fids", "vals", "counts", "max_fid")):
+        if name in ("qids",):
+            assert a == b
+        elif name == "max_fid":
+            assert int(a) == int(b)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_csr_bucketize_chunking_preserves_order(sparse_file, monkeypatch):
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    dense = read_letor(sparse_file)
+    full = bucketize(dense)
+    monkeypatch.setenv("RANKLIB_TPU_SPARSE_CHUNK_MB", "1")
+    chunked = bucketize(csr)
+    assert len(chunked) >= len(full)
+    order_full = [qi for b in full for qi in b.qidx]
+    order_chunk = [qi for b in chunked for qi in b.qidx]
+    assert order_full == order_chunk
+    # row-for-row identical content
+    rows_f = np.concatenate([b.feats.reshape(-1, dense.n_features)
+                             for b in full])
+    rows_c = np.concatenate([b.feats.reshape(-1, dense.n_features)
+                             for b in chunked])
+    np.testing.assert_array_equal(rows_f, rows_c)
+
+
+@pytest.mark.parametrize("chunk_mb", ["256", "1"])
+def test_csr_rankers_bit_parity_vs_dense(sparse_file, monkeypatch, chunk_mb):
+    """Training through CSR (whole buckets AND forced tiny chunks) yields
+    the same models as the dense pipeline on the same file."""
+    from ranklib_tpu.models.adarank import AdaRank
+    from ranklib_tpu.models.coorascent import CoorAscent
+    from ranklib_tpu.models.linear import LinearRegRank
+    from ranklib_tpu.models.neural import RankNet
+
+    monkeypatch.setenv("RANKLIB_TPU_SPARSE_CHUNK_MB", chunk_mb)
+    dense = read_letor(sparse_file)
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    scorer = create_scorer("NDCG@10")
+
+    lin_d, lin_c = LinearRegRank(), LinearRegRank()
+    lin_d.fit(dense)
+    lin_c.fit(csr)
+    np.testing.assert_allclose(lin_d.weights, lin_c.weights, atol=1e-9)
+
+    nn_d = RankNet(n_epoch=3, learning_rate=0.001)
+    nn_c = RankNet(n_epoch=3, learning_rate=0.001)
+    nn_d.fit(dense, scorer)
+    nn_c.fit(csr, scorer)
+    for (Wd, bd), (Wc, bc) in zip(nn_d.params, nn_c.params):
+        np.testing.assert_array_equal(Wd, Wc)
+        np.testing.assert_array_equal(bd, bc)
+
+    ca_d = CoorAscent(n_restart=1, max_passes=2)
+    ca_c = CoorAscent(n_restart=1, max_passes=2)
+    ca_d.fit(dense, scorer)
+    ca_c.fit(csr, scorer)
+    np.testing.assert_array_equal(ca_d.weights, ca_c.weights)
+
+    ada_d, ada_c = AdaRank(n_rounds=8), AdaRank(n_rounds=8)
+    ada_d.fit(dense, scorer)
+    ada_c.fit(csr, scorer)
+    assert ada_d.history == ada_c.history
+
+    # scoring stacks agree too (CSR materializes per query at eval)
+    for m_d, m_c in ((lin_d, lin_c), (nn_d, nn_c), (ca_d, ca_c)):
+        sd = score_dataset(scorer, dense, m_d.eval_dataset(dense))[0]
+        sc = score_dataset(scorer, csr, m_c.eval_dataset(csr))[0]
+        assert sd == pytest.approx(sc, abs=1e-7)
+
+
+def test_csr_subset_and_split(sparse_file):
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    dense = read_letor(sparse_file)
+    sub_c = csr.subset_features([2, 5])
+    sub_d = dense.subset_features([2, 5])
+    from ranklib_tpu.data.dataset import flatten
+    np.testing.assert_array_equal(
+        sub_c.materialize_rows(0, sub_c.n_docs), flatten(sub_d)[0])
+
+    from ranklib_tpu.data.cv import split_tvs
+    (tr_c, va_c), (tr_d, va_d) = split_tvs(csr, 0.7), split_tvs(dense, 0.7)
+    assert [q.qid for q in tr_c.queries] == [q.qid for q in tr_d.queries]
+    np.testing.assert_array_equal(
+        va_c.materialize_rows(0, va_c.n_docs), flatten(va_d)[0])
+
+    wide = csr.with_width(csr.n_features + 3)
+    assert wide.materialize_rows(0, 2).shape[1] == csr.n_features + 3
+
+
+def test_csr_cli_flow(tmp_path, sparse_file):
+    """-sparse -ranker 4 end-to-end: same printed metrics as dense."""
+    from ranklib_tpu.cli import main as cli_main
+
+    test_ds = synth_dataset(n_queries=5, n_features=9, min_docs=5,
+                            max_docs=12, gmax=2, seed=202, w_seed=201)
+    test_path = str(tmp_path / "test.txt")
+    _write_sparse_letor(test_ds, test_path, seed=1)
+
+    outs = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        model = str(tmp_path / f"m_{tag}.txt")
+        cli_main(["-train", sparse_file, "-ranker", "4", "-r", "1",
+                  "-metric2t", "NDCG@10", "-test", test_path,
+                  "-missingZero", "-save", model, *extra])
+        outs[tag] = open(model).read()
+    assert outs["dense"] == outs["csr"]
+
+
+@pytest.mark.slow
+def test_csr_memory_budget(tmp_path):
+    """The point of the exercise: a wide sparse file trains -ranker 9
+    inside a host-RAM budget far below its dense matrix. 500 queries x
+    80 docs x F=2000 at ~10 pairs/doc: dense is 320 MB; the CSR path with
+    64 MB chunks must stay under 170 MB of numpy allocations (tracemalloc
+    peak, subprocess-isolated)."""
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "wide.txt")
+    F, n_q, n_d = 2000, 500, 80
+    with open(path, "w") as f:
+        for q in range(n_q):
+            for _ in range(n_d):
+                fids = np.unique(rng.integers(1, F + 1, 10))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}" for fid in fids)
+                f.write(f"{int(rng.integers(0, 3))} qid:{q + 1} {pairs}\n")
+    code = f"""
+import tracemalloc, sys
+sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+from ranklib_tpu.data.sparse import read_letor_sparse
+from ranklib_tpu.models.linear import LinearRegRank
+tracemalloc.start()
+ds = read_letor_sparse({path!r}, quiet=True)
+r = LinearRegRank()
+r.fit(ds)
+peak = tracemalloc.get_traced_memory()[1]
+assert len(r.weights) == ds.n_features + 1
+print("PEAK_MB", peak / (1 << 20))
+"""
+    env = dict(os.environ, RANKLIB_TPU_SPARSE_CHUNK_MB="64",
+               JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    peak_mb = float(res.stdout.strip().split()[-1])
+    dense_mb = n_q * n_d * F * 4 / (1 << 20)
+    assert peak_mb < 170, (peak_mb, dense_mb)
+    assert dense_mb > 300          # the ceiling we demonstrably stayed under
