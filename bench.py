@@ -180,18 +180,13 @@ def main() -> int:
             n_serve, trees_serve = (262144, 1000) if on_tpu else (16384, 100)
             ens = _synthetic_ensemble(n_trees=trees_serve, n_leaves=10,
                                       n_features=136, rng=rng)
-            packed = ens._pack_matmul(136)
             Xs = jnp.asarray(rng.normal(size=(n_serve, 136))
                              .astype(np.float32))
-            if ens._use_forest_kernel(136):
-                from ranklib_tpu.ops.forest_eval import \
-                    forest_eval_pallas_full as _ev
-            else:
-                from ranklib_tpu.gbdt.ensemble import _mm_eval as _ev
-            ev = jax.jit(_ev)
-            float(ev(Xs, *packed).sum())       # compile + warm
+            # the routed serving hot path (bin-space Pallas kernel on TPU)
+            ev, _ = ens._device_eval_fn(136)
+            float(ev(Xs).sum())                # compile + warm
             best = min(
-                _timed_value_read(lambda: ev(Xs, *packed))
+                _timed_value_read(lambda: ev(Xs))
                 for _ in range(3))
             extra[f"serving_eval_ms_{n_serve}docs_{trees_serve}trees"] = (
                 round(best * 1e3, 1))

@@ -208,6 +208,43 @@ class TreeEnsemble:
                                     outwc)))
         return self._mm[1]
 
+    def _pack_matmul_bins(self, n_features: int):
+        """Bin-space serving pack (ops.forest_eval.forest_eval_pallas_bins):
+        the _pack_matmul layout plus (a) per-feature grids of the MODEL'S
+        OWN split thresholds (strictly increasing, +inf lane-padded) and
+        (b) each node's threshold rewritten as its index in its feature's
+        grid. Self-contained — works for any loaded model, no training
+        grid required (unlike to_bin_space); exact by construction since
+        every node threshold IS a grid point."""
+        key = ("mmb", n_features)
+        if getattr(self, "_mmb", None) is None or self._mmb[0] != key:
+            fid_full, thr_full, PmQc, csQc, plenc, outwc = (
+                self._pack_matmul(n_features))
+            fid = np.asarray(fid_full)
+            thr = np.asarray(thr_full)
+            uniq = {}
+            for t in self.trees:
+                for n in np.flatnonzero(~t.is_leaf):
+                    uniq.setdefault(int(t.feature[n]), set()).add(
+                        np.float32(t.threshold[n]))
+            Bm_real = max((len(s) for s in uniq.values()), default=1)
+            Bm = ((Bm_real + 127) // 128) * 128
+            grid = np.full((n_features, Bm), np.inf, np.float32)
+            for f, s in uniq.items():
+                if f < n_features:
+                    v = np.sort(np.asarray(list(s), np.float32))
+                    grid[f, : len(v)] = v
+            # node bin = #(grid values < threshold) — index of the
+            # threshold itself (strictly increasing grid, exact f32 match).
+            # Dead pad rows (fid 0, thr 0) get an arbitrary bin: their
+            # P−Q rows are zero, the predicate never contributes.
+            nodebin = (grid[np.minimum(fid, n_features - 1)]
+                       < thr[:, None]).sum(axis=1).astype(np.float32)
+            self._mmb = (key, (jnp.asarray(grid), fid_full,
+                               jnp.asarray(nodebin), PmQc, csQc, plenc,
+                               outwc), Bm_real)
+        return self._mmb[1] + (self._mmb[2],)
+
     def _pack(self):
         if self._packed is None:
             T = len(self.trees)
@@ -277,25 +314,79 @@ class TreeEnsemble:
                + TN * TCLp * 4)                # hits intermediate
         return est <= self._KERNEL_VMEM_BUDGET
 
+    def _use_bins_kernel(self, n_features: int) -> bool:
+        """Route preference for the bin-space kernel (exact, one bf16
+        selection pass — 43.1 ms vs 52.9 for the 3-plane kernel at 262K
+        docs × 1000 trees, v5e 2026-08-20). Same TPU + VMEM gating
+        discipline as _use_forest_kernel; TN=4096 measured a 416 KB VMEM
+        overrun at this shape, so the estimate matters."""
+        import os
+
+        from ranklib_tpu.utils.backend import on_tpu
+
+        if not on_tpu() or os.environ.get(
+                "RANKLIB_TPU_FOREST_KERNEL", "1") == "0" or os.environ.get(
+                "RANKLIB_TPU_BINS_KERNEL", "1") == "0":
+            return False
+        M = max(max((~t.is_leaf).sum(), 1) for t in self.trees)
+        L = max(t.is_leaf.sum() for t in self.trees)
+        TC = self._TREE_CHUNK
+        TCM = ((TC * M + 15) // 16) * 16
+        TCLp = ((TC * L + 127) // 128) * 128
+        Fp = ((n_features + 127) // 128) * 128
+        TN = 2048
+        uniq = {}
+        for t in self.trees:
+            for n in np.flatnonzero(~t.is_leaf):
+                uniq.setdefault(int(t.feature[n]), set()).add(
+                    np.float32(t.threshold[n]))
+        Bm = max((len(s) for s in uniq.values()), default=1)
+        Bm = ((Bm + 127) // 128) * 128
+        est = (2 * (Fp * TN * 4)              # xt f32, double-buffered
+               + 2 * (Fp * Bm * 4)            # grid
+               + 2 * (TCM * Fp * 2)           # sel bf16
+               + 2 * (TCM * 128 * 4)          # node bins
+               + 2 * (TCM * TCLp * 2)         # pmq bf16
+               + 2 * (8 * TCLp * 4)           # aux
+               + 8 * TN * 4                   # out accumulator
+               + Fp * TN * 2                  # bins scratch
+               + TCM * TN * 4                 # vals
+               + TCM * TN * 2                 # pred bf16
+               + TN * TCLp * 4)               # hits
+        return est <= self._KERNEL_VMEM_BUDGET
+
+    def _device_eval_fn(self, n_features: int):
+        """(fn, chunk): fn maps a device-resident [n, F] f32 block to
+        device scores [n]. The serving hot path — shared by eval_matrix
+        and the bench. Route: bin-space Pallas kernel (exact, fastest) →
+        3-plane Pallas kernel → XLA scan (CPU / oversized models)."""
+        if self._use_bins_kernel(n_features):
+            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_bins
+            *binpack, n_grid = self._pack_matmul_bins(n_features)
+            return (lambda X: forest_eval_pallas_bins(
+                X, *binpack, n_grid=n_grid)), self._EVAL_CHUNK_KERNEL
+        packed = self._pack_matmul(n_features)
+        if self._use_forest_kernel(n_features):
+            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_full
+            return (lambda X: forest_eval_pallas_full(X, *packed)), \
+                self._EVAL_CHUNK_KERNEL
+        return (lambda X: _mm_eval(X, *packed)), self._EVAL_CHUNK
+
     def eval_matrix(self, feats: np.ndarray) -> np.ndarray:
         """feats [N, F] → scores [N] = Σ_t w_t · tree_t(x).
 
         One host→device upload, device-side doc chunking, one download.
-        On TPU the fully-fused Pallas kernel scores everything in VMEM
-        (ops.forest_eval, 52.9 ms vs 115 ms for the XLA scan at 262K docs
-        × 1000 trees — both exact); elsewhere the XLA scan path runs."""
+        On TPU a fused Pallas kernel scores everything in VMEM
+        (ops.forest_eval: bin-space 43.1 ms / 3-plane 52.9 ms vs 115 ms
+        for the XLA scan at 262K docs × 1000 trees — all exact);
+        elsewhere the XLA scan path runs."""
         if not self.trees:
             return np.zeros(feats.shape[0], np.float32)
-        packed = self._pack_matmul(feats.shape[1])
-        if self._use_forest_kernel(feats.shape[1]):
-            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_full
-            eval_fn, C = forest_eval_pallas_full, self._EVAL_CHUNK_KERNEL
-        else:
-            eval_fn, C = _mm_eval, self._EVAL_CHUNK
+        eval_fn, C = self._device_eval_fn(feats.shape[1])
         N = feats.shape[0]
         Xd = jnp.asarray(feats, jnp.float32)
         if N <= C:
-            return np.asarray(eval_fn(Xd, *packed))[:N]
+            return np.asarray(eval_fn(Xd))[:N]
         # Full C-sized chunks share one compiled program; the tail runs
         # at its true length (both eval paths handle any N internally)
         # instead of padding N up to a C multiple — padding 1.05M docs
@@ -306,7 +397,7 @@ class TreeEnsemble:
                 part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0)
             else:
                 part = Xd[lo:N]
-            parts.append(eval_fn(part, *packed))
+            parts.append(eval_fn(part))
         return np.asarray(jnp.concatenate(parts))[:N]
 
     # ---- text format ---------------------------------------------------------

@@ -36,13 +36,18 @@ lanes and 16-multiple sublanes throughout.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TN = 2048                     # docs per tile (lane multiples)
+# docs per tile (lane multiples). ~22 ms of the 52.9 ms serving time was
+# per-block fixed cost at TN=2048 (5120 grid blocks); larger tiles halve
+# the block count as long as the feature planes still fit VMEM
+# (tools/exp_serving_tn.py). Overridable for probes.
+_TN = int(os.environ.get("RANKLIB_TPU_SERVE_TN", "2048"))
 
 
 def _forest_full3_kernel(xt3_ref, s3_ref, thr_ref, pmq_ref, aux_ref,
@@ -226,6 +231,146 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
             bytes_accessed=Fk * Np * xt_bytes + 8 * Np * 4
             + nch * TCM * (Fk * sel_bytes + TCLp * 2)),
     )(XT_in, sel_in, thr, pmq, aux)
+    return out[0, :N]
+
+
+def _forest_bins_kernel(xt_ref, grid_ref, s_ref, nb_ref, pmq_ref, aux_ref,
+                        out_ref, bins_ref, *, n_grid: int, n_rows: int):
+    """Bin-space exact variant: ONE default-precision bf16 selection pass.
+
+    The model's split thresholds per feature form a strictly increasing
+    grid (built from the ensemble itself — _pack_matmul_bins); a doc's
+    BIN b(x) = #{grid values < x} satisfies ``x <= t  ⟺  b(x) <= idx(t)``
+    exactly for every grid value t. Bin ids are small integers (≤ 256 for
+    -tc 256 models), exactly representable in bf16, and each selection
+    row is one-hot — so ``sel ⋅ bins`` is ONE bf16 MXU pass with exact
+    f32 results, replacing the 3-plane split (3 passes ~21 ms of the
+    52.9 ms total at 262K docs × 1000 trees).
+
+    Binning runs ON-KERNEL as a c==0 prologue into a VMEM scratch that
+    persists across the chunk sweep (grid iterates chunks minor): an
+    unrolled compare-accumulate over the ≤256 grid columns — pure VPU
+    work on the resident [Fp, TN] tile, measured ~3 ms total. NaN
+    features bin to n_grid (> every node bin → routed right, matching
+    the dense `NaN <= t == False`)."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        # compare only the REAL feature rows (n_rows = F padded to 16 —
+        # the prologue is the kernel's VPU bottleneck and a 256-row pad
+        # nearly doubles it); the matmul contraction stays the full
+        # 128-multiple Fp (a 144-lane contraction measured 3x slower).
+        # Scratch pad rows are zeroed once: sel pad columns are zero, but
+        # 0 * uninitialized-NaN would poison the dot.
+        x = xt_ref[0:n_rows]
+        acc = jnp.zeros(x.shape, jnp.float32)
+        for b in range(n_grid):
+            acc += (grid_ref[0:n_rows, b][:, None] < x).astype(jnp.float32)
+        acc = jnp.where(jnp.isnan(x), jnp.float32(n_grid), acc)
+        bins_ref[0:n_rows] = acc.astype(jnp.bfloat16)
+        if n_rows < bins_ref.shape[0]:
+            bins_ref[n_rows:] = jnp.zeros(
+                (bins_ref.shape[0] - n_rows, bins_ref.shape[1]),
+                jnp.bfloat16)
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vals = jax.lax.dot_general(
+        s_ref[0], bins_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TCM, TN] exact
+    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    # leaf fold, 3 VPU passes: csQ is folded into the path-length row
+    # host-side (hits_raw + csQ == plen ⟺ hits_raw == plen − csQ), and
+    # the indicator·outw product collapses into one select
+    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
+                        aux_ref[0, 1, :][None, :], 0.0)
+    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid",))
+def forest_eval_pallas_bins(X, grid, fid_full, nodebin_full, PmQc, csQc,
+                            plenc, outwc, n_grid=None):
+    """Bin-space forest eval. ``grid``: [F, Bm] f32 per-feature model
+    threshold grids (+inf padded); ``nodebin_full``: [nch·TCM] f32 node
+    bin indices; other args in the _pack_matmul layout; ``n_grid``: true
+    max grid length (the VPU compare loop runs only this far — the lane
+    pad to Bm is all +inf and contributes nothing). Returns [N] f32.
+
+    The feature (sublane/contraction) dim pads to a multiple of 16, not
+    128 — the binning compare loop is the kernel's VPU bottleneck and
+    scales with the padded row count (136→144 instead of 136→256 nearly
+    halves it). The 16-multiple keeps the bf16 scratch sublane-tiled and
+    the selection dot's contraction dim safely aligned (Mosaic computed
+    silently wrong bf16 dots at sublane 225 — see _pack_matmul note;
+    checksum parity vs _mm_eval is pinned in tests and re-verified by
+    the hardware probes)."""
+    N, F = X.shape
+    nch, TCM, TCL = PmQc.shape
+    Bm = grid.shape[1]
+    if n_grid is None:
+        n_grid = Bm
+    TCLp = ((TCL + 127) // 128) * 128
+    Fp = ((F + 127) // 128) * 128          # matmul contraction dim
+    n_rows = min(((F + 15) // 16) * 16, Fp)  # compare-loop rows
+    Np = ((N + _TN - 1) // _TN) * _TN
+    XT = X.T
+    if Np > N or Fp > F:
+        XT = jnp.pad(XT, ((0, Fp - F), (0, Np - N)))
+    gridp = grid
+    if Fp > F:
+        # pad features: all-+inf grid rows bin everything to 0 (unused)
+        gridp = jnp.pad(grid, ((0, Fp - F), (0, 0)),
+                        constant_values=jnp.inf)
+
+    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp,
+                         dtype=jnp.bfloat16)
+    nb = jnp.broadcast_to(
+        nodebin_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
+
+    pmq = PmQc.astype(jnp.bfloat16)
+    # row 0: plen − csQ (csQ folded host-side); row 1: outw
+    aux = jnp.stack([plenc - csQc, outwc], axis=1)      # [nch, 2, TCL]
+    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))        # [nch, 8, TCL]
+    if TCLp > TCL:
+        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        # padded leaf columns: raw hits = 0; plen_adj −1 never matches
+        aux = aux.at[:, 0, TCL:].set(-1.0)
+
+    grid_dims = (Np // _TN, nch)
+    out = pl.pallas_call(
+        functools.partial(_forest_bins_kernel, n_grid=int(n_grid),
+                          n_rows=int(n_rows)),
+        grid=grid_dims,
+        in_specs=[
+            pl.BlockSpec((Fp, _TN), lambda d, c: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fp, Bm), lambda d, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, Fp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, 128), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _TN), lambda d, c: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Fp, _TN), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * nch * TCM * (Fp + TCLp) + Np * Fp * Bm,
+            transcendentals=0,
+            bytes_accessed=Fp * Np * 4 + 8 * Np * 4
+            + nch * TCM * (Fp * 2 + TCLp * 2)),
+    )(XT, gridp, sel, nb, pmq, aux)
     return out[0, :N]
 
 

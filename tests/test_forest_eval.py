@@ -79,3 +79,37 @@ def test_vmem_guard_rejects_large_shapes(monkeypatch):
     # env kill switch still wins
     monkeypatch.setenv("RANKLIB_TPU_FOREST_KERNEL", "0")
     assert not small._use_forest_kernel(136)
+
+
+def test_bins_kernel_matches_xla_scan():
+    from ranklib_tpu.ops.forest_eval import forest_eval_pallas_bins
+
+    ens, X, packed = _case(50, 10, 20, 300, seed=7)
+    want = np.asarray(_mm_eval(X, *packed))
+    *binpack, n_grid = ens._pack_matmul_bins(20)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas_bins(X, *binpack, n_grid=n_grid))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_bins_kernel_exact_at_split_boundaries():
+    """Docs sitting EXACTLY on split thresholds — where bf16-rounded
+    selection historically misrouted — must route identically to the
+    f32 compare."""
+    from ranklib_tpu.ops.forest_eval import forest_eval_pallas_bins
+
+    rng = np.random.default_rng(13)
+    ens, _, _ = _case(23, 7, 13, 8, seed=11)
+    # build docs whose feature values ARE the model's thresholds
+    thrs = np.concatenate([t.threshold[~t.is_leaf] for t in ens.trees])
+    X = rng.normal(size=(512, 13)).astype(np.float32)
+    flat = X.reshape(-1)
+    pick = rng.integers(0, len(thrs), size=len(flat) // 2)
+    flat[: len(pick)] = thrs[pick]
+    X = jnp.asarray(flat.reshape(512, 13))
+    packed = ens._pack_matmul(13)
+    want = np.asarray(_mm_eval(X, *packed))
+    *binpack, n_grid = ens._pack_matmul_bins(13)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas_bins(X, *binpack, n_grid=n_grid))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
