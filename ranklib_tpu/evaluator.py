@@ -86,14 +86,14 @@ def _try_stream(args) -> bool:
 
 
 def _try_csr(args) -> bool:
-    """-sparse routes RAW-VALUE rankers (neural 1/5/7, AdaRank 3,
-    CoorAscent 4, linear 9) through the host-CSR loader (data.sparse):
-    memory ~ nnz, dense blocks materialized in bounded chunks. Per-query
-    normalization densifies (implicit zeros become nonzero), so -norm
-    falls back to the dense pipeline; RF (8) trains through the GBDT
-    binned stream only via -rtype plumbing and RankBoost (2) still needs
-    the dense pipeline (its weak search consumes its own bin grid)."""
-    return bool(args.sparse and args.ranker in (1, 3, 4, 5, 7, 9)
+    """-sparse routes RAW-VALUE rankers (neural 1/5/7, RankBoost 2,
+    AdaRank 3, CoorAscent 4, linear 9) through the host-CSR loader
+    (data.sparse): memory ~ nnz, dense blocks materialized in bounded
+    chunks (RankBoost additionally keeps an int16 bin matrix — the GBDT
+    streaming loader's discipline). Per-query normalization densifies
+    (implicit zeros become nonzero), so -norm falls back to the dense
+    pipeline."""
+    return bool(args.sparse and args.ranker in (1, 2, 3, 4, 5, 7, 9)
                 and not args.norm)
 
 

@@ -213,17 +213,28 @@ class RankBoost(Ranker):
 
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None) -> None:
-        feats, _, _ = flatten(train)
-        N, F = feats.shape
         T = int(self.n_threshold)
-        lo = feats.min(axis=0)
-        hi = feats.max(axis=0)
-        # T evenly spaced candidate thresholds per feature (ref: RankBoost
-        # threshold grid); constant features get an empty (never-max) grid
-        grid = lo[:, None] + (hi - lo)[:, None] * (
-            np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
-        # bin = #thresholds strictly below value → q_t(d) = [bin > t]
-        binned = bin_features(feats, grid)
+        if (train.queries and train.queries[0].feats is None
+                and hasattr(train, "materialize_rows")):
+            # CSR (-sparse): min/max + binning over bounded dense chunks;
+            # the host keeps only the int16 bin matrix (~half the dense
+            # f32 matrix — same discipline as the GBDT streaming loader).
+            # Chunk min/max includes the materialized implicit zeros, so
+            # the grid is bit-identical to the dense pipeline's.
+            N, F = train.n_docs, train.n_features
+            lo, hi, grid, binned = self._bin_csr_chunks(train, T)
+        else:
+            feats, _, _ = flatten(train)
+            N, F = feats.shape
+            lo = feats.min(axis=0)
+            hi = feats.max(axis=0)
+            # T evenly spaced candidate thresholds per feature (ref:
+            # RankBoost threshold grid); constant features get an empty
+            # (never-max) grid
+            grid = lo[:, None] + (hi - lo)[:, None] * (
+                np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
+            # bin = #thresholds strictly below value → q_t(d) = [bin > t]
+            binned = bin_features(feats, grid)
 
         tb = _device_buckets(train, sentinel=N)
         # initial D is uniform over correctly-ordered pairs — implied by
@@ -246,14 +257,23 @@ class RankBoost(Ranker):
         vq_T = jnp.zeros((F, 0), jnp.int32)
         Nv = 0
         if validation is not None:
-            vfeats, _, _ = flatten(validation)
-            Nv = vfeats.shape[0]
+            if (validation.queries and validation.queries[0].feats is None
+                    and hasattr(validation, "materialize_rows")):
+                Nv = validation.n_docs
+                vbinned = self._bin_csr_chunks(validation, T, grid=grid)[3]
+            else:
+                vfeats, _, _ = flatten(validation)
+                Nv = vfeats.shape[0]
+                vbinned = bin_features(vfeats, grid)
             vq_T = jnp.asarray(
-                np.ascontiguousarray(bin_features(vfeats, grid).T))
+                np.ascontiguousarray(vbinned.T)).astype(jnp.int32)
             vb = _device_buckets(validation, sentinel=Nv)
 
         data = RBData(
-            binned_T=jnp.asarray(np.ascontiguousarray(binned.T)),
+            # int16 host bins (CSR path) cast on DEVICE: the int32 [F, N]
+            # copy never exists on the host
+            binned_T=jnp.asarray(
+                np.ascontiguousarray(binned.T)).astype(jnp.int32),
             tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
         silent = is_silent()
         step = make_rb_step(
@@ -315,6 +335,35 @@ class RankBoost(Ranker):
             (int(wf[t]) + 1, float(grid[int(wf[t]), int(wt[t])]),
              float(walpha[t]))
             for t in range(keep)]
+
+    @staticmethod
+    def _bin_csr_chunks(ds, T: int, grid: np.ndarray | None = None):
+        """(lo, hi, grid, binned int16) from a CSRDataset in bounded
+        dense chunks. Two passes: chunked min/max over MATERIALIZED rows
+        (implicit zeros included — identical to the dense pipeline's
+        feats.min/max), then chunked binning into the int16 matrix.
+        ``grid``: reuse an existing grid (validation bins with the
+        training grid)."""
+        from ranklib_tpu.data.sparse import _chunk_bytes
+
+        N, F = ds.n_docs, ds.n_features
+        rows = max(1, _chunk_bytes() // (F * 4))
+        lo = hi = None
+        if grid is None:
+            lo = np.full(F, np.inf, np.float32)
+            hi = np.full(F, -np.inf, np.float32)
+            for s in range(0, N, rows):
+                X = ds.materialize_rows(s, min(s + rows, N))
+                np.minimum(lo, X.min(axis=0), out=lo)
+                np.maximum(hi, X.max(axis=0), out=hi)
+            grid = lo[:, None] + (hi - lo)[:, None] * (
+                np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
+        binned = np.empty((N, F), np.int16)
+        for s in range(0, N, rows):
+            e = min(s + rows, N)
+            binned[s:e] = bin_features(ds.materialize_rows(s, e),
+                                       grid).astype(np.int16)
+        return lo, hi, grid, binned
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):

@@ -221,3 +221,20 @@ print("PEAK_MB", peak / (1 << 20))
     dense_mb = n_q * n_d * F * 4 / (1 << 20)
     assert peak_mb < 170, (peak_mb, dense_mb)
     assert dense_mb > 300          # the ceiling we demonstrably stayed under
+
+
+def test_rankboost_csr_parity(sparse_file):
+    """RankBoost through CSR (chunked min/max + int16 bins): identical
+    weak-ranker sequence to the dense pipeline, incl. validation."""
+    from ranklib_tpu.models.rankboost import RankBoost
+
+    dense = read_letor(sparse_file)
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    scorer = create_scorer("NDCG@10")
+    rb_d, rb_c = RankBoost(n_rounds=10, n_threshold=6), \
+        RankBoost(n_rounds=10, n_threshold=6)
+    rb_d.fit(dense, scorer)
+    rb_c.fit(csr, scorer)
+    assert rb_d.weaks == rb_c.weaks
+    for sd, sc in zip(rb_d.eval_dataset(dense), rb_c.eval_dataset(csr)):
+        np.testing.assert_array_equal(sd, sc)
