@@ -24,7 +24,22 @@ from ranklib_tpu.utils.logging import log
 
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
-             qrel=None, missing_zero=False):
+             qrel=None, missing_zero=False, sparse=False):
+    if sparse and not norm:
+        # -sparse on load/test/rank flows: host CSR, bounded chunks (no
+        # per-doc descriptions — -indri falls back to index doc ids)
+        from ranklib_tpu.data.sparse import read_letor_sparse
+
+        ds = read_letor_sparse(path, must_have_rel_doc=must_have_rel,
+                               n_features=n_features,
+                               missing_zero=missing_zero)
+        if n_features is not None and ds.n_features != n_features:
+            ds = ds.with_width(n_features)
+        if qrel:
+            apply_qrel(ds, qrel)
+        if feature_fids is not None:
+            ds = ds.subset_features(feature_fids)
+        return ds
     ds = read_letor(path, must_have_rel_doc=must_have_rel,
                     n_features=n_features, missing_zero=missing_zero)
     if n_features is not None and ds.n_features != n_features:
@@ -263,7 +278,8 @@ def evaluate_test_only(args) -> None:
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
     test = _prepare(args.test, args.norm, feature_fids, False,
-                    qrel=args.qrel, missing_zero=args.missingZero)
+                    qrel=args.qrel, missing_zero=args.missingZero,
+                    sparse=args.sparse)
     m, per_q = score_dataset(scorer, test, ranker.eval_dataset(test))
     log(f"{scorer.name} on test data: {m:.4f}")
     if args.idv:
@@ -275,7 +291,8 @@ def evaluate_rank(args) -> None:
     ranker = load_ranker_file(args.load)
     feature_fids = read_feature_file(args.feature) if args.feature else None
     data = _prepare(args.rank, args.norm, feature_fids, False,
-                    qrel=args.qrel, missing_zero=args.missingZero)
+                    qrel=args.qrel, missing_zero=args.missingZero,
+                    sparse=args.sparse)
     scores = ranker.eval_dataset(data)
     if args.score:
         write_score_file(args.score, data, scores)

@@ -238,3 +238,24 @@ def test_rankboost_csr_parity(sparse_file):
     assert rb_d.weaks == rb_c.weaks
     for sd, sc in zip(rb_d.eval_dataset(dense), rb_c.eval_dataset(csr)):
         np.testing.assert_array_equal(sd, sc)
+
+
+def test_csr_load_flows(tmp_path, sparse_file):
+    """-sparse on the load+test / load+rank flows, incl. a TREE model
+    scored through chunked CSR materialization."""
+    from ranklib_tpu.cli import main as cli_main
+
+    model = str(tmp_path / "lm.txt")
+    cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "5",
+              "-leaf", "4", "-metric2t", "NDCG@10", "-missingZero",
+              "-save", model])
+    outs = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        sc = str(tmp_path / f"sc_{tag}.txt")
+        idv = str(tmp_path / f"idv_{tag}.txt")
+        cli_main(["-load", model, "-test", sparse_file, "-metric2T",
+                  "NDCG@10", "-missingZero", "-idv", idv, *extra])
+        cli_main(["-load", model, "-rank", sparse_file, "-score", sc,
+                  "-missingZero", *extra])
+        outs[tag] = open(sc).read() + open(idv).read()
+    assert outs["dense"] == outs["csr"]
