@@ -23,21 +23,24 @@ def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0):
             f"Cannot make {n_fold} folds from {len(ds.queries)} queries"
         )
     fold_test = [[] for _ in range(n_fold)]
-    for i, q in enumerate(ds.queries):
-        fold_test[i % n_fold].append(q)
+    for i in range(len(ds.queries)):
+        fold_test[i % n_fold].append(i)
+    if hasattr(ds, "subset_queries"):        # CSRDataset keeps CSR views
+        make = ds.subset_queries
+    else:
+        def make(idxs):
+            return Dataset([ds.queries[i] for i in idxs], ds.n_features)
     splits = []
     for f in range(n_fold):
-        train = [q for g in range(n_fold) if g != f for q in fold_test[g]]
+        train = [i for g in range(n_fold) if g != f for i in fold_test[g]]
         valid = None
         if tvs and tvs > 0:
             n_train = int(len(train) * tvs)
             if n_train < 1 or n_train >= len(train):
                 raise RankLibError(f"-tvs {tvs} leaves an empty train or validation split")
-            valid = Dataset(train[n_train:], ds.n_features)
+            valid = make(train[n_train:])
             train = train[:n_train]
-        splits.append(
-            (Dataset(train, ds.n_features), valid, Dataset(fold_test[f], ds.n_features))
-        )
+        splits.append((make(train), valid, make(fold_test[f])))
     return splits
 
 

@@ -246,7 +246,7 @@ def evaluate_kcv(args) -> None:
     )
     ds = _prepare(args.train, args.norm, feature_fids,
                   train_scorer.needs_rel, qrel=args.qrel,
-                  missing_zero=args.missingZero)
+                  missing_zero=args.missingZero, sparse=args.sparse)
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):

@@ -259,3 +259,18 @@ def test_csr_load_flows(tmp_path, sparse_file):
                   "-missingZero", *extra])
         outs[tag] = open(sc).read() + open(idv).read()
     assert outs["dense"] == outs["csr"]
+
+
+def test_csr_kcv_flow(tmp_path, sparse_file):
+    """-kcv through CSR: fold composition and fold models match dense."""
+    from ranklib_tpu.cli import main as cli_main
+
+    outs = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        d = str(tmp_path / f"kcv_{tag}")
+        cli_main(["-train", sparse_file, "-ranker", "9", "-kcv", "3",
+                  "-metric2t", "NDCG@10", "-missingZero",
+                  "-kcvmd", d, "-kcvmn", "m", *extra])
+        outs[tag] = "".join(
+            open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
+    assert outs["dense"] == outs["csr"]
