@@ -48,10 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-sparse", action="store_true",
                    help="memory-lean input for wide/sparse data: tree "
                         "rankers stream straight into the int16 bin "
-                        "matrix; neural/linear/CoorAscent/AdaRank land in "
-                        "host CSR with bounded dense chunks (neither ever "
-                        "materializes the full dense float matrix); "
-                        "RankBoost keeps dense storage")
+                        "matrix; neural/RankBoost/AdaRank/CoorAscent/"
+                        "linear land in host CSR with bounded dense "
+                        "chunks (neither path ever materializes the full "
+                        "dense float matrix); -norm/-qrel runs fall back "
+                        "to the dense pipeline")
     p.add_argument("-save", metavar="file")
     p.add_argument("-kcv", type=int, default=-1)
     p.add_argument("-kcvmd", metavar="dir")

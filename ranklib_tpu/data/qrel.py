@@ -55,6 +55,14 @@ def doc_id(desc: str) -> str:
 def apply_qrel(ds: Dataset, path: str) -> None:
     """Overwrite labels in-place from a qrel file (unjudged → 0)."""
     qrel = read_qrel(path)
+    if not any(q.descs for q in ds.queries):
+        # streamed -sparse datasets discard '#' descriptions — matching
+        # would silently zero EVERY label; fail loudly instead (the
+        # evaluator routes -qrel runs through the dense pipeline)
+        raise RankLibError(
+            "-qrel needs per-doc '#' descriptions, but this dataset "
+            "carries none (streamed -sparse input discards them); use "
+            "the dense pipeline for qrel runs")
     n_hit = 0
     for q in ds.queries:
         labels = np.zeros_like(q.labels)

@@ -25,9 +25,11 @@ from ranklib_tpu.utils.logging import log
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
              qrel=None, missing_zero=False, sparse=False):
-    if sparse and not norm:
-        # -sparse on load/test/rank flows: host CSR, bounded chunks (no
-        # per-doc descriptions — -indri falls back to index doc ids)
+    if sparse and not norm and not qrel:
+        # -sparse on load/test/rank flows: host CSR, bounded chunks. The
+        # CSR readers discard '#' descriptions, so -qrel (docid matching)
+        # and -indri (docid output) need the dense pipeline; qrel routes
+        # there above, -indri falls back to index doc ids.
         from ranklib_tpu.data.sparse import read_letor_sparse
 
         ds = read_letor_sparse(path, must_have_rel_doc=must_have_rel,
@@ -35,8 +37,6 @@ def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
                                missing_zero=missing_zero)
         if n_features is not None and ds.n_features != n_features:
             ds = ds.with_width(n_features)
-        if qrel:
-            apply_qrel(ds, qrel)
         if feature_fids is not None:
             ds = ds.subset_features(feature_fids)
         return ds
@@ -97,7 +97,7 @@ def _try_stream(args) -> bool:
     normalization or feature zeroing (both transform raw values before
     binning), plain (non-gzip) input, native parser available."""
     return bool(args.sparse and args.ranker in (0, 6)
-                and not args.norm and not args.feature)
+                and not args.norm and not args.feature and not args.qrel)
 
 
 def _try_csr(args) -> bool:
@@ -109,7 +109,7 @@ def _try_csr(args) -> bool:
     (implicit zeros become nonzero), so -norm falls back to the dense
     pipeline."""
     return bool(args.sparse and args.ranker in (1, 2, 3, 4, 5, 7, 9)
-                and not args.norm)
+                and not args.norm and not args.qrel)
 
 
 def evaluate_train(args) -> Ranker:
@@ -246,7 +246,11 @@ def evaluate_kcv(args) -> None:
     )
     ds = _prepare(args.train, args.norm, feature_fids,
                   train_scorer.needs_rel, qrel=args.qrel,
-                  missing_zero=args.missingZero, sparse=args.sparse)
+                  missing_zero=args.missingZero,
+                  # only CSR-capable rankers may train from CSR folds —
+                  # GBDT-family fit (0/6/8) consumes dense or streamed
+                  # bins, neither of which k-fold splits serve yet
+                  sparse=args.sparse and _try_csr(args))
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):

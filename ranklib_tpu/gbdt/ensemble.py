@@ -64,6 +64,8 @@ class TreeEnsemble:
         self.weights.append(float(weight))
         self._packed = None
         self._mm = None
+        self._mmb = None
+        self._bins_meta = None
 
     def truncate(self, n: int):
         """Keep the first n trees (validation-best rollback,
@@ -72,6 +74,8 @@ class TreeEnsemble:
         self.weights = self.weights[:n]
         self._packed = None
         self._mm = None
+        self._mmb = None
+        self._bins_meta = None
 
     def __len__(self):
         return len(self.trees)
@@ -222,12 +226,7 @@ class TreeEnsemble:
                 self._pack_matmul(n_features))
             fid = np.asarray(fid_full)
             thr = np.asarray(thr_full)
-            uniq = {}
-            for t in self.trees:
-                for n in np.flatnonzero(~t.is_leaf):
-                    uniq.setdefault(int(t.feature[n]), set()).add(
-                        np.float32(t.threshold[n]))
-            Bm_real = max((len(s) for s in uniq.values()), default=1)
+            uniq, Bm_real = self._bins_grid_meta()
             Bm = ((Bm_real + 127) // 128) * 128
             grid = np.full((n_features, Bm), np.inf, np.float32)
             for f, s in uniq.items():
@@ -302,7 +301,8 @@ class TreeEnsemble:
         TC = self._TREE_CHUNK
         TCM = ((TC * M + 15) // 16) * 16      # _pack_matmul's row padding
         TCLp = ((TC * L + 127) // 128) * 128
-        Fp, TN = ((n_features + 127) // 128) * 128, 2048
+        Fp = ((n_features + 127) // 128) * 128
+        from ranklib_tpu.ops.forest_eval import _TN as TN
         est = (2 * (3 * Fp * TN * 2)           # xt3 bf16 tile, double-buffered
                + 2 * (TCM * 3 * Fp * 2)        # sel3 bf16
                + 2 * (TCM * 128 * 4)           # thr
@@ -314,12 +314,30 @@ class TreeEnsemble:
                + TN * TCLp * 4)                # hits intermediate
         return est <= self._KERNEL_VMEM_BUDGET
 
+    def _bins_grid_meta(self):
+        """(per-feature unique split-threshold sets, max count) — the
+        model-grid ingredients, cached (the O(nodes) pass otherwise
+        repeats per eval_matrix chunk); invalidated by add/truncate."""
+        if getattr(self, "_bins_meta", None) is None:
+            uniq = {}
+            for t in self.trees:
+                for n in np.flatnonzero(~t.is_leaf):
+                    uniq.setdefault(int(t.feature[n]), set()).add(
+                        np.float32(t.threshold[n]))
+            Bm_real = max((len(s) for s in uniq.values()), default=1)
+            self._bins_meta = (uniq, Bm_real)
+        return self._bins_meta
+
     def _use_bins_kernel(self, n_features: int) -> bool:
         """Route preference for the bin-space kernel (exact, one bf16
         selection pass — 43.1 ms vs 52.9 for the 3-plane kernel at 262K
         docs × 1000 trees, v5e 2026-08-20). Same TPU + VMEM gating
         discipline as _use_forest_kernel; TN=4096 measured a 416 KB VMEM
-        overrun at this shape, so the estimate matters."""
+        overrun at this shape, so the estimate matters. Additionally the
+        kernel's exactness REQUIRES bin ids ≤ 256 (the bf16 integer
+        range): a feature with more distinct split thresholds than that
+        (-tc above 256, or an externally trained model) routes to the
+        3-plane kernel instead."""
         import os
 
         from ranklib_tpu.utils.backend import on_tpu
@@ -328,20 +346,17 @@ class TreeEnsemble:
                 "RANKLIB_TPU_FOREST_KERNEL", "1") == "0" or os.environ.get(
                 "RANKLIB_TPU_BINS_KERNEL", "1") == "0":
             return False
+        uniq, Bm_real = self._bins_grid_meta()
+        if Bm_real > 256:
+            return False
         M = max(max((~t.is_leaf).sum(), 1) for t in self.trees)
         L = max(t.is_leaf.sum() for t in self.trees)
         TC = self._TREE_CHUNK
         TCM = ((TC * M + 15) // 16) * 16
         TCLp = ((TC * L + 127) // 128) * 128
         Fp = ((n_features + 127) // 128) * 128
-        TN = 2048
-        uniq = {}
-        for t in self.trees:
-            for n in np.flatnonzero(~t.is_leaf):
-                uniq.setdefault(int(t.feature[n]), set()).add(
-                    np.float32(t.threshold[n]))
-        Bm = max((len(s) for s in uniq.values()), default=1)
-        Bm = ((Bm + 127) // 128) * 128
+        from ranklib_tpu.ops.forest_eval import _TN as TN
+        Bm = ((Bm_real + 127) // 128) * 128
         est = (2 * (Fp * TN * 4)              # xt f32, double-buffered
                + 2 * (Fp * Bm * 4)            # grid
                + 2 * (TCM * Fp * 2)           # sel bf16

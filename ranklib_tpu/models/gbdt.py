@@ -354,27 +354,7 @@ class LambdaMART(Ranker):
             _, qptr = flatten_meta(ds)
             return [flat[qptr[i]: qptr[i + 1]]
                     for i in range(len(ds.queries))]
-        max_fid = 1 + max(int(t.feature.max()) for t in self.ensemble.trees)
-        if (ds.queries and ds.queries[0].feats is None
-                and hasattr(ds, "materialize_rows")):
-            # CSR (-sparse) dataset: score bounded dense chunks
-            from ranklib_tpu.data.sparse import _chunk_bytes
-
-            F = max(ds.n_features, max_fid)
-            rows = max(1, _chunk_bytes() // (F * 4))
-            N = ds.n_docs
-            flat = np.concatenate([
-                self.ensemble.eval_matrix(
-                    ds.materialize_rows(lo, min(lo + rows, N), width=F))
-                for lo in range(0, N, rows)])
-            _, qptr = flatten_meta(ds)
-            return [flat[qptr[i]: qptr[i + 1]]
-                    for i in range(len(ds.queries))]
-        feats, _, qptr = flatten(ds)
-        if feats.shape[1] < max_fid:
-            feats = np.pad(feats, ((0, 0), (0, max_fid - feats.shape[1])))
-        flat = self.ensemble.eval_matrix(feats)
-        return [flat[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
+        return eval_ensemble_dataset(self.ensemble, ds)
 
     # ---- serialization -----------------------------------------------------
     def model_str(self) -> str:
@@ -407,6 +387,31 @@ class MART(LambdaMART):
     NAME = "MART"
     _NEWTON = False
     _POINTWISE = True
+
+
+def eval_ensemble_dataset(ensemble, ds):
+    """Per-query scores of a TreeEnsemble over a dense OR CSR dataset
+    (CSR: bounded dense chunks through eval_matrix). Shared by the GBDT
+    family and RFRanker."""
+    max_fid = 1 + max(int(t.feature.max()) for t in ensemble.trees)
+    if (ds.queries and ds.queries[0].feats is None
+            and hasattr(ds, "materialize_rows")):
+        from ranklib_tpu.data.sparse import _chunk_bytes
+
+        F = max(ds.n_features, max_fid)
+        rows = max(1, _chunk_bytes() // (F * 4))
+        N = ds.n_docs
+        flat = np.concatenate([
+            ensemble.eval_matrix(
+                ds.materialize_rows(lo, min(lo + rows, N), width=F))
+            for lo in range(0, N, rows)])
+        _, qptr = flatten_meta(ds)
+        return [flat[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
+    feats, _, qptr = flatten(ds)
+    if feats.shape[1] < max_fid:
+        feats = np.pad(feats, ((0, 0), (0, max_fid - feats.shape[1])))
+    flat = ensemble.eval_matrix(feats)
+    return [flat[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
 
 
 def _eval_binned(ens_bin: TreeEnsemble, bins: np.ndarray,

@@ -331,13 +331,9 @@ class RFRanker(Ranker):
         return self._merged
 
     def eval_dataset(self, ds: Dataset):
-        merged = self._merged_ensemble()
-        max_fid = 1 + max(int(t.feature.max()) for t in merged.trees)
-        feats, _, qptr = flatten(ds)
-        if feats.shape[1] < max_fid:
-            feats = np.pad(feats, ((0, 0), (0, max_fid - feats.shape[1])))
-        flat = merged.eval_matrix(feats)
-        return [flat[qptr[i]: qptr[i + 1]] for i in range(len(ds.queries))]
+        from ranklib_tpu.models.gbdt import eval_ensemble_dataset
+
+        return eval_ensemble_dataset(self._merged_ensemble(), ds)
 
     # ---- serialization -----------------------------------------------------
     def model_str(self) -> str:

@@ -274,3 +274,78 @@ def test_csr_kcv_flow(tmp_path, sparse_file):
         outs[tag] = "".join(
             open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
     assert outs["dense"] == outs["csr"]
+
+
+def test_rf_scores_csr(sparse_file):
+    """RF eval_dataset on a CSR dataset (review finding: it crashed)."""
+    from ranklib_tpu.models.rf import RFRanker
+
+    dense = read_letor(sparse_file)
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    rf = RFRanker(n_bags=2, n_trees=1, n_leaves=4, seed=3)
+    rf.fit(dense, create_scorer("NDCG@10"))
+    for sd, sc in zip(rf.eval_dataset(dense), rf.eval_dataset(csr)):
+        np.testing.assert_array_equal(sd, sc)
+
+
+def test_kcv_sparse_gbdt_falls_back_dense(tmp_path, sparse_file):
+    """-kcv -sparse with a tree ranker must not hand CSR folds to a fit
+    that can't consume them (review finding: TypeError mid-run)."""
+    from ranklib_tpu.cli import main as cli_main
+
+    d = str(tmp_path / "kcv_gbdt")
+    cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "3",
+              "-leaf", "3", "-kcv", "3", "-metric2t", "NDCG@10",
+              "-missingZero", "-sparse", "-kcvmd", d, "-kcvmn", "m"])
+    assert sorted(os.listdir(d)) == ["f1.m", "f2.m", "f3.m"]
+
+
+def test_qrel_on_descless_dataset_errors():
+    """apply_qrel on a dataset without '#' descriptions raises instead of
+    silently zeroing every label (review finding)."""
+    from ranklib_tpu.data.qrel import apply_qrel
+    from ranklib_tpu.utils.errors import RankLibError
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("1 qid:1 1:0.5\n0 qid:1 1:0.1\n")
+        path = f.name
+    with tempfile.NamedTemporaryFile("w", suffix=".qrel",
+                                     delete=False) as f:
+        f.write("1 0 doc1 2\n")
+        qrel = f.name
+    csr_ds = read_letor_sparse(path, quiet=True)
+    with pytest.raises(RankLibError, match="descriptions"):
+        apply_qrel(csr_ds, qrel)
+    os.unlink(path)
+    os.unlink(qrel)
+
+
+def test_bins_kernel_gate_rejects_wide_grids(monkeypatch):
+    """Bin ids above 256 are not bf16-exact: the route gate must reject
+    a model with >256 distinct thresholds on one feature."""
+    import ranklib_tpu.utils.backend as backend
+    from ranklib_tpu.gbdt.ensemble import Tree, TreeEnsemble
+
+    monkeypatch.setattr(backend, "on_tpu", lambda: True)
+    rng = np.random.default_rng(0)
+
+    def stump(thr):
+        return Tree(feature=np.array([0, 0, 0]),
+                    threshold=np.array([thr, 0, 0], np.float32),
+                    left=np.array([1, -1, -1]),
+                    right=np.array([2, -1, -1]),
+                    is_leaf=np.array([False, True, True]),
+                    output=np.array([0.0, -1.0, 1.0], np.float32))
+
+    small = TreeEnsemble()
+    for thr in rng.normal(size=50):
+        small.add(stump(np.float32(thr)), 0.1)
+    assert small._use_bins_kernel(4)
+
+    wide = TreeEnsemble()
+    for thr in rng.normal(size=300):
+        wide.add(stump(np.float32(thr)), 0.1)
+    assert wide._bins_grid_meta()[1] == 300
+    assert not wide._use_bins_kernel(4)

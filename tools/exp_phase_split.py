@@ -62,13 +62,17 @@ def run(tag, **kw):
     nl = args.pop("n_leaves", 10)
     step = make_round_step(scorer, n_leaves=nl, **args)
     state = init_state(128, nl, Npad, Nvpad, F)
-    state = step(state, jnp.int32(0), data)
+    # ONE dispatch per K rounds (step.multi, traced bounds): per-round
+    # Python dispatch through the tunnel measured 20+ ms on a congested
+    # day (2026-08-20) — every config then reads the DISPATCH rate, not
+    # device time, and config differences vanish into noise.
+    state = step.multi(state, jnp.int32(0), jnp.int32(1), data)
     float(state.scores[0])
     best = 1e9
     for rep in range(3):
         t0 = time.perf_counter()
-        for k in range(1, K + 1):
-            state = step(state, jnp.int32(k), data)
+        state = step.multi(state, jnp.int32(1 + rep * K),
+                           jnp.int32(1 + (rep + 1) * K), data)
         float(state.scores[0])
         best = min(best, (time.perf_counter() - t0) / K)
     print(f"{tag}: {best * 1e3:.2f} ms/round", flush=True)
