@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ranklib_tpu.ops.histogram import histogram_fn, histogram_multi_fn
+from ranklib_tpu.ops.split_scan import best_splits
 
 
 class TreeArrays(NamedTuple):
@@ -58,30 +59,15 @@ def _hist(binned, grad, mask, n_bins):
     return _hist_for_mask(binned, grad, mask, n_bins)
 
 
-def _best_split(hist, S, C, mls, fmask=None):
-    """Scan all (feature, bin) candidates of one node's histogram.
-
-    Returns (gain, feature, bin, valid). Maximizes S_L²/c_L + S_R²/c_R over
-    candidates with both sides >= minLeafSupport; first max wins on ties
-    (feature-major order, matching the reference's scan order). ``fmask``:
-    optional [F] bool — features outside the mask never split (RF bags'
-    feature subsampling as data, so every bag shares one compiled step).
-    """
-    F, B, _ = hist.shape
-    c_l = jnp.cumsum(hist[..., 1], axis=1)
-    s_l = jnp.cumsum(hist[..., 0], axis=1)
-    c_r = C - c_l
-    s_r = S - s_l
-    ok = (c_l >= mls) & (c_r >= mls)
-    if fmask is not None:
-        ok = ok & fmask[:, None]
-    gain = jnp.where(
-        ok,
-        s_l * s_l / jnp.maximum(c_l, 1.0) + s_r * s_r / jnp.maximum(c_r, 1.0),
-        -jnp.inf,
-    ).reshape(-1)
-    idx = jnp.argmax(gain)
-    return gain[idx], (idx // B).astype(jnp.int32), (idx % B).astype(jnp.int32), jnp.isfinite(gain[idx])
+def _split1(hist, mls, fmask=None):
+    """Best split of ONE node's histogram [F, B, 2] → (gain, f, b, ok).
+    Maximizes S_L²/c_L + S_R²/c_R over candidates with both sides >=
+    minLeafSupport; first max wins on ties (feature-major order, matching
+    the reference's scan order — FeatureHistogram.findBestSplit:~300).
+    Routed through ops.split_scan (fused Pallas kernel on TPU)."""
+    g, f, b, ok = best_splits(
+        hist[None], mls, None if fmask is None else fmask[None])
+    return g[0], f[0], b[0], ok[0]
 
 
 @functools.partial(
@@ -123,7 +109,7 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
     S0 = jnp.sum(root_hist[0, :, 0])       # feature 0 bins every doc once
     SQ0 = allr(jnp.sum(dw * grad * grad))
     C0 = jnp.sum(root_hist[0, :, 1])
-    g0, f0, b0, ok0 = _best_split(root_hist, S0, C0, mls, feature_mask)
+    g0, f0, b0, ok0 = _split1(root_hist, mls, feature_mask)
 
     hist = jnp.zeros((M, F, B, 2), jnp.float32).at[0].set(root_hist)
     stats = jnp.zeros((M, 3), jnp.float32).at[0].set(jnp.stack([S0, SQ0, C0]))
@@ -206,16 +192,14 @@ def grow_tree(binned_T, grad, n_bins: int, n_leaves: int,
                                      -jnp.inf)
 
                 # ONE batched scan over both children (a [2, F, B, 2]
-                # _best_split_forest) instead of two sequential scans —
+                # ops.split_scan.best_splits) instead of two sequential scans —
                 # at this size the scan cost is all dispatch latency
                 # (measured: the growth phase is ~1.4 ms/iteration while
                 # its histogram pass is ~0.1 ms; tools/exp_phase_split.py)
                 hist_lr = jnp.stack([hist_l, hist_r])
                 fm2 = (None if feature_mask is None
                        else jnp.broadcast_to(feature_mask, (2, F)))
-                g2, f2, b2, ok2 = _best_split_forest(
-                    hist_lr, jnp.stack([S_l, S_r]), jnp.stack([C_l, C_r]),
-                    mls, fm2)
+                g2, f2, b2, ok2 = best_splits(hist_lr, mls, fm2)
                 g_l, f_l, b_l, ok_l = g2[0], f2[0], b2[0], ok2[0]
                 g_r, f_r, b_r, ok_r = g2[1], f2[1], b2[1], ok2[1]
 
@@ -267,28 +251,6 @@ def _hist_multi(binned, grads, weights, n_bins):
     return _hist_multi_for_mask(binned, grads, weights, n_bins)
 
 
-def _best_split_forest(hist, S, C, mls, fmask=None):
-    """Per-bag best (feature, bin): the _best_split scan with a leading
-    bag axis. hist [Cb, F, B, 2]; S, C [Cb]; fmask optional [Cb, F]."""
-    Cb, F, B, _ = hist.shape
-    c_l = jnp.cumsum(hist[..., 1], axis=2)
-    s_l = jnp.cumsum(hist[..., 0], axis=2)
-    c_r = C[:, None, None] - c_l
-    s_r = S[:, None, None] - s_l
-    ok = (c_l >= mls) & (c_r >= mls)
-    if fmask is not None:
-        ok = ok & fmask[:, :, None]
-    gain = jnp.where(
-        ok,
-        s_l * s_l / jnp.maximum(c_l, 1.0) + s_r * s_r / jnp.maximum(c_r, 1.0),
-        -jnp.inf,
-    ).reshape(Cb, F * B)
-    idx = jnp.argmax(gain, axis=1)
-    g = jnp.take_along_axis(gain, idx[:, None], axis=1)[:, 0]
-    return (g, (idx // B).astype(jnp.int32), (idx % B).astype(jnp.int32),
-            jnp.isfinite(g))
-
-
 @functools.partial(
     jax.jit, static_argnames=("n_bins", "n_leaves", "min_leaf_support"))
 def grow_forest(binned_T, grads, n_bins: int, n_leaves: int,
@@ -322,8 +284,7 @@ def grow_forest(binned_T, grads, n_bins: int, n_leaves: int,
     S0 = jnp.sum(dw * grads, axis=1)
     SQ0 = jnp.sum(dw * grads * grads, axis=1)
     C0 = jnp.sum(dw, axis=1)
-    g0, f0, b0, ok0 = _best_split_forest(root_hist, S0, C0, mls,
-                                         feature_masks)
+    g0, f0, b0, ok0 = best_splits(root_hist, mls, feature_masks)
 
     # Leaf histograms live in an ITERATION-indexed buffer: iteration k
     # writes its two children at rows 2k+1 / 2k+2 — scalar row indices, so
@@ -405,10 +366,10 @@ def grow_forest(binned_T, grads, n_bins: int, n_leaves: int,
                     return jnp.where(C > 0, SQ - S * S / jnp.maximum(C, 1.0),
                                      -jnp.inf)
 
-                g_l, f_l, b_l, ok_l = _best_split_forest(
-                    hist_l, S_l, C_l, mls, feature_masks)
-                g_r, f_r, b_r, ok_r = _best_split_forest(
-                    hist_r, S_r, C_r, mls, feature_masks)
+                g_l, f_l, b_l, ok_l = best_splits(hist_l, mls,
+                                                   feature_masks)
+                g_r, f_r, b_r, ok_r = best_splits(hist_r, mls,
+                                                  feature_masks)
 
                 # unconditional scalar-row writes (rows of invalid bags are
                 # never mapped, so their contents are dead)

@@ -142,3 +142,43 @@ def test_radix_kernel_all_masked_and_padding_bins():
         got = np.asarray(hist_pallas_radix(
             jnp_arr(binned), grad, np.zeros(300, bool), 256))
     assert (got == 0).all()
+
+
+def test_split_scan_kernel_matches_xla():
+    """Fused Pallas split-scan (interpret mode) vs the XLA reference:
+    identical picks on random histograms, incl. mls filtering, feature
+    masks, empty (all-zero) children, and the feature-major tie order."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ranklib_tpu.ops.split_scan import (
+        _scan_rows_pallas, best_splits_xla,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        Cn, F, B = 2, 7, 256
+        counts = rng.integers(0, 5, (Cn, F, B)).astype(np.float64)
+        counts[:] = counts[:, :1, :]        # every feature bins every doc
+        sums = rng.normal(size=(Cn, F, B)) * counts.astype(bool)
+        if trial == 2:
+            counts[1] = 0                    # empty child
+            sums[1] = 0
+        hist = jnp.asarray(np.stack([sums, counts], axis=-1), jnp.float32)
+        mls = [1.0, 3.0, 1.0, 2.0][trial]
+        want = best_splits_xla(hist, mls)
+        hs = hist[..., 0].reshape(Cn * F, B)
+        hc = hist[..., 1].reshape(Cn * F, B)
+        with pltpu.force_tpu_interpret_mode():
+            g_row, b_row = _scan_rows_pallas(hs, hc, mls)
+        g = np.asarray(g_row).reshape(Cn, F)
+        b = np.asarray(b_row).reshape(Cn, F)
+        f_best = np.argmax(g, axis=1)
+        for c in range(Cn):
+            if np.isfinite(want[0][c]):
+                np.testing.assert_allclose(g[c, f_best[c]], want[0][c],
+                                           rtol=1e-5)
+                assert f_best[c] == int(want[1][c]), trial
+                assert b[c, f_best[c]] == int(want[2][c]), trial
+            else:
+                assert not np.isfinite(g[c]).any()
