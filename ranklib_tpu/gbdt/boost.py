@@ -343,12 +343,12 @@ def _make_stepper(step_impl):
     step = jax.jit(step_impl, donate_argnums=(0,))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi(state, t0, t1, data):
+    def multi(state, t0, t1, *data):
         return jax.lax.fori_loop(
-            t0, t1, lambda t, s: step_impl(s, t, data), state)
+            t0, t1, lambda t, s: step_impl(s, t, *data), state)
 
-    def stepper(state, t, data):
-        return step(state, t, data)
+    def stepper(state, t, *data):
+        return step(state, t, *data)
 
     stepper.multi = multi
     stepper.impl = step_impl

@@ -28,7 +28,6 @@ as gbdt.boost; a blocking round trip through the TPU tunnel costs
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -82,7 +81,6 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
         perq = perq[:-1]
         return perq, perq.mean()
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: AdaState, t, S, tb, vb) -> AdaState:
         F = state.w.shape[0]
         weighted = state.P @ S                         # [F]
@@ -130,7 +128,9 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
             val_m=val_m,
         )
 
-    return step
+    from ranklib_tpu.gbdt.boost import _make_stepper
+
+    return _make_stepper(step)
 
 
 @register_ranker
@@ -193,28 +193,33 @@ class AdaRank(Ranker):
             head += f"| {scorer.name + '-V':<11}"
         log(head)
         silent = is_silent()
-        for t in range(self.n_rounds):
-            state = step(state, t, S, tb, vb)
-            if silent:
-                # periodic cheap sync: stop dispatching no-op rounds once
-                # the on-device active flag dropped (tolerance/backtrack)
-                if (t + 1) % 50 == 0 and not bool(state.active):
-                    break
-            else:
-                if not bool(state.hact[t]):
-                    log(f"Stop at round {t + 1} (degenerate or rolled back)")
-                    break
-                tm = float(state.train_m[t])
-                line = f"{t + 1:<8}| {int(state.hfid[t]) + 1:<8}| {tm:<11.4f}"
-                vm = None
-                if validation is not None:
-                    vm = float(state.val_m[t])
-                    line += f"| {vm:<11.4f}"
-                log(line)
-                event("round", ranker=self.NAME, round=t + 1,
-                      train_metric=tm, val_metric=vm)
+        if silent:
+            # chain rounds in blocks of 50 with one host sync per block
+            # (the active check) — immune to per-round dispatch inflation
+            # through the tunnel (same discipline as gbdt.boost)
+            t = 0
+            while t < self.n_rounds:
+                t1 = min(t + 50, self.n_rounds)
+                state = step.multi(state, t, t1, S, tb, vb)
+                t = t1
                 if not bool(state.active):
                     break
+        for t in ([] if silent else range(self.n_rounds)):
+            state = step(state, t, S, tb, vb)
+            if not bool(state.hact[t]):
+                log(f"Stop at round {t + 1} (degenerate or rolled back)")
+                break
+            tm = float(state.train_m[t])
+            line = f"{t + 1:<8}| {int(state.hfid[t]) + 1:<8}| {tm:<11.4f}"
+            vm = None
+            if validation is not None:
+                vm = float(state.val_m[t])
+                line += f"| {vm:<11.4f}"
+            log(line)
+            event("round", ranker=self.NAME, round=t + 1,
+                  train_metric=tm, val_metric=vm)
+            if not bool(state.active):
+                break
 
         hfid, halpha, hact, val_m = jax.device_get(
             (state.hfid, state.halpha, state.hact, state.val_m))

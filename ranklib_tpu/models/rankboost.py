@@ -35,7 +35,6 @@ tunnel costs ~30 ms, which would otherwise dominate a 300-round fit).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -109,7 +108,6 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
     else:
         histfn = hist_xla
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: RBState, t, data: RBData) -> RBState:
         N = data.binned_T.shape[1]
         sc = state.scores
@@ -198,7 +196,9 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
             active=active, train_m=train_m, val_m=val_m,
         )
 
-    return step
+    from ranklib_tpu.gbdt.boost import _make_stepper
+
+    return _make_stepper(step)
 
 
 @register_ranker
@@ -299,26 +299,33 @@ class RankBoost(Ranker):
         if validation is not None:
             head += f"| {scorer.name + '-V':<11}"
         log(head)
-        for t in range(self.n_rounds):
+        if silent:
+            # chain rounds in blocks of 50 with ONE host sync between
+            # blocks (the active check) — per-round dispatch through the
+            # tunnel measured 3.7 s → 11 s fit-to-fit swings on congested
+            # afternoons (bench extras, 2026-08-20); chained blocks are
+            # immune, same boost.py discipline
+            t = 0
+            while t < self.n_rounds:
+                t1 = min(t + 50, self.n_rounds)
+                state = step.multi(state, t, t1, data)
+                t = t1
+                if not bool(state.active):
+                    break
+        for t in ([] if silent else range(self.n_rounds)):
             state = step(state, t, data)
-            if silent:
-                # periodic cheap sync: stop dispatching no-op rounds after
-                # a degenerate weak-ranker pick ended training on device
-                if (t + 1) % 50 == 0 and not bool(state.active):
-                    break
-            else:
-                if not bool(state.wact[t]):
-                    log(f"Stop at round {t + 1}: no useful weak ranker")
-                    break
-                tm = float(state.train_m[t])
-                line = f"{t + 1:<8}| {tm:<11.4f}"
-                vm = None
-                if validation is not None:
-                    vm = float(state.val_m[t])
-                    line += f"| {vm:<11.4f}"
-                log(line)
-                event("round", ranker=self.NAME, round=t + 1,
-                      train_metric=tm, val_metric=vm)
+            if not bool(state.wact[t]):
+                log(f"Stop at round {t + 1}: no useful weak ranker")
+                break
+            tm = float(state.train_m[t])
+            line = f"{t + 1:<8}| {tm:<11.4f}"
+            vm = None
+            if validation is not None:
+                vm = float(state.val_m[t])
+                line += f"| {vm:<11.4f}"
+            log(line)
+            event("round", ranker=self.NAME, round=t + 1,
+                  train_metric=tm, val_metric=vm)
 
         # single readback of the whole training history
         wf, wt, walpha, wact, val_m = jax.device_get(

@@ -236,3 +236,27 @@ def test_rankboost_separable_data_truncates_zero_alpha_rounds():
     m, _ = score_dataset(create_scorer("NDCG@10"), train,
                          r.eval_dataset(train))
     assert m > 0.95
+
+
+def test_boosters_silent_chaining_bit_identical(data):
+    """Silent mode chains rounds in 50-blocks (one host sync per block);
+    models must be bit-identical to per-round stepping."""
+    from ranklib_tpu.utils.logging import set_silent
+
+    train, _ = data
+    scorer = create_scorer("NDCG@10")
+
+    rb_live = RankBoost(n_rounds=12, n_threshold=6)
+    rb_live.fit(train, scorer)
+    ada_live = AdaRank(n_rounds=12)
+    ada_live.fit(train, scorer)
+    set_silent(True)
+    try:
+        rb_silent = RankBoost(n_rounds=12, n_threshold=6)
+        rb_silent.fit(train, scorer)
+        ada_silent = AdaRank(n_rounds=12)
+        ada_silent.fit(train, scorer)
+    finally:
+        set_silent(False)
+    assert rb_live.weaks == rb_silent.weaks
+    assert ada_live.history == ada_silent.history
