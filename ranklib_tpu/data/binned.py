@@ -48,6 +48,21 @@ class BinnedDataset(Dataset):
     thresholds: np.ndarray = None   # [F, B] float32, +inf padded
     binned: np.ndarray = None       # [N, F] int16, query file order
 
+    def subset_queries(self, idxs) -> "BinnedDataset":
+        """New BinnedDataset of the given query indices (k-fold CV folds
+        ride the streamed bin matrix — data.cv.prepare_cv dispatches on
+        this method)."""
+        idxs = list(idxs)
+        qptr = np.zeros(len(self.queries) + 1, np.int64)
+        np.cumsum([q.n for q in self.queries], out=qptr[1:])
+        rows = (np.concatenate([np.arange(qptr[i], qptr[i + 1])
+                                for i in idxs])
+                if idxs else np.zeros(0, np.int64))
+        return BinnedDataset(
+            queries=[self.queries[i] for i in idxs],
+            n_features=self.n_features, thresholds=self.thresholds,
+            binned=self.binned[rows])
+
 
 def read_letor_binned(path: str, n_threshold: int = 256,
                       thresholds: np.ndarray | None = None,

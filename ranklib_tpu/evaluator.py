@@ -244,13 +244,32 @@ def evaluate_kcv(args) -> None:
         create_scorer(args.metric2T, gmax=args.gmax)
         if args.metric2T else train_scorer
     )
-    ds = _prepare(args.train, args.norm, feature_fids,
-                  train_scorer.needs_rel, qrel=args.qrel,
-                  missing_zero=args.missingZero,
-                  # only CSR-capable rankers may train from CSR folds —
-                  # GBDT-family fit (0/6/8) consumes dense or streamed
-                  # bins, neither of which k-fold splits serve yet
-                  sparse=args.sparse and _try_csr(args))
+    if _try_stream(args):
+        # GBDT kcv on the streamed bin matrix: folds subset bin rows
+        # (BinnedDataset.subset_queries). Folds share the FILE-level
+        # threshold grid — identical to per-fold grids whenever a
+        # feature has <= -tc distinct values (then every value is a grid
+        # point; byte-equal fold models pinned in tests), a deliberate
+        # approximation above that (the dense pipeline recomputes
+        # per-fold grids like the reference's per-fold ranker init)
+        from ranklib_tpu.data.binned import read_letor_binned
+        try:
+            ds = read_letor_binned(
+                args.train, n_threshold=args.tc if args.tc is not None
+                else 256, must_have_rel_doc=train_scorer.needs_rel,
+                missing_zero=args.missingZero)
+        except RankLibError as e:
+            log(f"[-sparse] streaming loader not applicable ({e}); "
+                f"using the dense pipeline")
+            ds = _prepare(args.train, args.norm, feature_fids,
+                          train_scorer.needs_rel, qrel=args.qrel,
+                          missing_zero=args.missingZero)
+    else:
+        ds = _prepare(args.train, args.norm, feature_fids,
+                      train_scorer.needs_rel, qrel=args.qrel,
+                      missing_zero=args.missingZero,
+                      # CSR folds only for rankers whose fit consumes CSR
+                      sparse=args.sparse and _try_csr(args))
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):

@@ -349,3 +349,20 @@ def test_bins_kernel_gate_rejects_wide_grids(monkeypatch):
         wide.add(stump(np.float32(thr)), 0.1)
     assert wide._bins_grid_meta()[1] == 300
     assert not wide._use_bins_kernel(4)
+
+
+def test_kcv_sparse_gbdt_streams_binned(tmp_path, sparse_file):
+    """-kcv -sparse tree rankers now ride the streamed bin matrix; fold
+    models match the dense pipeline bit-for-bit (one global grid, exact
+    parity of binned training pinned elsewhere)."""
+    from ranklib_tpu.cli import main as cli_main
+
+    outs = {}
+    for tag, extra in (("dense", []), ("binned", ["-sparse"])):
+        d = str(tmp_path / f"kcv6_{tag}")
+        cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "3",
+                  "-leaf", "3", "-kcv", "3", "-metric2t", "NDCG@10",
+                  "-missingZero", "-kcvmd", d, "-kcvmn", "m", *extra])
+        outs[tag] = "".join(
+            open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
+    assert outs["dense"] == outs["binned"]
