@@ -90,14 +90,28 @@ def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
     log(f"Reranked lists saved to: {path}")
 
 
+def _feature_mask_for(fids, n_features):
+    """[F] bool mask from 1-indexed fids (the -feature file), with the
+    dense pipeline's out-of-range error."""
+    mask = np.zeros(n_features, bool)
+    for fid in fids:
+        if fid < 1 or fid > n_features:
+            raise RankLibError(
+                f"Feature id {fid} out of range 1..{n_features}")
+        mask[fid - 1] = True
+    return mask
+
+
 def _try_stream(args) -> bool:
     """-sparse routes tree rankers through the streaming parse→bin loader
     (data.binned) when its preconditions hold: GBDT-family ranker (only
     trees consume bins; other rankers need raw values), no per-query
-    normalization or feature zeroing (both transform raw values before
-    binning), plain (non-gzip) input, native parser available."""
+    normalization (transforms raw values before binning) and no -qrel
+    (streamed datasets carry no '#' descriptions), plain (non-gzip)
+    input, native parser available. ``-feature`` is served as a split
+    feature MASK (exactly equivalent for trees — see models/trainer)."""
     return bool(args.sparse and args.ranker in (0, 6)
-                and not args.norm and not args.feature and not args.qrel)
+                and not args.norm and not args.qrel)
 
 
 def _try_csr(args) -> bool:
@@ -136,6 +150,10 @@ def evaluate_train(args) -> Ranker:
             log(f"[-sparse] streaming loader not applicable ({e}); "
                 f"using the dense pipeline")
             stream = False
+        if stream and feature_fids is not None:
+            args.hparams = dict(args.hparams or {})
+            args.hparams["_feature_mask"] = _feature_mask_for(
+                feature_fids, train.n_features)
     if csr:
         from ranklib_tpu.data.sparse import read_letor_sparse
         try:
@@ -264,6 +282,10 @@ def evaluate_kcv(args) -> None:
             ds = _prepare(args.train, args.norm, feature_fids,
                           train_scorer.needs_rel, qrel=args.qrel,
                           missing_zero=args.missingZero)
+        if getattr(ds, "binned", None) is not None and feature_fids:
+            args.hparams = dict(args.hparams or {})
+            args.hparams["_feature_mask"] = _feature_mask_for(
+                feature_fids, ds.n_features)
     else:
         ds = _prepare(args.train, args.norm, feature_fids,
                       train_scorer.needs_rel, qrel=args.qrel,

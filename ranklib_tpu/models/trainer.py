@@ -31,6 +31,7 @@ def train_ranker(
     cls = get_ranker_class(ranker_type)
     hparams = dict(hparams or {})
     resume = hparams.pop("_resume_from", None)
+    feature_mask = hparams.pop("_feature_mask", None)
     ranker = cls(**hparams)
     if resume:
         from ranklib_tpu.models.base import load_ranker_file
@@ -43,6 +44,15 @@ def train_ranker(
                 f"-resume model is a {loaded.NAME}, not a {ranker.NAME}")
         ranker.ensemble = loaded.ensemble      # warm start (tree rankers)
     kwargs = {}
+    if feature_mask is not None:
+        # -feature on the streamed (-sparse) GBDT path: unlisted features
+        # are never split on — for tree rankers exactly equivalent to the
+        # dense pipeline's column zeroing (a feature absent from every
+        # tree contributes nothing at eval either)
+        import inspect
+
+        if "feature_mask" in inspect.signature(ranker.fit).parameters:
+            kwargs["feature_mask"] = feature_mask
     if n_dp and n_dp > 1:
         import inspect
 

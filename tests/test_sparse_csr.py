@@ -366,3 +366,25 @@ def test_kcv_sparse_gbdt_streams_binned(tmp_path, sparse_file):
         outs[tag] = "".join(
             open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
     assert outs["dense"] == outs["binned"]
+
+
+def test_feature_subset_on_binned_stream(tmp_path, sparse_file):
+    """-feature + -sparse tree rankers: the split-feature MASK yields the
+    same model as the dense pipeline's column zeroing."""
+    from ranklib_tpu.cli import main as cli_main
+
+    ff = str(tmp_path / "feats.txt")
+    open(ff, "w").write("2\n3\n5\n7\n")
+    outs = {}
+    for tag, extra in (("dense", []), ("binned", ["-sparse"])):
+        model = str(tmp_path / f"mf_{tag}.txt")
+        cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "4",
+                  "-leaf", "3", "-metric2t", "NDCG@10", "-missingZero",
+                  "-feature", ff, "-save", model, *extra])
+        outs[tag] = open(model).read()
+    assert outs["dense"] == outs["binned"]
+    # only listed features appear in the trees
+    import re
+    fids = set(int(m) for m in re.findall(r"<feature> *(\d+) *</feature>",
+                                          outs["binned"]))
+    assert fids <= {2, 3, 5, 7}
