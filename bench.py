@@ -230,10 +230,12 @@ def main() -> int:
 
     timed_fit(2)                   # cold: compiles every jit kernel
     if on_tpu:
-        # best-of-2 on each warm measurement: the remote-tunnel dispatch
-        # jitter is tens of ms and otherwise dominates run-to-run variance
-        t_small = min(timed_fit(2), timed_fit(2))
-        t_big = min(timed_fit(trees), timed_fit(trees))
+        # best-of-3 on each warm measurement: remote-SERVER load varies
+        # 15-25% between sessions (measured 2026-08-20 morning vs
+        # afternoon) on top of tens-of-ms dispatch jitter; the extra
+        # repeats cost ~20 s against a ~10 min bench
+        t_small = min(timed_fit(2) for _ in range(3))
+        t_big = min(timed_fit(trees) for _ in range(3))
         steady = max(t_big - t_small, 1e-9)
     else:
         # CPU fallback: host load drifts between runs, so PAIR each small
