@@ -14,8 +14,16 @@ from ranklib_tpu.data.dataset import Dataset
 from ranklib_tpu.utils.errors import RankLibError
 
 
-def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0):
-    """Return list of (train, validation_or_None, test) Dataset triples."""
+def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0, lazy=False):
+    """(train, validation_or_None, test) Dataset triples — a list, or a
+    per-fold generator with ``lazy=True``.
+
+    For subset-materializing datasets (CSR / streamed bins,
+    ``subset_queries``) each fold triple COPIES its rows; eager
+    preparation would hold ~k× the matrix at once — exactly the host-RAM
+    case ``-sparse`` exists for — so the evaluator iterates lazily and
+    only one fold's copies are ever live. Plain datasets share Query
+    references either way."""
     if n_fold < 2:
         raise RankLibError(f"Need at least 2 folds, got {n_fold}")
     if len(ds.queries) < n_fold:
@@ -25,23 +33,27 @@ def prepare_cv(ds: Dataset, n_fold: int, tvs: float = -1.0):
     fold_test = [[] for _ in range(n_fold)]
     for i in range(len(ds.queries)):
         fold_test[i % n_fold].append(i)
-    if hasattr(ds, "subset_queries"):        # CSRDataset keeps CSR views
+    if hasattr(ds, "subset_queries"):        # CSR / binned row subsets
         make = ds.subset_queries
     else:
         def make(idxs):
             return Dataset([ds.queries[i] for i in idxs], ds.n_features)
-    splits = []
-    for f in range(n_fold):
+
+    def one_fold(f):
         train = [i for g in range(n_fold) if g != f for i in fold_test[g]]
         valid = None
         if tvs and tvs > 0:
             n_train = int(len(train) * tvs)
             if n_train < 1 or n_train >= len(train):
-                raise RankLibError(f"-tvs {tvs} leaves an empty train or validation split")
+                raise RankLibError(
+                    f"-tvs {tvs} leaves an empty train or validation split")
             valid = make(train[n_train:])
             train = train[:n_train]
-        splits.append((make(train), valid, make(fold_test[f])))
-    return splits
+        return (make(train), valid, make(fold_test[f]))
+
+    if lazy:
+        return (one_fold(f) for f in range(n_fold))
+    return [one_fold(f) for f in range(n_fold)]
 
 
 def split_tvs(ds: Dataset, tvs: float):

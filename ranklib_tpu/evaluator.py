@@ -282,7 +282,8 @@ def evaluate_kcv(args) -> None:
             ds = _prepare(args.train, args.norm, feature_fids,
                           train_scorer.needs_rel, qrel=args.qrel,
                           missing_zero=args.missingZero)
-        if getattr(ds, "binned", None) is not None and feature_fids:
+        if (getattr(ds, "binned", None) is not None
+                and feature_fids is not None):
             args.hparams = dict(args.hparams or {})
             args.hparams["_feature_mask"] = _feature_mask_for(
                 feature_fids, ds.n_features)
@@ -292,7 +293,8 @@ def evaluate_kcv(args) -> None:
                       missing_zero=args.missingZero,
                       # CSR folds only for rankers whose fit consumes CSR
                       sparse=args.sparse and _try_csr(args))
-    splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0)
+    splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0,
+                        lazy=True)   # one fold's copies live at a time
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):
         log("")

@@ -355,6 +355,23 @@ def _make_stepper(step_impl):
     return stepper
 
 
+def run_silent_blocks(step, state, n_rounds: int, *data, block: int = 50):
+    """Silent-mode round driver shared by RankBoost and AdaRank: chain
+    ``block`` rounds per dispatch (step.multi) with ONE host sync between
+    blocks — the on-device ``active`` flag check that stops dispatching
+    no-op rounds. Immune to per-round dispatch inflation through the
+    tunnel (measured 3.7 s → 11 s fit-to-fit swings on congested
+    afternoons); bit-identical to per-round stepping."""
+    t = 0
+    while t < n_rounds:
+        t1 = min(t + block, n_rounds)
+        state = step.multi(state, t, t1, *data)
+        t = t1
+        if not bool(state.active):
+            break
+    return state
+
+
 def init_state(n_trees: int, n_leaves: int, Npad: int, Nvpad: int,
                n_features: int) -> BoostState:
     M = 2 * n_leaves - 1

@@ -194,16 +194,9 @@ class AdaRank(Ranker):
         log(head)
         silent = is_silent()
         if silent:
-            # chain rounds in blocks of 50 with one host sync per block
-            # (the active check) — immune to per-round dispatch inflation
-            # through the tunnel (same discipline as gbdt.boost)
-            t = 0
-            while t < self.n_rounds:
-                t1 = min(t + 50, self.n_rounds)
-                state = step.multi(state, t, t1, S, tb, vb)
-                t = t1
-                if not bool(state.active):
-                    break
+            from ranklib_tpu.gbdt.boost import run_silent_blocks
+
+            state = run_silent_blocks(step, state, self.n_rounds, S, tb, vb)
         for t in ([] if silent else range(self.n_rounds)):
             state = step(state, t, S, tb, vb)
             if not bool(state.hact[t]):

@@ -300,18 +300,9 @@ class RankBoost(Ranker):
             head += f"| {scorer.name + '-V':<11}"
         log(head)
         if silent:
-            # chain rounds in blocks of 50 with ONE host sync between
-            # blocks (the active check) — per-round dispatch through the
-            # tunnel measured 3.7 s → 11 s fit-to-fit swings on congested
-            # afternoons (bench extras, 2026-08-20); chained blocks are
-            # immune, same boost.py discipline
-            t = 0
-            while t < self.n_rounds:
-                t1 = min(t + 50, self.n_rounds)
-                state = step.multi(state, t, t1, data)
-                t = t1
-                if not bool(state.active):
-                    break
+            from ranklib_tpu.gbdt.boost import run_silent_blocks
+
+            state = run_silent_blocks(step, state, self.n_rounds, data)
         for t in ([] if silent else range(self.n_rounds)):
             state = step(state, t, data)
             if not bool(state.wact[t]):

@@ -53,6 +53,9 @@ def train_ranker(
 
         if "feature_mask" in inspect.signature(ranker.fit).parameters:
             kwargs["feature_mask"] = feature_mask
+        else:
+            log(f"({ranker.NAME} fit() takes no feature mask; "
+                f"-feature ignored on this path)")
     if n_dp and n_dp > 1:
         import inspect
 

@@ -77,19 +77,31 @@ def _scan_kernel(hs_ref, hc_ref, out_ref, *, mls: float, n_bins: int):
     out_ref[:] = row
 
 
+_TR = 512                     # rows per block: bounds VMEM to ~4 MB of
+                              # intermediates regardless of F (rows are
+                              # independent; wide -sparse feature spaces
+                              # reach tens of thousands of rows)
+
+
 @functools.partial(jax.jit, static_argnames=("mls",))
 def _scan_rows_pallas(hs, hc, mls: float):
     """[R, B] channel planes → (gain [R], bin [R])."""
     R, B = hs.shape
-    Rp = ((R + 7) // 8) * 8
+    TR = min(_TR, ((R + 7) // 8) * 8)
+    Rp = ((R + TR - 1) // TR) * TR
     if Rp > R:
+        # pad rows are all-zero: no valid candidate, gain −inf, sliced off
         hs = jnp.pad(hs, ((0, Rp - R), (0, 0)))
         hc = jnp.pad(hc, ((0, Rp - R), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_scan_kernel, mls=float(mls), n_bins=B),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Rp // TR,),
+        in_specs=[pl.BlockSpec((TR, B), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TR, B), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR, 128), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * Rp * B * B, transcendentals=0,
@@ -124,7 +136,11 @@ def best_splits_xla(hist, mls: float, fmask=None):
 def best_splits(hist, mls: float, fmask=None):
     """Backend-routed best-split scan; hist [Cn, F, B, 2]."""
     Cn, F, B, _ = hist.shape
-    if not on_tpu() or B % 128 != 0:
+    # B == 256 is the ONE width proven to compile on the remote Mosaic
+    # compiler (CLAUDE.md hazard: lane-aligned B=128 and small/odd widths
+    # HANG it); every other bin count keeps the exact XLA scan, which is
+    # cheap at those sizes anyway
+    if not on_tpu() or B != 256:
         return best_splits_xla(hist, mls, fmask)
     hs = hist[..., 0].reshape(Cn * F, B)
     hc = hist[..., 1].reshape(Cn * F, B)

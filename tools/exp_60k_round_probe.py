@@ -1,5 +1,5 @@
-"""Direct steady-state round timing at 60K queries (7.2M docs): does ~2x MSLR-30K scale (7.2M docs) — one-chip ceiling probe.
-
+"""Steady-state round timing at 60K queries / 7.2M docs (2x MSLR-30K):
+the one-chip ceiling probe.
 Uploads the dataset ONCE, builds the fused step, then times K donated
 steps back-to-back with a single value read at the end — the pipelined
 steady-state rate, immune to the ~1 GB/fit tunnel-upload variance that
