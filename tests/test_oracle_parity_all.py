@@ -276,3 +276,15 @@ def test_rf_bag_oracle_parity():
         assert len(ens.trees) == len(o.trees)
         for te, to in zip(ens.trees, o.trees):
             _tree_equal(te, to, thr_o)
+
+
+def test_ranknet_two_hidden_layers_oracle_parity():
+    """Multi-layer backprop parity (-layer 2): the oracle's hand-derived
+    chain rule vs the engine's autodiff through stacked sigmoid layers."""
+    ds = synth_dataset(n_queries=6, n_features=5, min_docs=4, max_docs=10,
+                       gmax=2, seed=161)
+    eng, o = _neural_pair(RankNet, "ranknet", ds, create_scorer("NDCG@10"),
+                          epochs=3, lr=0.01, n_layers=2,
+                          n_hidden_per_layer=6)
+    assert eng._layer_sizes(ds.n_features) == [5, 6, 6, 1]
+    _assert_params_close(eng, o, atol=5e-5)
