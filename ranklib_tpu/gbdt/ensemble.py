@@ -143,6 +143,8 @@ class TreeEnsemble:
     # TC=16) and a 5120-block grid (vs 8064): 56.8 → 52.9 ms at 262K
     # docs × 1000 trees (tools/exp_serving_chunk_sweep.py, 2026-08-19;
     # per-doc parity ≤ 4.3e-6 vs TC=16 and vs _mm_eval on hardware).
+    # Re-swept for the bin-space kernel (exp_serving_bins_tc.py,
+    # 2026-08-20): TC 16/25/32/50 → 47.1/44.1/49.4/48.9 ms — 25 stays.
     _TREE_CHUNK = 25
 
     def _pack_matmul(self, n_features: int):
