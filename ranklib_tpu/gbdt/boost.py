@@ -359,9 +359,15 @@ def run_silent_blocks(step, state, n_rounds: int, *data, block: int = 50):
     """Silent-mode round driver shared by RankBoost and AdaRank: chain
     ``block`` rounds per dispatch (step.multi) with ONE host sync between
     blocks — the on-device ``active`` flag check that stops dispatching
-    no-op rounds. Immune to per-round dispatch inflation through the
-    tunnel (measured 3.7 s → 11 s fit-to-fit swings on congested
-    afternoons); bit-identical to per-round stepping."""
+    no-op rounds. Bit-identical to per-round stepping.
+
+    Measured trade-off (v5e, 300 rounds @179K docs, same-process A/B
+    2026-08-20): the fori_loop-compiled step runs ~2-3 ms/round SLOWER
+    than per-round executables (AdaRank 13.0 vs 9.9, RankBoost 15.4 vs
+    13.1 — an XLA loop-compilation pessimization), but per-round
+    dispatch through the tunnel degrades to 37 ms/round on a congested
+    link (bench extras swung 3.7 s → 11 s fit-to-fit). Chaining caps the
+    worst case; robustness wins for a scoreboard metric."""
     t = 0
     while t < n_rounds:
         t1 = min(t + block, n_rounds)
