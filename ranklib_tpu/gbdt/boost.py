@@ -361,13 +361,14 @@ def run_silent_blocks(step, state, n_rounds: int, *data, block: int = 50):
     blocks — the on-device ``active`` flag check that stops dispatching
     no-op rounds. Bit-identical to per-round stepping.
 
-    Measured trade-off (v5e, 300 rounds @179K docs, same-process A/B
-    2026-08-20): the fori_loop-compiled step runs ~2-3 ms/round SLOWER
-    than per-round executables (AdaRank 13.0 vs 9.9, RankBoost 15.4 vs
-    13.1 — an XLA loop-compilation pessimization), but per-round
-    dispatch through the tunnel degrades to 37 ms/round on a congested
-    link (bench extras swung 3.7 s → 11 s fit-to-fit). Chaining caps the
-    worst case; robustness wins for a scoreboard metric."""
+    Measured (v5e, 300 rounds @179K docs, 2026-08-20): the raw chained
+    step is ~0.4 ms/round (static-block probe) — AdaRank/RankBoost fit
+    time is dominated by per-fit SETUP (the weak-metric matrix / binning
+    + uploads through the tunnel), and whole-fit A/Bs of chained vs
+    per-round dispatch differ mostly by that setup's link noise
+    (3.7 s → 11 s fit-to-fit swings on a congested afternoon). Chaining
+    removes the one component that scales with rounds × link latency,
+    capping the worst case."""
     t = 0
     while t < n_rounds:
         t1 = min(t + block, n_rounds)
