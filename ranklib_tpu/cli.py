@@ -51,8 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "matrix; neural/RankBoost/AdaRank/CoorAscent/"
                         "linear land in host CSR with bounded dense "
                         "chunks (neither path ever materializes the full "
-                        "dense float matrix); -norm/-qrel runs fall back "
-                        "to the dense pipeline")
+                        "dense float matrix; -norm applies lazily at "
+                        "materialization); -qrel and tree-ranker -norm "
+                        "runs fall back to the dense pipeline")
     p.add_argument("-save", metavar="file")
     p.add_argument("-kcv", type=int, default=-1)
     p.add_argument("-kcvmd", metavar="dir")

@@ -59,10 +59,38 @@ class CSRDataset(Dataset):
     fids: np.ndarray = None      # [nnz] int32, 0-based feature ids
     vals: np.ndarray = None      # [nnz] float32
     qrow: np.ndarray = None      # [Q+1] int64 — query → doc-row range
+    # lazy per-query normalization (see normalize_csr): materialization
+    # applies the EXACT dense formula elementwise, so trained models stay
+    # bit-identical to the dense pipeline's
+    norm_kind: str | None = None
+    norm_a: np.ndarray = None    # [Q, Fn] per-query stat (μ / Σ|v| / min)
+    norm_b: np.ndarray = None    # [Q, Fn] per-query stat (σ / — / range)
 
     @property
     def nnz(self) -> int:
         return int(self.indptr[-1])
+
+    def _apply_norm(self, out: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        """Dense block [hi-lo, width] of doc rows [lo, hi) → normalized,
+        using each row's query stats. Columns beyond the stats' width
+        (added by with_width AFTER normalization) stay 0, matching the
+        dense order norm-then-widen."""
+        qidx = np.searchsorted(self.qrow, np.arange(lo, hi),
+                               side="right") - 1
+        Fn = min(self.norm_a.shape[1], out.shape[1])
+        v = out[:, :Fn]
+        A = self.norm_a[qidx][:, :Fn]
+        if self.norm_kind == "sum":
+            out[:, :Fn] = np.where(A > 0, v / np.where(A > 0, A, 1.0), v)
+            return out
+        B = self.norm_b[qidx][:, :Fn]
+        if self.norm_kind == "zscore":
+            out[:, :Fn] = np.where(B > 0, (v - A) / np.where(B > 0, B, 1.0),
+                                   0.0)
+        else:                                  # linear
+            out[:, :Fn] = np.where(B > 0, (v - A) / np.where(B > 0, B, 1.0),
+                                   0.0)
+        return out
 
     # ---- dense materialization (bounded by the caller) ---------------------
     def materialize_rows(self, lo: int, hi: int,
@@ -79,6 +107,8 @@ class CSRDataset(Dataset):
             f = self.fids[s:e]
             keep = f < F
             out[rows[keep], f[keep]] = self.vals[s:e][keep]
+        if self.norm_kind is not None:
+            out = self._apply_norm(out, lo, hi)
         return out
 
     def materialize_query(self, qi: int,
@@ -111,7 +141,9 @@ class CSRDataset(Dataset):
                   else np.zeros(0, np.int32)),
             vals=(np.concatenate(val_chunks) if val_chunks
                   else np.zeros(0, np.float32)),
-            qrow=qrow)
+            qrow=qrow, norm_kind=self.norm_kind,
+            norm_a=(self.norm_a[idxs] if self.norm_a is not None else None),
+            norm_b=(self.norm_b[idxs] if self.norm_b is not None else None))
 
     def subset_features(self, fids) -> "CSRDataset":
         keep = np.zeros(self.n_features, dtype=bool)
@@ -127,10 +159,19 @@ class CSRDataset(Dataset):
                   np.repeat(np.arange(len(counts)), counts)[sel], 1)
         indptr = np.zeros(len(counts) + 1, np.int64)
         np.cumsum(new_counts, out=indptr[1:])
+        # a subset AFTER normalization must zero the dropped columns'
+        # transforms too (the dense pipeline zeroes normalized values)
+        norm_a, norm_b = self.norm_a, self.norm_b
+        if self.norm_kind is not None:
+            keep_n = keep[: norm_a.shape[1]]
+            norm_a = np.where(keep_n[None, :], norm_a, 0.0)
+            if norm_b is not None:
+                norm_b = np.where(keep_n[None, :], norm_b, 0.0)
         return CSRDataset(
             queries=self.queries, n_features=self.n_features,
             indptr=indptr, fids=self.fids[sel], vals=self.vals[sel],
-            qrow=self.qrow)
+            qrow=self.qrow, norm_kind=self.norm_kind,
+            norm_a=norm_a, norm_b=norm_b)
 
     def with_width(self, n_features: int) -> "CSRDataset":
         """Clip/pad is a pure width change: materialization already clips
@@ -139,7 +180,9 @@ class CSRDataset(Dataset):
             return self
         return CSRDataset(queries=self.queries, n_features=n_features,
                           indptr=self.indptr, fids=self.fids,
-                          vals=self.vals, qrow=self.qrow)
+                          vals=self.vals, qrow=self.qrow,
+                          norm_kind=self.norm_kind, norm_a=self.norm_a,
+                          norm_b=self.norm_b)
 
 
 def _py_parse_csr(path: str):
@@ -280,3 +323,37 @@ def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
             f"{ds.nnz} stored values — {csr_mb:.0f} MB vs "
             f"{dense_mb:.0f} MB dense)")
     return ds
+
+
+def normalize_csr(ds: CSRDataset, name: str) -> CSRDataset:
+    """Per-query normalization on a CSRDataset — LAZY: the per-query
+    statistics are computed here (one query materialized at a time, on
+    raw values — identical arrays to the dense pipeline's q.feats), and
+    :meth:`CSRDataset.materialize_rows` applies the EXACT dense formula
+    elementwise at materialization. Trained models are bit-identical to
+    the dense pipeline's (tests/test_sparse_csr.py). Host memory:
+    [Q, F] f32 stat arrays (μ/σ, Σ|v|, or min/range) — far below N·F.
+    """
+    from ranklib_tpu.data.normalize import get_normalizer
+
+    get_normalizer(name)                     # validate the name
+    if ds.norm_kind is not None:
+        raise RankLibError("dataset is already normalized")
+    kind = name.lower()
+    Q, F = len(ds.queries), ds.n_features
+    A = np.zeros((Q, F), np.float32)
+    B = np.zeros((Q, F), np.float32) if kind != "sum" else None
+    for qi in range(Q):
+        feats = ds.materialize_query(qi)
+        if kind == "sum":
+            A[qi] = np.abs(feats).sum(axis=0)
+        elif kind == "zscore":
+            A[qi] = feats.mean(axis=0)
+            B[qi] = feats.std(axis=0)        # population σ, like the dense
+        else:                                # linear
+            mn = feats.min(axis=0)
+            A[qi] = mn
+            B[qi] = feats.max(axis=0) - mn
+    return CSRDataset(queries=ds.queries, n_features=F, indptr=ds.indptr,
+                      fids=ds.fids, vals=ds.vals, qrow=ds.qrow,
+                      norm_kind=kind, norm_a=A, norm_b=B)

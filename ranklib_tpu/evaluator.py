@@ -25,12 +25,13 @@ from ranklib_tpu.utils.logging import log
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
              qrel=None, missing_zero=False, sparse=False):
-    if sparse and not norm and not qrel:
+    if sparse and not qrel:
         # -sparse on load/test/rank flows: host CSR, bounded chunks. The
         # CSR readers discard '#' descriptions, so -qrel (docid matching)
         # and -indri (docid output) need the dense pipeline; qrel routes
-        # there above, -indri falls back to index doc ids.
-        from ranklib_tpu.data.sparse import read_letor_sparse
+        # there above, -indri falls back to index doc ids. -norm applies
+        # lazily at materialization.
+        from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
 
         ds = read_letor_sparse(path, must_have_rel_doc=must_have_rel,
                                n_features=n_features,
@@ -39,6 +40,8 @@ def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
             ds = ds.with_width(n_features)
         if feature_fids is not None:
             ds = ds.subset_features(feature_fids)
+        if norm:
+            ds = normalize_csr(ds, norm)
         return ds
     ds = read_letor(path, must_have_rel_doc=must_have_rel,
                     n_features=n_features, missing_zero=missing_zero)
@@ -119,11 +122,12 @@ def _try_csr(args) -> bool:
     AdaRank 3, CoorAscent 4, linear 9) through the host-CSR loader
     (data.sparse): memory ~ nnz, dense blocks materialized in bounded
     chunks (RankBoost additionally keeps an int16 bin matrix — the GBDT
-    streaming loader's discipline). Per-query normalization densifies
-    (implicit zeros become nonzero), so -norm falls back to the dense
-    pipeline."""
+    streaming loader's discipline). -norm applies LAZILY at
+    materialization (normalize_csr: per-query stats held as [Q, F]
+    arrays; the dense formula runs per chunk, bit-identical models);
+    only -qrel still needs the dense pipeline (docid descriptions)."""
     return bool(args.sparse and args.ranker in (1, 2, 3, 4, 5, 7, 9)
-                and not args.norm and not args.qrel)
+                and not args.qrel)
 
 
 def evaluate_train(args) -> Ranker:
@@ -155,7 +159,7 @@ def evaluate_train(args) -> Ranker:
             args.hparams["_feature_mask"] = _feature_mask_for(
                 feature_fids, train.n_features)
     if csr:
-        from ranklib_tpu.data.sparse import read_letor_sparse
+        from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
         try:
             train = read_letor_sparse(
                 args.train, must_have_rel_doc=must_rel,
@@ -164,6 +168,8 @@ def evaluate_train(args) -> Ranker:
                 apply_qrel(train, args.qrel)
             if feature_fids is not None:
                 train = train.subset_features(feature_fids)
+            if args.norm:
+                train = normalize_csr(train, args.norm)
         except RankLibError as e:
             log(f"[-sparse] CSR loader not applicable ({e}); "
                 f"using the dense pipeline")
@@ -192,7 +198,9 @@ def evaluate_train(args) -> Ranker:
             if args.qrel:
                 apply_qrel(validation, args.qrel)
         elif csr:
-            from ranklib_tpu.data.sparse import read_letor_sparse
+            from ranklib_tpu.data.sparse import (
+                normalize_csr, read_letor_sparse,
+            )
             validation = read_letor_sparse(
                 args.validate, must_have_rel_doc=must_rel,
                 n_features=train.n_features,
@@ -203,6 +211,8 @@ def evaluate_train(args) -> Ranker:
                 apply_qrel(validation, args.qrel)
             if feature_fids is not None:
                 validation = validation.subset_features(feature_fids)
+            if args.norm:
+                validation = normalize_csr(validation, args.norm)
         else:
             validation = _prepare(args.validate, args.norm, feature_fids,
                                   must_rel, missing_zero=args.missingZero,
@@ -231,7 +241,9 @@ def evaluate_train(args) -> Ranker:
             if args.qrel:
                 apply_qrel(test, args.qrel)
         elif csr:
-            from ranklib_tpu.data.sparse import read_letor_sparse
+            from ranklib_tpu.data.sparse import (
+                normalize_csr, read_letor_sparse,
+            )
             test = read_letor_sparse(
                 args.test, n_features=train.n_features,
                 missing_zero=args.missingZero)
@@ -241,6 +253,8 @@ def evaluate_train(args) -> Ranker:
                 apply_qrel(test, args.qrel)
             if feature_fids is not None:
                 test = test.subset_features(feature_fids)
+            if args.norm:
+                test = normalize_csr(test, args.norm)
         else:
             test = _prepare(args.test, args.norm, feature_fids, False,
                             n_features=train.n_features, qrel=args.qrel,

@@ -388,3 +388,63 @@ def test_feature_subset_on_binned_stream(tmp_path, sparse_file):
     fids = set(int(m) for m in re.findall(r"<feature> *(\d+) *</feature>",
                                           outs["binned"]))
     assert fids <= {2, 3, 5, 7}
+
+
+@pytest.mark.parametrize("norm", ["sum", "zscore", "linear"])
+def test_csr_normalization_bit_parity(sparse_file, norm):
+    """-norm on CSR applies lazily at materialization with the EXACT
+    dense formula — trained models bit-identical across pipelines."""
+    from ranklib_tpu.data.normalize import normalize_dataset
+    from ranklib_tpu.data.sparse import normalize_csr
+    from ranklib_tpu.models.coorascent import CoorAscent
+    from ranklib_tpu.models.linear import LinearRegRank
+    from ranklib_tpu.models.rankboost import RankBoost
+    from ranklib_tpu.data.dataset import flatten
+
+    dense = read_letor(sparse_file)
+    normalize_dataset(dense, norm)
+    csr = normalize_csr(read_letor_sparse(sparse_file, quiet=True), norm)
+    np.testing.assert_array_equal(csr.materialize_rows(0, csr.n_docs),
+                                  flatten(dense)[0])
+
+    scorer = create_scorer("NDCG@10")
+    lin_d, lin_c = LinearRegRank(), LinearRegRank()
+    lin_d.fit(dense)
+    lin_c.fit(csr)
+    np.testing.assert_allclose(lin_d.weights, lin_c.weights, atol=1e-9)
+    ca_d = CoorAscent(n_restart=1, max_passes=2)
+    ca_c = CoorAscent(n_restart=1, max_passes=2)
+    ca_d.fit(dense, scorer)
+    ca_c.fit(csr, scorer)
+    np.testing.assert_array_equal(ca_d.weights, ca_c.weights)
+    rb_d, rb_c = RankBoost(n_rounds=6, n_threshold=5), \
+        RankBoost(n_rounds=6, n_threshold=5)
+    rb_d.fit(dense, scorer)
+    rb_c.fit(csr, scorer)
+    assert rb_d.weaks == rb_c.weaks
+
+    # splits / feature subsets carry the lazy stats correctly
+    from ranklib_tpu.data.cv import split_tvs
+    (tr_c, va_c) = split_tvs(csr, 0.7)
+    (tr_d, va_d) = split_tvs(dense, 0.7)
+    np.testing.assert_array_equal(
+        va_c.materialize_rows(0, va_c.n_docs), flatten(va_d)[0])
+    sub_c = csr.subset_features([2, 5])
+    sub_d_q = [np.where(np.isin(np.arange(9), [1, 4])[None, :], q.feats, 0.0)
+               for q in dense.queries]
+    np.testing.assert_array_equal(
+        sub_c.materialize_rows(0, sub_c.n_docs),
+        np.concatenate(sub_d_q).astype(np.float32))
+
+
+def test_csr_norm_cli_flow(tmp_path, sparse_file):
+    from ranklib_tpu.cli import main as cli_main
+
+    outs = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        model = str(tmp_path / f"mn_{tag}.txt")
+        cli_main(["-train", sparse_file, "-ranker", "9", "-norm", "zscore",
+                  "-metric2t", "NDCG@10", "-missingZero",
+                  "-save", model, *extra])
+        outs[tag] = open(model).read()
+    assert outs["dense"] == outs["csr"]
