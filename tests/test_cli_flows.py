@@ -186,3 +186,21 @@ def test_cli_leaf_one_is_clean_error(letor):
     rc = main(["-train", tr, "-ranker", "6", "-tree", "2", "-leaf", "1",
                "-metric2t", "NDCG@10"])
     assert rc == 1
+
+
+def test_python_api_sparse_read(tmp_path):
+    """api.read(sparse=True) returns a CSR dataset that trains identically."""
+    import ranklib_tpu.api as rl
+    from ranklib_tpu.data.sparse import CSRDataset
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    path = str(tmp_path / "t.txt")
+    write_letor_text(synth_dataset(n_queries=8, n_features=6, seed=3,
+                                   signal=3.0), path)
+    dense = rl.read(path)
+    csr = rl.read(path, sparse=True)
+    assert isinstance(csr, CSRDataset)
+    m_d = rl.train(dense, ranker=9)
+    m_c = rl.train(csr, ranker=9)
+    import numpy as np
+    np.testing.assert_allclose(m_d.weights, m_c.weights, atol=1e-9)
