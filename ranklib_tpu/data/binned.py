@@ -21,7 +21,9 @@ Peak host memory is the 2-byte bin matrix (plus the raw file buffer),
 ~4× below the dense pipeline's f32 matrix + int bin matrix, independent
 of how sparse the file is. GBDT trains bit-identically to the dense path
 (tests/test_data.py pins model-string equality); rankers that need raw
-feature values (neural, linear, CoorAscent, boosting) use the dense path.
+feature values (neural, linear, CoorAscent, boosting) go through the
+host-CSR loader instead (data/sparse.py — ~nnz memory, bounded dense
+chunk materialization).
 """
 
 from __future__ import annotations
