@@ -28,6 +28,7 @@ chunk materialization).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -90,9 +91,34 @@ def read_letor_binned(path: str, n_threshold: int = 256,
     )
 
     if path.endswith(".gz"):
-        raise RankLibError(
-            f"streaming -sparse loader reads plain files only (got {path}); "
-            f"decompress first or use the dense pipeline")
+        # streamed temp decompression, like the dense native path: the
+        # three native passes then read the plain file; the temp is
+        # unlinked before returning. Bad archives raise with the exact
+        # gzip error instead of a parser error.
+        import gzip
+        import shutil
+        import tempfile
+        import zlib
+
+        with tempfile.NamedTemporaryFile(suffix=".letor",
+                                         delete=False) as tmp:
+            tmp_path = tmp.name
+        try:
+            try:
+                with gzip.open(path, "rb") as src,                         open(tmp_path, "wb") as dst:
+                    shutil.copyfileobj(src, dst, length=1 << 20)
+            except (OSError, EOFError, zlib.error) as e:
+                raise RankLibError(
+                    f"cannot decompress {path}: {e}") from None
+            return read_letor_binned(
+                tmp_path, n_threshold=n_threshold, thresholds=thresholds,
+                must_have_rel_doc=must_have_rel_doc, n_features=n_features,
+                missing_zero=missing_zero, quiet=quiet)
+        finally:
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
     try:
         stat = native_letor_stat(path)
     except NativeParseError as e:

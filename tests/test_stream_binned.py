@@ -195,3 +195,23 @@ def test_cli_sparse_flow(tmp_path, sparse_file):
                    "-tts", "0.7", "-save", str(model2), "-silent"])
     assert rc == 0
     assert model2.read_text() == text
+
+
+def test_streamed_binned_reads_gzip(tmp_path):
+    """.gz inputs stream through a temp decompression (parity with the
+    plain file, byte-identical bins)."""
+    import gzip
+
+    from ranklib_tpu.data.binned import read_letor_binned
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    plain = str(tmp_path / "t.txt")
+    write_letor_text(synth_dataset(n_queries=6, n_features=5, seed=9), plain)
+    gz = plain + ".gz"
+    with open(plain, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    a = read_letor_binned(plain, n_threshold=16, quiet=True)
+    b = read_letor_binned(gz, n_threshold=16, quiet=True)
+    np.testing.assert_array_equal(a.binned, b.binned)
+    np.testing.assert_array_equal(a.thresholds, b.thresholds)
+    assert [q.qid for q in a.queries] == [q.qid for q in b.queries]
