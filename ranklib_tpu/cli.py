@@ -52,8 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "linear land in host CSR with bounded dense "
                         "chunks (neither path ever materializes the full "
                         "dense float matrix; -norm applies lazily at "
-                        "materialization); -qrel and tree-ranker -norm "
-                        "runs fall back to the dense pipeline")
+                        "materialization — tree rankers then bin from "
+                        "normalized chunks); only -qrel falls back to "
+                        "the dense pipeline")
     p.add_argument("-save", metavar="file")
     p.add_argument("-kcv", type=int, default=-1)
     p.add_argument("-kcvmd", metavar="dir")

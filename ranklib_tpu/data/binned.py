@@ -200,3 +200,71 @@ def split_binned(ds: BinnedDataset, n_train: int):
         BinnedDataset(queries=ds.queries[n_train:], n_features=ds.n_features,
                       thresholds=ds.thresholds, binned=ds.binned[n_docs_a:]),
     )
+
+
+def binned_from_csr(ds, n_threshold: int = 256,
+                    thresholds: np.ndarray | None = None) -> BinnedDataset:
+    """BinnedDataset from a CSRDataset via bounded dense chunks — the
+    GBDT route for ``-sparse -norm``: the CSR carries LAZY per-query
+    normalization (data.sparse.normalize_csr), so chunks materialize
+    already-normalized and bin exactly like the dense pipeline's
+    normalize-then-bin. Host peak: one chunk + the int16 bin matrix.
+
+    Threshold grids merge chunked capped-unique statistics exactly: a
+    chunk overflowing the cap implies the union overflows it (→ the
+    evenly spaced min/max grid, same as compute_thresholds), otherwise
+    the union of chunk uniques IS the feature's unique set — grids are
+    bit-identical to compute_thresholds on the materialized matrix.
+    """
+    from ranklib_tpu.data.sparse import _chunk_bytes
+    from ranklib_tpu.gbdt.binning import (
+        bin_features, thresholds_from_uniques,
+    )
+    from ranklib_tpu.native.loader import native_feature_uniques
+
+    N, F = ds.n_docs, ds.n_features
+    rows = max(1, _chunk_bytes() // (F * 4))
+    if thresholds is None:
+        uvals = [np.zeros(0, np.float32) for _ in range(F)]
+        over = np.zeros(F, bool)
+        minmax = np.empty((F, 2), np.float32)
+        minmax[:, 0], minmax[:, 1] = np.inf, -np.inf
+        for lo in range(0, N, rows):
+            X = ds.materialize_rows(lo, min(lo + rows, N))
+            nat = native_feature_uniques(X, n_threshold)
+            if nat is None:
+                cvals, cc = [], []
+                cminmax = np.zeros((F, 2), np.float32)
+                for f in range(F):
+                    u = np.unique(X[:, f])
+                    cvals.append(u[: n_threshold + 1])
+                    cc.append(len(u))
+                    cminmax[f] = (u[0], u[-1])
+                ccounts = np.asarray(cc)
+            else:
+                v, ccounts, cminmax = nat
+                cvals = [v[f][: min(int(ccounts[f]), n_threshold)]
+                         for f in range(F)]
+            for f in range(F):
+                if ccounts[f] > n_threshold:
+                    over[f] = True
+                elif not over[f]:
+                    uvals[f] = np.unique(
+                        np.concatenate([uvals[f], cvals[f]]))
+                    if len(uvals[f]) > n_threshold:
+                        over[f] = True
+            minmax[:, 0] = np.minimum(minmax[:, 0], cminmax[:, 0])
+            minmax[:, 1] = np.maximum(minmax[:, 1], cminmax[:, 1])
+        counts = np.asarray([n_threshold + 1 if over[f] else len(uvals[f])
+                             for f in range(F)])
+        thresholds, _ = thresholds_from_uniques(uvals, counts, minmax,
+                                                n_threshold)
+    binned = np.empty((N, F), np.int16)
+    for lo in range(0, N, rows):
+        hi = min(lo + rows, N)
+        binned[lo:hi] = bin_features(ds.materialize_rows(lo, hi),
+                                     thresholds).astype(np.int16)
+    return BinnedDataset(
+        queries=[Query(qid=q.qid, labels=q.labels, feats=None, descs=[])
+                 for q in ds.queries],
+        n_features=F, thresholds=thresholds, binned=binned)

@@ -117,6 +117,33 @@ def _try_stream(args) -> bool:
                 and not args.norm and not args.qrel)
 
 
+def _try_stream_norm(args) -> bool:
+    """-sparse -norm for tree rankers: the raw-value streaming passes
+    can't apply per-query normalization, so the input lands in host CSR
+    with LAZY normalization and bins from normalized chunks
+    (data.binned.binned_from_csr) — grids and models bit-identical to
+    the dense normalize-then-bin pipeline."""
+    return bool(args.sparse and args.ranker in (0, 6) and args.norm
+                and not args.qrel)
+
+
+def _read_csr_norm_binned(path, args, must_rel, feature_fids,
+                          n_features=None, thresholds=None):
+    from ranklib_tpu.data.binned import binned_from_csr
+    from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
+
+    ds = read_letor_sparse(path, must_have_rel_doc=must_rel,
+                           n_features=n_features,
+                           missing_zero=args.missingZero)
+    if n_features is not None and ds.n_features != n_features:
+        ds = ds.with_width(n_features)
+    if feature_fids is not None:
+        ds = ds.subset_features(feature_fids)
+    ds = normalize_csr(ds, args.norm)
+    tc = args.tc if args.tc is not None else 256
+    return binned_from_csr(ds, n_threshold=tc, thresholds=thresholds)
+
+
 def _try_csr(args) -> bool:
     """-sparse routes RAW-VALUE rankers (neural 1/5/7, RankBoost 2,
     AdaRank 3, CoorAscent 4, linear 9) through the host-CSR loader
@@ -140,7 +167,8 @@ def evaluate_train(args) -> Ranker:
     )
     must_rel = train_scorer.needs_rel
     stream = _try_stream(args)
-    csr = not stream and _try_csr(args)
+    stream_n = not stream and _try_stream_norm(args)
+    csr = not stream and not stream_n and _try_csr(args)
     if stream:
         from ranklib_tpu.data.binned import read_letor_binned
         tc = args.tc if args.tc is not None else 256
@@ -158,6 +186,14 @@ def evaluate_train(args) -> Ranker:
             args.hparams = dict(args.hparams or {})
             args.hparams["_feature_mask"] = _feature_mask_for(
                 feature_fids, train.n_features)
+    if stream_n:
+        try:
+            train = _read_csr_norm_binned(args.train, args, must_rel,
+                                          feature_fids)
+        except RankLibError as e:
+            log(f"[-sparse] CSR-normalized binning not applicable ({e}); "
+                f"using the dense pipeline")
+            stream_n = False
     if csr:
         from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
         try:
@@ -174,7 +210,7 @@ def evaluate_train(args) -> Ranker:
             log(f"[-sparse] CSR loader not applicable ({e}); "
                 f"using the dense pipeline")
             csr = False
-    if not stream and not csr:
+    if not stream and not stream_n and not csr:
         train = _prepare(args.train, args.norm, feature_fids, must_rel,
                          missing_zero=args.missingZero,
                          qrel=args.qrel)
@@ -189,7 +225,11 @@ def evaluate_train(args) -> Ranker:
             f"{len(split_test.queries)} queries")
     validation = None
     if args.validate:
-        if stream:
+        if stream_n:
+            validation = _read_csr_norm_binned(
+                args.validate, args, must_rel, feature_fids,
+                n_features=train.n_features, thresholds=train.thresholds)
+        elif stream:
             from ranklib_tpu.data.binned import read_letor_binned
             validation = read_letor_binned(
                 args.validate, thresholds=train.thresholds,
@@ -232,6 +272,10 @@ def evaluate_train(args) -> Ranker:
     if args.test or split_test is not None:
         if split_test is not None:
             test = split_test
+        elif stream_n:
+            test = _read_csr_norm_binned(
+                args.test, args, False, feature_fids,
+                n_features=train.n_features, thresholds=train.thresholds)
         elif stream:
             from ranklib_tpu.data.binned import read_letor_binned
             test = read_letor_binned(
@@ -276,7 +320,20 @@ def evaluate_kcv(args) -> None:
         create_scorer(args.metric2T, gmax=args.gmax)
         if args.metric2T else train_scorer
     )
-    if _try_stream(args):
+    if _try_stream_norm(args):
+        # tree-ranker kcv with -sparse -norm: CSR + lazy normalization →
+        # int16 bins (binned_from_csr); folds subset bin rows
+        try:
+            ds = _read_csr_norm_binned(args.train, args,
+                                       train_scorer.needs_rel,
+                                       feature_fids)
+        except RankLibError as e:
+            log(f"[-sparse] CSR-normalized binning not applicable ({e}); "
+                f"using the dense pipeline")
+            ds = _prepare(args.train, args.norm, feature_fids,
+                          train_scorer.needs_rel, qrel=args.qrel,
+                          missing_zero=args.missingZero)
+    elif _try_stream(args):
         # GBDT kcv on the streamed bin matrix: folds subset bin rows
         # (BinnedDataset.subset_queries). Folds share the FILE-level
         # threshold grid — identical to per-fold grids whenever a

@@ -448,3 +448,35 @@ def test_csr_norm_cli_flow(tmp_path, sparse_file):
                   "-save", model, *extra])
         outs[tag] = open(model).read()
     assert outs["dense"] == outs["csr"]
+
+
+def test_gbdt_norm_sparse_bit_parity(tmp_path, sparse_file):
+    """-sparse -norm for tree rankers: CSR + lazy normalization bins from
+    normalized chunks — model text byte-identical to the dense
+    normalize-then-bin pipeline, incl. the test metric and kcv folds."""
+    from ranklib_tpu.cli import main as cli_main
+
+    test_ds = synth_dataset(n_queries=5, n_features=9, min_docs=5,
+                            max_docs=12, gmax=2, seed=203, w_seed=201)
+    test_path = str(tmp_path / "t2.txt")
+    _write_sparse_letor(test_ds, test_path, seed=2)
+    outs = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        model = str(tmp_path / f"g_{tag}.txt")
+        cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "4",
+                  "-leaf", "3", "-norm", "zscore", "-metric2t", "NDCG@10",
+                  "-test", test_path, "-missingZero",
+                  "-save", model, *extra])
+        outs[tag] = open(model).read()
+    assert outs["dense"] == outs["csr"]
+
+    kouts = {}
+    for tag, extra in (("dense", []), ("csr", ["-sparse"])):
+        d = str(tmp_path / f"gk_{tag}")
+        cli_main(["-train", sparse_file, "-ranker", "0", "-tree", "3",
+                  "-leaf", "3", "-norm", "sum", "-metric2t", "NDCG@10",
+                  "-kcv", "3", "-missingZero", "-kcvmd", d,
+                  "-kcvmn", "m", *extra])
+        kouts[tag] = "".join(
+            open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
+    assert kouts["dense"] == kouts["csr"]
