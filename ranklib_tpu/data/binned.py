@@ -91,25 +91,13 @@ def read_letor_binned(path: str, n_threshold: int = 256,
     )
 
     if path.endswith(".gz"):
-        # streamed temp decompression, like the dense native path: the
-        # three native passes then read the plain file; the temp is
-        # unlinked before returning. Bad archives raise with the exact
-        # gzip error instead of a parser error.
-        import gzip
-        import shutil
-        import tempfile
-        import zlib
+        # streamed temp decompression (shared helper): the three native
+        # passes then read the plain file; the temp is unlinked before
+        # returning
+        from ranklib_tpu.native.loader import gunzip_to_temp
 
-        with tempfile.NamedTemporaryFile(suffix=".letor",
-                                         delete=False) as tmp:
-            tmp_path = tmp.name
+        tmp_path = gunzip_to_temp(path)
         try:
-            try:
-                with gzip.open(path, "rb") as src,                         open(tmp_path, "wb") as dst:
-                    shutil.copyfileobj(src, dst, length=1 << 20)
-            except (OSError, EOFError, zlib.error) as e:
-                raise RankLibError(
-                    f"cannot decompress {path}: {e}") from None
             return read_letor_binned(
                 tmp_path, n_threshold=n_threshold, thresholds=thresholds,
                 must_have_rel_doc=must_have_rel_doc, n_features=n_features,

@@ -65,6 +65,9 @@ class CSRDataset(Dataset):
     norm_kind: str | None = None
     norm_a: np.ndarray = None    # [Q, Fn] per-query stat (μ / Σ|v| / min)
     norm_b: np.ndarray = None    # [Q, Fn] per-query stat (σ / — / range)
+    # NOTE: the stat arrays are DENSE [Q, F] — far below N·F (docs/query
+    # ≫ 2) but still the ceiling for extreme widths (30K queries ×
+    # 100K features ≈ 24 GB); per-query sparse stats would lift it
 
     @property
     def nnz(self) -> int:
@@ -83,13 +86,11 @@ class CSRDataset(Dataset):
         if self.norm_kind == "sum":
             out[:, :Fn] = np.where(A > 0, v / np.where(A > 0, A, 1.0), v)
             return out
+        # zscore and linear share one affine form: (v − A)/B with B > 0,
+        # else 0 — A/B already encode (μ, σ) vs (min, range)
         B = self.norm_b[qidx][:, :Fn]
-        if self.norm_kind == "zscore":
-            out[:, :Fn] = np.where(B > 0, (v - A) / np.where(B > 0, B, 1.0),
-                                   0.0)
-        else:                                  # linear
-            out[:, :Fn] = np.where(B > 0, (v - A) / np.where(B > 0, B, 1.0),
-                                   0.0)
+        out[:, :Fn] = np.where(B > 0, (v - A) / np.where(B > 0, B, 1.0),
+                               0.0)
         return out
 
     # ---- dense materialization (bounded by the caller) ---------------------
@@ -152,7 +153,10 @@ class CSRDataset(Dataset):
                 raise RankLibError(
                     f"Feature id {fid} out of range 1..{self.n_features}")
             keep[fid - 1] = True
-        sel = keep[self.fids]
+        # stored fids can exceed n_features after with_width narrowing
+        # (materialize_rows clips them; they are dropped here the same way)
+        inw = self.fids < self.n_features
+        sel = keep[np.minimum(self.fids, self.n_features - 1)] & inw
         counts = np.diff(self.indptr)
         new_counts = np.zeros(len(counts), np.int64)
         np.add.at(new_counts,
@@ -163,7 +167,13 @@ class CSRDataset(Dataset):
         # transforms too (the dense pipeline zeroes normalized values)
         norm_a, norm_b = self.norm_a, self.norm_b
         if self.norm_kind is not None:
-            keep_n = keep[: norm_a.shape[1]]
+            # stats can be wider than the current width (norm before a
+            # narrowing with_width): pad the keep mask with False — those
+            # columns never materialize anyway
+            Fn = norm_a.shape[1]
+            keep_n = np.zeros(Fn, bool)
+            w = min(Fn, len(keep))
+            keep_n[:w] = keep[:w]
             norm_a = np.where(keep_n[None, :], norm_a, 0.0)
             if norm_b is not None:
                 norm_b = np.where(keep_n[None, :], norm_b, 0.0)
@@ -256,28 +266,16 @@ def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
 
     parsed = None
     if path.endswith(".gz"):
-        import gzip
-        import shutil
-        import tempfile
-        import zlib
+        from ranklib_tpu.native.loader import gunzip_to_temp
 
-        with tempfile.NamedTemporaryFile(suffix=".letor",
-                                         delete=False) as tmp:
-            tmp_path = tmp.name
+        tmp_path = gunzip_to_temp(path)
         try:
             try:
-                with gzip.open(path, "rb") as src, \
-                        open(tmp_path, "wb") as dst:
-                    shutil.copyfileobj(src, dst, length=1 << 20)
-            except (OSError, EOFError, zlib.error):
-                parsed = _py_parse_csr(path)     # exact gzip error surfaces
+                parsed = native_parse_letor_csr(tmp_path)
+            except NativeParseError:
+                parsed = None
             if parsed is None:
-                try:
-                    parsed = native_parse_letor_csr(tmp_path)
-                except NativeParseError:
-                    parsed = None
-                if parsed is None:
-                    parsed = _py_parse_csr(tmp_path)
+                parsed = _py_parse_csr(tmp_path)
         finally:
             try:
                 os.unlink(tmp_path)

@@ -238,21 +238,12 @@ def evaluate_train(args) -> Ranker:
             if args.qrel:
                 apply_qrel(validation, args.qrel)
         elif csr:
-            from ranklib_tpu.data.sparse import (
-                normalize_csr, read_letor_sparse,
-            )
-            validation = read_letor_sparse(
-                args.validate, must_have_rel_doc=must_rel,
-                n_features=train.n_features,
-                missing_zero=args.missingZero)
-            if validation.n_features != train.n_features:
-                validation = validation.with_width(train.n_features)
-            if args.qrel:
-                apply_qrel(validation, args.qrel)
-            if feature_fids is not None:
-                validation = validation.subset_features(feature_fids)
-            if args.norm:
-                validation = normalize_csr(validation, args.norm)
+            # single-site CSR preparation (read→width→subset→norm):
+            # _prepare's sparse branch (-qrel is gated off the CSR route)
+            validation = _prepare(args.validate, args.norm, feature_fids,
+                                  must_rel, n_features=train.n_features,
+                                  missing_zero=args.missingZero,
+                                  sparse=True)
         else:
             validation = _prepare(args.validate, args.norm, feature_fids,
                                   must_rel, missing_zero=args.missingZero,
@@ -285,20 +276,9 @@ def evaluate_train(args) -> Ranker:
             if args.qrel:
                 apply_qrel(test, args.qrel)
         elif csr:
-            from ranklib_tpu.data.sparse import (
-                normalize_csr, read_letor_sparse,
-            )
-            test = read_letor_sparse(
-                args.test, n_features=train.n_features,
-                missing_zero=args.missingZero)
-            if test.n_features != train.n_features:
-                test = test.with_width(train.n_features)
-            if args.qrel:
-                apply_qrel(test, args.qrel)
-            if feature_fids is not None:
-                test = test.subset_features(feature_fids)
-            if args.norm:
-                test = normalize_csr(test, args.norm)
+            test = _prepare(args.test, args.norm, feature_fids, False,
+                            n_features=train.n_features,
+                            missing_zero=args.missingZero, sparse=True)
         else:
             test = _prepare(args.test, args.norm, feature_fids, False,
                             n_features=train.n_features, qrel=args.qrel,

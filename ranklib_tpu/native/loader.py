@@ -32,6 +32,30 @@ class NativeParseError(Exception):
     pass
 
 
+def gunzip_to_temp(path: str) -> str:
+    """Stream-decompress a .gz file to a temp path (caller unlinks).
+    Raises RankLibError with the exact gzip error on bad archives."""
+    import gzip
+    import shutil
+    import tempfile
+    import zlib
+
+    from ranklib_tpu.utils.errors import RankLibError
+
+    with tempfile.NamedTemporaryFile(suffix=".letor", delete=False) as tmp:
+        tmp_path = tmp.name
+    try:
+        with gzip.open(path, "rb") as src, open(tmp_path, "wb") as dst:
+            shutil.copyfileobj(src, dst, length=1 << 20)
+    except (OSError, EOFError, zlib.error) as e:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise RankLibError(f"cannot decompress {path}: {e}") from None
+    return tmp_path
+
+
 def _compile_and_load(src: str, lib_path: str, extra_flags=()):
     """Compile-on-first-use, shared by every native library here:
     rebuild when the .so is missing or older than its source, then CDLL.

@@ -480,3 +480,26 @@ def test_gbdt_norm_sparse_bit_parity(tmp_path, sparse_file):
         kouts[tag] = "".join(
             open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
     assert kouts["dense"] == kouts["csr"]
+
+
+def test_csr_subset_after_narrowing_width(sparse_file):
+    """subset_features after a NARROWING with_width (review finding: it
+    crashed with IndexError when stored fids exceeded the new width)."""
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    from ranklib_tpu.data.sparse import normalize_csr
+
+    w = csr.n_features - 3
+    narrowed = csr.with_width(w)
+    sub = narrowed.subset_features([1, 2])
+    got = sub.materialize_rows(0, sub.n_docs)
+    want = csr.materialize_rows(0, csr.n_docs)[:, :w].copy()
+    keep = np.zeros(w, bool)
+    keep[[0, 1]] = True
+    want[:, ~keep] = 0.0
+    np.testing.assert_array_equal(got, want)
+
+    # same sequence with lazy normalization attached (stats wider than
+    # the narrowed width)
+    normed = normalize_csr(csr, "zscore").with_width(w)
+    sub_n = normed.subset_features([1, 2])
+    assert sub_n.materialize_rows(0, sub_n.n_docs).shape[1] == w
