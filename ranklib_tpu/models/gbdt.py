@@ -209,7 +209,14 @@ class LambdaMART(Ranker):
             # chained executable (chunk length 1 when live-printing), so
             # models are bit-identical at any sync cadence.
             if silent:
-                nxt = rounds
+                # cap a single dispatch at 128 rounds: a 1000-round chain
+                # at MSLR-30K scale is one ~330 s device call, and the
+                # remote worker KILLS it (reproduced 2026-08-20: "TPU
+                # worker process crashed or restarted" at the first
+                # readback; ~13 s calls are proven fine, 128 rounds ≈
+                # 42 s at that scale). The extra syncs cost ~30 ms each —
+                # noise against multi-second chunks.
+                nxt = min(rounds, t + 128)
                 if self.ckpt_every:
                     nxt = min(nxt,
                               (t // self.ckpt_every + 1) * self.ckpt_every)
