@@ -72,13 +72,18 @@ def read_letor_binned(path: str, n_threshold: int = 256,
                       must_have_rel_doc: bool = False,
                       n_features: int | None = None,
                       missing_zero: bool = True,
-                      quiet: bool = False) -> BinnedDataset:
+                      quiet: bool = False,
+                      want_descs: bool = False) -> BinnedDataset:
     """Stream a LETOR file directly into a :class:`BinnedDataset`.
 
     ``thresholds``: bin with an existing grid (validation/test files bin
     with the TRAINING grid, exactly like the dense pipeline). Otherwise
     the grid is computed from this file's own streamed value statistics —
     bit-identical to ``compute_thresholds`` on the dense matrix.
+
+    ``want_descs`` streams the per-doc '#' descriptions too (one extra
+    pass) so ``-qrel``/``-indri`` work without the dense fallback (ref:
+    learning/SparseDataPoint.java:~15 keeps the description).
 
     Raises :class:`RankLibError` when the native parser is unavailable
     (no g++) or the file needs the Python parser (oversized tokens) —
@@ -101,7 +106,8 @@ def read_letor_binned(path: str, n_threshold: int = 256,
             return read_letor_binned(
                 tmp_path, n_threshold=n_threshold, thresholds=thresholds,
                 must_have_rel_doc=must_have_rel_doc, n_features=n_features,
-                missing_zero=missing_zero, quiet=quiet)
+                missing_zero=missing_zero, quiet=quiet,
+                want_descs=want_descs)
         finally:
             try:
                 os.unlink(tmp_path)
@@ -150,6 +156,10 @@ def read_letor_binned(path: str, n_threshold: int = 256,
     if not missing_zero:
         from ranklib_tpu.data.letor import _check_fully_specified
         _check_fully_specified(path, counts_per_doc, max_fid, qptr, qids)
+    descs = None
+    if want_descs:
+        from ranklib_tpu.data.letor import read_descs
+        descs = read_descs(path, n_docs)
 
     queries = []
     keep_rows = None
@@ -163,7 +173,9 @@ def read_letor_binned(path: str, n_threshold: int = 256,
             keep_rows[s:e] = False
             n_dropped += 1
             continue
-        queries.append(Query(qid=qid, labels=lab, feats=None, descs=[]))
+        queries.append(Query(qid=qid, labels=lab, feats=None,
+                             descs=(descs[s:e] if descs is not None
+                                    else [])))
     if not queries:
         raise RankLibError(f"No queries read from {path}")
     if n_dropped:
@@ -253,6 +265,7 @@ def binned_from_csr(ds, n_threshold: int = 256,
         binned[lo:hi] = bin_features(ds.materialize_rows(lo, hi),
                                      thresholds).astype(np.int16)
     return BinnedDataset(
-        queries=[Query(qid=q.qid, labels=q.labels, feats=None, descs=[])
+        queries=[Query(qid=q.qid, labels=q.labels, feats=None,
+                       descs=q.descs)
                  for q in ds.queries],
         n_features=F, thresholds=thresholds, binned=binned)

@@ -207,6 +207,40 @@ def _from_arrays(path, labels, feats, qptr, qids, descs,
     return Dataset(queries=queries, n_features=feats.shape[1])
 
 
+def read_descs(path: str, n_docs: int | None = None) -> list:
+    """Per-data-line '#' descriptions ('' when absent), file order.
+
+    The side-pass the sparse loaders (CSR / streamed-bin) use to carry
+    docids for ``-qrel`` / ``-indri`` without materializing features
+    (ref: learning/SparseDataPoint.java:~15 keeps the description
+    alongside the sparse fid/val arrays). Native when available,
+    streamed Python otherwise (gzip inputs and oversized tokens land
+    here). Verbatim '#...' strings, matching the dense parsers."""
+    if n_docs is not None and not path.endswith(".gz"):
+        from ranklib_tpu.native.loader import (
+            NativeParseError, native_letor_descs,
+        )
+        try:
+            descs = native_letor_descs(path, n_docs)
+        except (NativeParseError, OSError):
+            descs = None
+        if descs is not None:
+            return descs
+    descs = []
+    with open_text(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("#"):
+                continue
+            hp = s.find("#")
+            descs.append(s[hp:].rstrip() if hp >= 0 else "")
+    if n_docs is not None and len(descs) != n_docs:
+        raise RankLibError(
+            f"{path}: desc pass saw {len(descs)} data lines, "
+            f"expected {n_docs}")
+    return descs
+
+
 def write_letor(ds: Dataset, path: str) -> None:
     """Write a Dataset back out in LETOR format (dense fids 1..F)."""
     with open(path, "w") as f:

@@ -56,13 +56,13 @@ def apply_qrel(ds: Dataset, path: str) -> None:
     """Overwrite labels in-place from a qrel file (unjudged → 0)."""
     qrel = read_qrel(path)
     if not any(q.descs for q in ds.queries):
-        # streamed -sparse datasets discard '#' descriptions — matching
-        # would silently zero EVERY label; fail loudly instead (the
-        # evaluator routes -qrel runs through the dense pipeline)
+        # a dataset loaded WITHOUT descriptions (programmatic use, or a
+        # sparse loader called with want_descs=False) — matching would
+        # silently zero EVERY label; fail loudly instead. The evaluator's
+        # sparse flows request descs (want_descs) whenever -qrel is set.
         raise RankLibError(
             "-qrel needs per-doc '#' descriptions, but this dataset "
-            "carries none (streamed -sparse input discards them); use "
-            "the dense pipeline for qrel runs")
+            "carries none (was it loaded without descriptions?)")
     n_hit = 0
     for q in ds.queries:
         labels = np.zeros_like(q.labels)

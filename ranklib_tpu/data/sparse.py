@@ -256,15 +256,25 @@ def _py_parse_csr(path: str):
 def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
                       n_features: int | None = None,
                       missing_zero: bool = True,
-                      quiet: bool = False) -> CSRDataset:
+                      quiet: bool = False,
+                      want_descs: bool = False) -> CSRDataset:
     """Stream a LETOR file into a :class:`CSRDataset` (native parser when
     available, Python fallback otherwise; gzip via streamed temp
-    decompression like the dense native path)."""
+    decompression like the dense native path).
+
+    ``want_descs`` additionally streams the per-doc '#' descriptions and
+    attaches them to the Query objects — what ``-qrel`` (docid matching)
+    and ``-indri`` (docid output) need for dense-pipeline parity (ref:
+    learning/SparseDataPoint.java:~15 keeps the description). Off by
+    default: the desc side-array is the one per-doc Python-object cost
+    this loader otherwise avoids."""
+    from ranklib_tpu.data.letor import read_descs
     from ranklib_tpu.native.loader import (
         NativeParseError, native_parse_letor_csr,
     )
 
     parsed = None
+    descs = None
     if path.endswith(".gz"):
         from ranklib_tpu.native.loader import gunzip_to_temp
 
@@ -276,6 +286,8 @@ def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
                 parsed = None
             if parsed is None:
                 parsed = _py_parse_csr(tmp_path)
+            if want_descs:
+                descs = read_descs(tmp_path, int(parsed[1][-1]))
         finally:
             try:
                 os.unlink(tmp_path)
@@ -288,6 +300,8 @@ def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
             parsed = None
         if parsed is None:
             parsed = _py_parse_csr(path)
+        if want_descs:
+            descs = read_descs(path, int(parsed[1][-1]))
     labels, qptr, qids, indptr, fids, vals, counts, max_fid = parsed
 
     if not missing_zero:
@@ -300,7 +314,8 @@ def read_letor_sparse(path: str, must_have_rel_doc: bool = False,
     for i, qid in enumerate(qids):
         s, e = int(qptr[i]), int(qptr[i + 1])
         queries.append(Query(qid=qid, labels=labels[s:e], feats=None,
-                             descs=[]))
+                             descs=(descs[s:e] if descs is not None
+                                    else [])))
         qrow.append(e)
     ds = CSRDataset(queries=queries, n_features=F,
                     indptr=indptr, fids=fids, vals=vals,

@@ -24,20 +24,23 @@ from ranklib_tpu.utils.logging import log
 
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
-             qrel=None, missing_zero=False, sparse=False):
-    if sparse and not qrel:
-        # -sparse on load/test/rank flows: host CSR, bounded chunks. The
-        # CSR readers discard '#' descriptions, so -qrel (docid matching)
-        # and -indri (docid output) need the dense pipeline; qrel routes
-        # there above, -indri falls back to index doc ids. -norm applies
-        # lazily at materialization.
+             qrel=None, missing_zero=False, sparse=False,
+             want_descs=False):
+    if sparse:
+        # -sparse on load/test/rank flows: host CSR, bounded chunks.
+        # -norm applies lazily at materialization; -qrel / -indri fetch
+        # the '#' descriptions as a side-array (want_descs) so docid
+        # matching/output works without the dense fallback.
         from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
 
         ds = read_letor_sparse(path, must_have_rel_doc=must_have_rel,
                                n_features=n_features,
-                               missing_zero=missing_zero)
+                               missing_zero=missing_zero,
+                               want_descs=want_descs or bool(qrel))
         if n_features is not None and ds.n_features != n_features:
             ds = ds.with_width(n_features)
+        if qrel:
+            apply_qrel(ds, qrel)
         if feature_fids is not None:
             ds = ds.subset_features(feature_fids)
         if norm:
@@ -108,13 +111,12 @@ def _feature_mask_for(fids, n_features):
 def _try_stream(args) -> bool:
     """-sparse routes tree rankers through the streaming parse→bin loader
     (data.binned) when its preconditions hold: GBDT-family ranker (only
-    trees consume bins; other rankers need raw values), no per-query
-    normalization (transforms raw values before binning) and no -qrel
-    (streamed datasets carry no '#' descriptions), plain (non-gzip)
-    input, native parser available. ``-feature`` is served as a split
-    feature MASK (exactly equivalent for trees — see models/trainer)."""
-    return bool(args.sparse and args.ranker in (0, 6)
-                and not args.norm and not args.qrel)
+    trees consume bins; other rankers need raw values) and no per-query
+    normalization (transforms raw values before binning); native parser
+    available. ``-qrel`` is served by streaming the '#' descriptions as
+    a side-array (want_descs). ``-feature`` is served as a split feature
+    MASK (exactly equivalent for trees — see models/trainer)."""
+    return bool(args.sparse and args.ranker in (0, 6) and not args.norm)
 
 
 def _try_stream_norm(args) -> bool:
@@ -123,8 +125,7 @@ def _try_stream_norm(args) -> bool:
     with LAZY normalization and bins from normalized chunks
     (data.binned.binned_from_csr) — grids and models bit-identical to
     the dense normalize-then-bin pipeline."""
-    return bool(args.sparse and args.ranker in (0, 6) and args.norm
-                and not args.qrel)
+    return bool(args.sparse and args.ranker in (0, 6) and args.norm)
 
 
 def _read_csr_norm_binned(path, args, must_rel, feature_fids,
@@ -134,9 +135,12 @@ def _read_csr_norm_binned(path, args, must_rel, feature_fids,
 
     ds = read_letor_sparse(path, must_have_rel_doc=must_rel,
                            n_features=n_features,
-                           missing_zero=args.missingZero)
+                           missing_zero=args.missingZero,
+                           want_descs=bool(args.qrel))
     if n_features is not None and ds.n_features != n_features:
         ds = ds.with_width(n_features)
+    if args.qrel:
+        apply_qrel(ds, args.qrel)
     if feature_fids is not None:
         ds = ds.subset_features(feature_fids)
     ds = normalize_csr(ds, args.norm)
@@ -152,9 +156,8 @@ def _try_csr(args) -> bool:
     streaming loader's discipline). -norm applies LAZILY at
     materialization (normalize_csr: per-query stats held as [Q, F]
     arrays; the dense formula runs per chunk, bit-identical models);
-    only -qrel still needs the dense pipeline (docid descriptions)."""
-    return bool(args.sparse and args.ranker in (1, 2, 3, 4, 5, 7, 9)
-                and not args.qrel)
+    -qrel streams the '#' descriptions as a side-array (want_descs)."""
+    return bool(args.sparse and args.ranker in (1, 2, 3, 4, 5, 7, 9))
 
 
 def evaluate_train(args) -> Ranker:
@@ -175,7 +178,8 @@ def evaluate_train(args) -> Ranker:
         try:
             train = read_letor_binned(
                 args.train, n_threshold=tc, must_have_rel_doc=must_rel,
-                missing_zero=args.missingZero)
+                missing_zero=args.missingZero,
+                want_descs=bool(args.qrel))
             if args.qrel:
                 apply_qrel(train, args.qrel)
         except RankLibError as e:
@@ -199,7 +203,8 @@ def evaluate_train(args) -> Ranker:
         try:
             train = read_letor_sparse(
                 args.train, must_have_rel_doc=must_rel,
-                missing_zero=args.missingZero)
+                missing_zero=args.missingZero,
+                want_descs=bool(args.qrel))
             if args.qrel:
                 apply_qrel(train, args.qrel)
             if feature_fids is not None:
@@ -234,16 +239,17 @@ def evaluate_train(args) -> Ranker:
             validation = read_letor_binned(
                 args.validate, thresholds=train.thresholds,
                 must_have_rel_doc=must_rel, n_features=train.n_features,
-                missing_zero=args.missingZero)
+                missing_zero=args.missingZero,
+                want_descs=bool(args.qrel))
             if args.qrel:
                 apply_qrel(validation, args.qrel)
         elif csr:
-            # single-site CSR preparation (read→width→subset→norm):
-            # _prepare's sparse branch (-qrel is gated off the CSR route)
+            # single-site CSR preparation (read→width→qrel→subset→norm):
+            # _prepare's sparse branch
             validation = _prepare(args.validate, args.norm, feature_fids,
                                   must_rel, n_features=train.n_features,
                                   missing_zero=args.missingZero,
-                                  sparse=True)
+                                  sparse=True, qrel=args.qrel)
         else:
             validation = _prepare(args.validate, args.norm, feature_fids,
                                   must_rel, missing_zero=args.missingZero,
@@ -272,13 +278,15 @@ def evaluate_train(args) -> Ranker:
             test = read_letor_binned(
                 args.test, thresholds=train.thresholds,
                 n_features=train.n_features,
-                missing_zero=args.missingZero)
+                missing_zero=args.missingZero,
+                want_descs=bool(args.qrel))
             if args.qrel:
                 apply_qrel(test, args.qrel)
         elif csr:
             test = _prepare(args.test, args.norm, feature_fids, False,
                             n_features=train.n_features,
-                            missing_zero=args.missingZero, sparse=True)
+                            missing_zero=args.missingZero, sparse=True,
+                            qrel=args.qrel)
         else:
             test = _prepare(args.test, args.norm, feature_fids, False,
                             n_features=train.n_features, qrel=args.qrel,
@@ -326,7 +334,10 @@ def evaluate_kcv(args) -> None:
             ds = read_letor_binned(
                 args.train, n_threshold=args.tc if args.tc is not None
                 else 256, must_have_rel_doc=train_scorer.needs_rel,
-                missing_zero=args.missingZero)
+                missing_zero=args.missingZero,
+                want_descs=bool(args.qrel))
+            if args.qrel:
+                apply_qrel(ds, args.qrel)
         except RankLibError as e:
             log(f"[-sparse] streaming loader not applicable ({e}); "
                 f"using the dense pipeline")
@@ -390,7 +401,8 @@ def evaluate_rank(args) -> None:
     feature_fids = read_feature_file(args.feature) if args.feature else None
     data = _prepare(args.rank, args.norm, feature_fids, False,
                     qrel=args.qrel, missing_zero=args.missingZero,
-                    sparse=args.sparse)
+                    sparse=args.sparse,
+                    want_descs=bool(args.indri))
     scores = ranker.eval_dataset(data)
     if args.score:
         write_score_file(args.score, data, scores)

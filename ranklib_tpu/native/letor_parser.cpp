@@ -248,6 +248,49 @@ int letor_fill(const char* path, float* labels, float* feats, int64_t n_docs,
   return 0;
 }
 
+// Description-only pass: fill descbuf (n_docs * desc_stride) with each
+// data line's '#...' remainder ('' when absent). Lets the sparse loaders
+// (CSR / streamed-bin) carry docids for -qrel / -indri without re-running
+// a full parse (ref: learning/SparseDataPoint.java:~15 keeps the
+// description alongside the sparse fid/val arrays). Returns 0 ok, -1 io,
+// -2 malformed, -3 overflow vs stat, -4 capacity (oversized qid/desc —
+// caller falls back to a Python desc pass).
+int letor_descs(const char* path, char* descbuf, int64_t desc_stride,
+                int64_t n_docs) {
+  int64_t size = 0;
+  char* buf = read_file(path, &size);
+  if (buf == nullptr) return -1;
+  memset(descbuf, 0, static_cast<size_t>(n_docs * desc_stride));
+  int64_t doc = 0;
+  char qid[QID_MAX + 1];
+  char* p = buf;
+  char* fend = buf + size;
+  int rc = 0;
+  while (p < fend) {
+    char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
+    char* lend = (nl != nullptr) ? nl : fend;
+    float label;
+    char* desc = (doc < n_docs) ? descbuf + doc * desc_stride : nullptr;
+    int r = parse_line<false>(
+        p, lend, &label, qid, [](int64_t, float) {}, desc, desc_stride);
+    if (r < 0) {
+      rc = (r == -2) ? -4 : -2;
+      break;
+    }
+    if (r == 1) {
+      if (doc >= n_docs) {
+        rc = -3;
+        break;
+      }
+      ++doc;
+    }
+    p = lend + 1;
+  }
+  free(buf);
+  if (rc != 0) return rc;
+  return (doc == n_docs) ? 0 : -3;
+}
+
 }  // extern "C"
 
 // ---- streaming parse→bin path (wide/sparse inputs) --------------------------

@@ -103,6 +103,10 @@ def _get_lib():
                 ctypes.c_char_p, i64, ctypes.POINTER(ctypes.c_int32),
             ]
             lib.letor_fill_binned.restype = ctypes.c_int
+        if hasattr(lib, "letor_descs"):
+            lib.letor_descs.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        i64, i64]
+            lib.letor_descs.restype = ctypes.c_int
         if hasattr(lib, "letor_nnz"):
             lib.letor_nnz.argtypes = [ctypes.c_char_p, p_i64]
             lib.letor_nnz.restype = ctypes.c_int
@@ -382,6 +386,28 @@ def native_parse_letor_binned(path: str, thresholds, n_docs: int,
     qids = [qraw[i * QID_STRIDE:(i + 1) * QID_STRIDE]
             .split(b"\0", 1)[0].decode() for i in range(n_queries)]
     return labels, bins, qptr, qids, counts
+
+
+def native_letor_descs(path: str, n_docs: int):
+    """Per-data-line '#' descriptions ('' when absent) — the side-array
+    the sparse loaders attach for -qrel/-indri parity with the dense
+    pipeline. Returns list[str] of length n_docs, or None when the
+    native path is unavailable. Raises NativeParseError on oversized
+    tokens so the caller can fall back to a Python desc pass."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "letor_descs"):
+        return None
+    descbuf = ctypes.create_string_buffer(n_docs * DESC_STRIDE)
+    rc = lib.letor_descs(path.encode(), descbuf,
+                         ctypes.c_int64(DESC_STRIDE), ctypes.c_int64(n_docs))
+    if rc == -1:
+        return None
+    if rc != 0:
+        raise NativeParseError(f"desc pass failed (rc={rc}): {path}")
+    draw = descbuf.raw
+    return [draw[i * DESC_STRIDE:(i + 1) * DESC_STRIDE]
+            .split(b"\0", 1)[0].decode(errors="replace")
+            for i in range(n_docs)]
 
 
 def native_parse_letor_csr(path: str):

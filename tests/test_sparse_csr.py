@@ -503,3 +503,101 @@ def test_csr_subset_after_narrowing_width(sparse_file):
     normed = normalize_csr(csr, "zscore").with_width(w)
     sub_n = normed.subset_features([1, 2])
     assert sub_n.materialize_rows(0, sub_n.n_docs).shape[1] == w
+
+
+# ---- '#' descriptions through the sparse loaders (-qrel / -indri) ----------
+
+def _write_sparse_letor_descs(ds, path, keep_prob=0.4, seed=0):
+    """_write_sparse_letor plus a '# doc<qid>_<i>' description per line."""
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for q in ds.queries:
+            for i in range(q.n):
+                keep = rng.random(q.feats.shape[1]) < keep_prob
+                pairs = " ".join(
+                    f"{j + 1}:{q.feats[i, j]:.6g}"
+                    for j in range(q.feats.shape[1]) if keep[j])
+                if not pairs:
+                    pairs = f"1:{q.feats[i, 0]:.6g}"
+                f.write(f"{int(q.labels[i])} qid:{q.qid} {pairs} "
+                        f"# doc{q.qid}_{i}\n")
+
+
+@pytest.fixture()
+def sparse_desc_file(tmp_path):
+    ds = synth_dataset(n_queries=12, n_features=9, min_docs=5, max_docs=14,
+                       gmax=2, seed=203)
+    path = str(tmp_path / "sparse_d.txt")
+    _write_sparse_letor_descs(ds, path)
+    return path
+
+
+def test_sparse_loaders_carry_descs(sparse_desc_file):
+    """want_descs on both sparse loaders matches the dense reader's
+    descriptions doc-for-doc (native and Python desc passes)."""
+    from ranklib_tpu.data.binned import read_letor_binned
+    from ranklib_tpu.data.letor import read_descs
+    from ranklib_tpu.utils.errors import RankLibError
+
+    dense = read_letor(sparse_desc_file, quiet=True)
+    want = [d for q in dense.queries for d in q.descs]
+
+    csr = read_letor_sparse(sparse_desc_file, quiet=True, want_descs=True)
+    got_csr = [d for q in csr.queries for d in q.descs]
+    assert got_csr == want
+
+    try:
+        binned = read_letor_binned(sparse_desc_file, quiet=True,
+                                   want_descs=True)
+        got_bin = [d for q in binned.queries for d in q.descs]
+        assert got_bin == want
+    except RankLibError:
+        pass                      # native parser unavailable (no g++)
+
+    # python fallback pass (no n_docs hint disables the native path)
+    assert read_descs(sparse_desc_file) == want
+    # and the native pass, when available, agrees with the fallback
+    n = sum(q.n for q in dense.queries)
+    assert read_descs(sparse_desc_file, n) == want
+
+
+@pytest.mark.parametrize("ranker,extra", [(9, []), (0, ["-tree", "3",
+                                                        "-leaf", "3"])])
+def test_sparse_qrel_cli_parity(tmp_path, sparse_desc_file, ranker, extra):
+    """-sparse -qrel trains through the sparse loaders (CSR for raw-value
+    rankers, streamed bins for GBDT) with labels — and therefore models —
+    identical to the dense pipeline's."""
+    from ranklib_tpu.cli import main as cli_main
+
+    dense = read_letor(sparse_desc_file, quiet=True)
+    qrel = tmp_path / "j.qrel"
+    rng = np.random.default_rng(7)
+    with open(qrel, "w") as f:
+        for q in dense.queries:
+            for i in range(q.n):
+                f.write(f"{q.qid} 0 doc{q.qid}_{i} "
+                        f"{int(rng.integers(0, 3))}\n")
+    outs = {}
+    for tag, sp in (("dense", []), ("sparse", ["-sparse"])):
+        model = str(tmp_path / f"m_{tag}_{ranker}.txt")
+        assert cli_main(["-train", sparse_desc_file, "-ranker", str(ranker),
+                         "-metric2t", "NDCG@10", "-qrel", str(qrel),
+                         "-missingZero", "-save", model, *extra, *sp]) == 0
+        outs[tag] = open(model).read()
+    assert outs["dense"] == outs["sparse"]
+
+
+def test_sparse_indri_real_docids(tmp_path, sparse_desc_file):
+    """-sparse -rank -indri outputs the real '#' docids, not doc<i>."""
+    from ranklib_tpu.cli import main as cli_main
+
+    model = str(tmp_path / "m9.txt")
+    assert cli_main(["-train", sparse_desc_file, "-ranker", "9",
+                     "-metric2t", "NDCG@10", "-missingZero",
+                     "-save", model]) == 0
+    ind = tmp_path / "out.indri"
+    assert cli_main(["-load", model, "-rank", sparse_desc_file,
+                     "-indri", str(ind), "-sparse", "-missingZero"]) == 0
+    first = ind.read_text().splitlines()[0].split()
+    qid, docid = first[0], first[2]
+    assert docid.startswith(f"doc{qid}_")
