@@ -62,46 +62,64 @@ class AdaState(NamedTuple):
 
 
 def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
-                  n_queries: int, n_vqueries: int):
-    """Build the jitted one-round step: (state, t, S, tb, vb) → state.
+                  n_queries: int, n_vqueries: int, n_vslots: int | None = None,
+                  axis_name: str | None = None, raw: bool = False):
+    """Build the jitted one-round step: (state, t, S, tb, vb, qmask) →
+    state.
 
     ``tb``/``vb``: tuples of (feats, labels, mask, qidx) device buckets;
-    qidx scatters per-query metrics back to Dataset order for P.
-    """
+    qidx scatters per-query metrics back to P's slot order (Dataset order
+    single-device; device-local slots under DP). ``qmask``: [slots] bool,
+    True for real queries (padding slots exist only under DP).
 
-    def _perq_and_mean(wvec, buckets, nq):
-        """Per-query metric of the linear model wvec, scattered to Dataset
-        order ([nq]); padded chunk rows carry sentinel qidx = nq."""
-        perq = jnp.zeros((nq + 1,), jnp.float32)
+    ``axis_name``: set when the step runs per-device inside ``shard_map``
+    (parallel/dp.py) — P·S, the α numerator/denominator, the reweighting
+    normalizer and the metric sums psum over that axis, so the feature
+    pick and all stop/backtrack decisions replicate. ``raw`` returns the
+    untraced body for the shard_map wrapper. ``n_vslots``: validation
+    slot count (defaults to n_vqueries — the single-device layout).
+    """
+    n_vslots = n_vqueries if n_vslots is None else n_vslots
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def _perq_and_mean(wvec, buckets, n_slots, nq):
+        """Per-query metric of the linear model wvec, scattered to slot
+        order ([n_slots]); padded chunk rows carry sentinel qidx =
+        n_slots. The mean divides the (psum'd) sum by the GLOBAL query
+        count nq."""
+        perq = jnp.zeros((n_slots + 1,), jnp.float32)
         for feats, labels, mask, qidx in buckets:
             sc = jnp.einsum("bdf,f->bd", feats, wvec,
                             preferred_element_type=jnp.float32)
             vals = scorer.score_from_scores(labels, sc, mask)
             perq = perq.at[qidx].set(vals)
         perq = perq[:-1]
-        return perq, perq.mean()
+        return perq, _psum(perq.sum()) / nq
 
-    def step(state: AdaState, t, S, tb, vb) -> AdaState:
+    def step(state: AdaState, t, S, tb, vb, qmask) -> AdaState:
         F = state.w.shape[0]
-        weighted = state.P @ S                         # [F]
+        n_slots = qmask.shape[0]
+        weighted = _psum(state.P @ S)                  # [F]
         # noeq / consecutive-pick guard: mask the last feature out
         blocked = (jnp.arange(F) == state.last_fid) & (
             jnp.bool_(no_eq) | (state.consec >= max_sel))
         fid = jnp.argmax(jnp.where(blocked, -jnp.inf, weighted))
         s = S[:, fid]
-        num = state.P @ (1.0 + s)
-        den = state.P @ (1.0 - s)
+        num = _psum(state.P @ (1.0 + s))
+        den = _psum(state.P @ (1.0 - s))
         degenerate = (num <= 0) | (den <= 0)
         alpha = 0.5 * jnp.log(jnp.where(degenerate, 1.0, num / den))
         w_new = state.w.at[fid].add(alpha)
 
-        perq, m_train = _perq_and_mean(w_new, tb, n_queries)
+        perq, m_train = _perq_and_mean(w_new, tb, n_slots, n_queries)
         backtrack = m_train < state.prev_train
         keep = state.active & ~degenerate & ~backtrack
 
         w = jnp.where(keep, w_new, state.w)
-        e = jnp.exp(-perq)
-        P = jnp.where(keep, e / e.sum(), state.P)
+        e = jnp.where(qmask, jnp.exp(-perq), 0.0)
+        P = jnp.where(keep, e / _psum(e.sum()), state.P)
         last_fid = jnp.where(keep, fid.astype(jnp.int32), state.last_fid)
         consec = jnp.where(
             keep,
@@ -115,7 +133,7 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
 
         val_m = state.val_m
         if vb:
-            _, vm = _perq_and_mean(w, vb, n_vqueries)
+            _, vm = _perq_and_mean(w, vb, n_vslots, n_vqueries)
             val_m = val_m.at[t].set(vm)
 
         return AdaState(
@@ -128,6 +146,8 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
             val_m=val_m,
         )
 
+    if raw:
+        return step
     from ranklib_tpu.gbdt.boost import _make_stepper
 
     return _make_stepper(step)
@@ -147,45 +167,51 @@ class AdaRank(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None) -> None:
+            validation: Dataset | None = None, mesh=None) -> None:
         F = train.n_features
         Q = len(train.queries)
         ev = LinearMetricEvaluator(train, scorer)
         # S[q, f]: metric of query q ranked by feature f alone — one batched
         # candidate pass (feats @ I on the MXU), computed once
-        S = jnp.asarray(ev.per_query_matrix(np.eye(F, dtype=np.float32)),
-                        jnp.float32)
-        def _device_qidx(evaluator, nq):
-            out = []
-            for f, l, m, q in evaluator.buckets:
-                qpad = np.full(f.shape[0], nq, np.int32)   # sentinel slot
-                qpad[: len(q)] = q
-                out.append((f, l, m, jnp.asarray(qpad)))
-            return tuple(out)
-
-        tb = _device_qidx(ev, Q)
-        vb = ()
-        n_vq = 1
-        if validation is not None:
-            vev = LinearMetricEvaluator(validation, scorer)
-            n_vq = len(validation.queries)
-            vb = _device_qidx(vev, n_vq)
-
-        step = make_ada_step(
-            scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
-            tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq)
+        S_np = ev.per_query_matrix(np.eye(F, dtype=np.float32)).astype(
+            np.float32)
+        n_vq = len(validation.queries) if validation is not None else 1
         CAP = round_capacity(self.n_rounds)
-        state = AdaState(
-            P=jnp.full((Q,), 1.0 / Q, jnp.float32),
-            w=jnp.zeros((F,), jnp.float32),
-            last_fid=jnp.int32(-1), consec=jnp.int32(0),
-            prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
-            hfid=jnp.zeros((CAP,), jnp.int32),
-            halpha=jnp.zeros((CAP,), jnp.float32),
-            hact=jnp.zeros((CAP,), bool),
-            train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-        )
+        if mesh is not None:
+            S, tb, vb, qmask, step, state = self._build_dist(
+                train, validation, scorer, mesh, S_np, Q, n_vq, CAP)
+        else:
+            S = jnp.asarray(S_np)
+
+            def _device_qidx(evaluator, nq):
+                out = []
+                for f, l, m, q in evaluator.buckets:
+                    qpad = np.full(f.shape[0], nq, np.int32)  # sentinel
+                    qpad[: len(q)] = q
+                    out.append((f, l, m, jnp.asarray(qpad)))
+                return tuple(out)
+
+            tb = _device_qidx(ev, Q)
+            vb = ()
+            if validation is not None:
+                vev = LinearMetricEvaluator(validation, scorer)
+                vb = _device_qidx(vev, n_vq)
+            qmask = jnp.ones((Q,), bool)
+
+            step = make_ada_step(
+                scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
+                tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq)
+            state = AdaState(
+                P=jnp.full((Q,), 1.0 / Q, jnp.float32),
+                w=jnp.zeros((F,), jnp.float32),
+                last_fid=jnp.int32(-1), consec=jnp.int32(0),
+                prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
+                hfid=jnp.zeros((CAP,), jnp.int32),
+                halpha=jnp.zeros((CAP,), jnp.float32),
+                hact=jnp.zeros((CAP,), bool),
+                train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            )
 
         log("Training starts...")
         head = f"{'#iter':<8}| {'Feature':<8}| {scorer.name + '-T':<11}"
@@ -196,9 +222,10 @@ class AdaRank(Ranker):
         if silent:
             from ranklib_tpu.gbdt.boost import run_silent_blocks
 
-            state = run_silent_blocks(step, state, self.n_rounds, S, tb, vb)
+            state = run_silent_blocks(step, state, self.n_rounds, S, tb, vb,
+                                      qmask)
         for t in ([] if silent else range(self.n_rounds)):
-            state = step(state, t, S, tb, vb)
+            state = step(state, t, S, tb, vb, qmask)
             if not bool(state.hact[t]):
                 log(f"Stop at round {t + 1} (degenerate or rolled back)")
                 break
@@ -226,6 +253,68 @@ class AdaRank(Ranker):
         for fid, alpha in self.history:
             w[fid - 1] += alpha
         self.weights = w
+
+    def _build_dist(self, train, validation, scorer, mesh, S_np, Q, n_vq,
+                    CAP):
+        """Data-parallel (S, tb, vb, qmask, step, state) over a
+        query-sharded mesh (parallel/dp.py module docstring): P·S, the α
+        ratio terms, the reweighting normalizer and the metric sums psum;
+        the feature pick replicates. Order-equivalent to single-device
+        (per-device partial sums change f32 summation order only)."""
+        from jax.sharding import PartitionSpec as P_
+
+        from ranklib_tpu.gbdt.boost_dist import AXIS, _shard_queries
+        from ranklib_tpu.ops.batched_eval import _DOC_BUDGET
+        from ranklib_tpu.parallel.dp import (
+            make_dist_stepper, place_replicated, place_sharded,
+            shard_feat_buckets,
+        )
+
+        n_dev = mesh.devices.size
+        tb, Qpad, per_dev = shard_feat_buckets(
+            train, n_dev, mesh, want_qidx=True, doc_budget=_DOC_BUDGET)
+        # S rows and P slots in each device's local order
+        S_stack = np.zeros((n_dev, Qpad, S_np.shape[1]), np.float32)
+        qmask_stack = np.zeros((n_dev, Qpad), bool)
+        for dev, lst in enumerate(per_dev):
+            for j, (_, qi) in enumerate(lst):
+                S_stack[dev, j] = S_np[qi]
+                qmask_stack[dev, j] = True
+        vb = ()
+        n_vslots = n_vq
+        if validation is not None:
+            vb, n_vslots, _ = shard_feat_buckets(
+                validation, n_dev, mesh, want_qidx=True,
+                doc_budget=_DOC_BUDGET)
+        shd = lambda a: place_sharded(np.asarray(a), mesh)
+        rep = lambda a: place_replicated(np.asarray(a), mesh)
+        S = shd(S_stack)
+        qmask = shd(qmask_stack)
+        impl = make_ada_step(
+            scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
+            tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq,
+            n_vslots=n_vslots, axis_name=AXIS, raw=True)
+        sh, rp = P_(AXIS), P_()
+        state_specs = AdaState(
+            P=sh, w=rp, last_fid=rp, consec=rp, prev_train=rp, active=rp,
+            hfid=rp, halpha=rp, hact=rp, train_m=rp, val_m=rp)
+        data_specs = (sh, jax.tree.map(lambda _: sh, tb),
+                      jax.tree.map(lambda _: sh, vb), sh)
+        step = make_dist_stepper(impl, mesh, state_specs, data_specs)
+        state = AdaState(
+            P=shd(np.where(qmask_stack, np.float32(1.0 / Q),
+                           np.float32(0.0))),
+            w=rep(np.zeros((S_np.shape[1],), np.float32)),
+            last_fid=rep(np.int32(-1)), consec=rep(np.int32(0)),
+            prev_train=rep(np.float32(-np.inf)),
+            active=rep(np.asarray(True)),
+            hfid=rep(np.zeros((CAP,), np.int32)),
+            halpha=rep(np.zeros((CAP,), np.float32)),
+            hact=rep(np.zeros((CAP,), bool)),
+            train_m=rep(np.full((CAP,), np.nan, np.float32)),
+            val_m=rep(np.full((CAP,), np.nan, np.float32)),
+        )
+        return S, tb, vb, qmask, step, state
 
     # ---- scoring ---------------------------------------------------------
     def eval_dataset(self, ds: Dataset):

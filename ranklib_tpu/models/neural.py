@@ -136,22 +136,40 @@ class NNState(NamedTuple):
 
 
 def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
-                    track_mis: bool):
+                    track_mis: bool, axis_name: str | None = None,
+                    raw: bool = False):
     """One jitted epoch: per-query SGD scans over every bucket, validation
     metric + best-weight snapshot on device — the host dispatches epochs
     asynchronously and reads everything back once after the last one (the
     same zero-sync architecture as gbdt.boost; a blocking round trip
     through the TPU tunnel costs ~30 ms, ruinous at ListNet's 1500
-    epochs)."""
+    epochs).
+
+    ``axis_name``: set when the step runs per-device inside ``shard_map``
+    (parallel/dp.py) — each device scans its LOCAL queries in lockstep
+    and per-step gradients psum over the mesh, i.e. ``-dp n`` trains a
+    synchronous minibatch of n queries per step. This is the documented
+    departure from the reference's strictly sequential per-query SGD
+    (identical at n = 1; standard synchronous DP-SGD otherwise — the
+    gradient is SUMMED like the sequential updates it replaces, not
+    averaged). Padded lockstep rows (size-class count not divisible by
+    n) carry all-False masks; their gradients are forced to zero before
+    the psum, which also guards the lambdarank swap-delta NaNs an
+    all-padded query would produce. ``raw`` returns the untraced body.
+    """
     loss_fn = _LOSSES[loss_name]
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: NNState, t, tb, vb) -> NNState:
         params = state.params
 
         def body(p, row):
             f, l, m = row
             g = jax.grad(loss_fn)(p, f, l, m, scorer)
+            valid = m.any()
+            g = jax.tree.map(
+                lambda a: jnp.where(valid, a, jnp.zeros_like(a)), g)
+            if axis_name:
+                g = jax.lax.psum(g, axis_name)
             return jax.tree.map(lambda a, b: a - lr * b, p, g), None
 
         for f, l, m in tb:
@@ -159,8 +177,10 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
 
         mis = state.mis
         if track_mis:
-            mis = mis.at[t].set(
-                sum(_misordered(params, f, l, m) for f, l, m in tb))
+            tot_mis = sum(_misordered(params, f, l, m) for f, l, m in tb)
+            if axis_name:
+                tot_mis = jax.lax.psum(tot_mis, axis_name)
+            mis = mis.at[t].set(tot_mis)
 
         best_params, best_val, val_m = (
             state.best_params, state.best_val, state.val_m)
@@ -169,6 +189,8 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
             for f, l, m in vb:
                 tot += scorer.score_from_scores(l, _forward(params, f),
                                                 m).sum()
+            if axis_name:
+                tot = jax.lax.psum(tot, axis_name)
             val = tot / n_val_q
             val_m = state.val_m.at[t].set(val)
             better = val > state.best_val
@@ -180,7 +202,9 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
         return NNState(params=params, best_params=best_params,
                        best_val=best_val, val_m=val_m, mis=mis)
 
-    return step
+    if raw:
+        return step
+    return jax.jit(step, donate_argnums=(0,))
 
 
 @register_ranker
@@ -201,22 +225,12 @@ class RankNet(Ranker):
     def _layer_sizes(self, F):
         return [F] + [self.n_hidden_per_layer] * self.n_layers + [1]
 
-    def fit(self, train: Dataset, scorer: MetricScorer, validation=None):
+    def fit(self, train: Dataset, scorer: MetricScorer, validation=None,
+            mesh=None):
         F = train.n_features
         self.n_features = F
         params = tuple(_init_params(jax.random.PRNGKey(self.seed),
                                     self._layer_sizes(F)))
-        tb = tuple(
-            (jnp.asarray(b.feats), jnp.asarray(b.labels), jnp.asarray(b.mask))
-            for b in bucketize(train)
-        )
-        vb = ()
-        if validation is not None:
-            vb = tuple(
-                (jnp.asarray(b.feats), jnp.asarray(b.labels),
-                 jnp.asarray(b.mask))
-                for b in bucketize(validation)
-            )
         n_val_q = len(validation.queries) if validation is not None else 1
         lr = float(self.learning_rate)
 
@@ -224,18 +238,35 @@ class RankNet(Ranker):
             f"lr={lr:g}, layers={self._layer_sizes(F)}")
         log(f"{'#epoch':<8}| {'# mis-ordered pairs':<20}| {'validation':<10}")
         silent = is_silent()
-        step = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
-                               track_mis=not silent)
         CAP = round_capacity(self.n_epoch)
-        state = NNState(
-            params=params,
-            # distinct buffers: params and best_params live in one donated
-            # pytree and may not alias
-            best_params=jax.tree.map(jnp.copy, params),
-            best_val=jnp.float32(-np.inf),
-            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-            mis=jnp.full((CAP,), jnp.nan, jnp.float32),
-        )
+        if mesh is not None:
+            tb, vb, step, state = self._build_dist(
+                train, validation, scorer, mesh, params, lr, n_val_q, CAP,
+                silent)
+        else:
+            tb = tuple(
+                (jnp.asarray(b.feats), jnp.asarray(b.labels),
+                 jnp.asarray(b.mask))
+                for b in bucketize(train)
+            )
+            vb = ()
+            if validation is not None:
+                vb = tuple(
+                    (jnp.asarray(b.feats), jnp.asarray(b.labels),
+                     jnp.asarray(b.mask))
+                    for b in bucketize(validation)
+                )
+            step = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
+                                   track_mis=not silent)
+            state = NNState(
+                params=params,
+                # distinct buffers: params and best_params live in one
+                # donated pytree and may not alias
+                best_params=jax.tree.map(jnp.copy, params),
+                best_val=jnp.float32(-np.inf),
+                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+                mis=jnp.full((CAP,), jnp.nan, jnp.float32),
+            )
         for epoch in range(1, self.n_epoch + 1):
             state = step(state, epoch - 1, tb, vb)
             if not silent and (epoch % max(1, self.n_epoch // 10) == 0
@@ -252,6 +283,43 @@ class RankNet(Ranker):
                       misordered_pairs=mis, best_val=vm)
         final = state.best_params if validation is not None else state.params
         self.params = [(np.asarray(W), np.asarray(b)) for W, b in final]
+
+    def _build_dist(self, train, validation, scorer, mesh, params, lr,
+                    n_val_q, CAP, silent):
+        """Data-parallel (tb, vb, step, state): queries shard round-robin
+        per size class; each device steps its local query in lockstep and
+        gradients psum — a synchronous minibatch of n_dev queries per
+        step (see make_epoch_step's axis_name note; identical to the
+        sequential reference semantics at n_dev = 1)."""
+        from jax.sharding import PartitionSpec as P_
+
+        from ranklib_tpu.gbdt.boost_dist import AXIS
+        from ranklib_tpu.parallel.dp import (
+            make_dist_stepper, place_replicated, shard_feat_buckets,
+        )
+
+        n_dev = mesh.devices.size
+        tb, _, _ = shard_feat_buckets(train, n_dev, mesh)
+        vb = ()
+        if validation is not None:
+            vb, _, _ = shard_feat_buckets(validation, n_dev, mesh)
+        rep = lambda a: place_replicated(np.asarray(a), mesh)
+        state = NNState(
+            params=jax.tree.map(rep, params),
+            best_params=jax.tree.map(rep, params),
+            best_val=rep(np.float32(-np.inf)),
+            val_m=rep(np.full((CAP,), np.nan, np.float32)),
+            mis=rep(np.full((CAP,), np.nan, np.float32)),
+        )
+        impl = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
+                               track_mis=not silent, axis_name=AXIS,
+                               raw=True)
+        sh, rp = P_(AXIS), P_()
+        state_specs = jax.tree.map(lambda _: rp, state)
+        data_specs = (jax.tree.map(lambda _: sh, tb),
+                      jax.tree.map(lambda _: sh, vb))
+        step = make_dist_stepper(impl, mesh, state_specs, data_specs)
+        return tb, vb, step, state
 
     # ---- scoring -----------------------------------------------------------
     def eval_dataset(self, ds: Dataset):

@@ -85,8 +85,16 @@ class RBState(NamedTuple):
 
 
 def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
-                 n_queries: int, n_vqueries: int, train_metric: bool = True):
-    """Build the jitted one-round step: (state, t, data) → state."""
+                 n_queries: int, n_vqueries: int, train_metric: bool = True,
+                 axis_name: str | None = None, raw: bool = False):
+    """Build the jitted one-round step: (state, t, data) → state.
+
+    ``axis_name``: set when the step runs per-device inside ``shard_map``
+    (parallel/dp.py) — the pair normalizer Z, the weak-search histogram
+    and the metric sums are then psum'd over that mesh axis, so every
+    device takes the identical weak-ranker decision. ``raw`` returns the
+    untraced body for the shard_map wrapper instead of a jitted stepper.
+    """
     from ranklib_tpu.ops.histogram import hist_xla
 
     T = n_thresholds
@@ -146,6 +154,8 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
             lose = jnp.einsum("bdl,bl->bd", oh, Lc)
             Z += jnp.sum(e_neg * win)
             pot_flat = pot_flat.at[didx].add(e_neg * win - e_pos * lose)
+        if axis_name:
+            Z = jax.lax.psum(Z, axis_name)
         pot_flat = pot_flat / jnp.maximum(Z, jnp.float32(1e-30))
 
         # ---- weak-ranker search: histogram + reversed cumsum -----------
@@ -153,6 +163,8 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
         # (histfn = hist_xla — see the Mosaic-hang NOTE where it is bound)
         hist = histfn(data.binned_T, pot_flat[:N],
                       jnp.ones((N,), bool), T + 1)[..., 0]
+        if axis_name:
+            hist = jax.lax.psum(hist, axis_name)
         rev = jnp.flip(jnp.cumsum(jnp.flip(hist, axis=1), axis=1), axis=1)
         r_all = jnp.concatenate([rev[:, 1:], jnp.zeros_like(rev[:, :1])],
                                 axis=1)
@@ -178,14 +190,16 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
         # ---- metrics ----------------------------------------------------
         train_m = state.train_m
         if train_metric:
-            tm = _bucket_metric_sum(scorer, data.tb, scores) / n_queries
+            tm = _bucket_metric_sum(scorer, data.tb, scores,
+                                    axis_name) / n_queries
             train_m = train_m.at[t].set(tm)
         vscores = state.vscores
         val_m = state.val_m
         if data.vb:
             vq = (data.vq_T[f_s] > t_s).astype(jnp.float32)
             vscores = vscores.at[:-1].add(alpha * vq)
-            vm = _bucket_metric_sum(scorer, data.vb, vscores) / n_vqueries
+            vm = _bucket_metric_sum(scorer, data.vb, vscores,
+                                    axis_name) / n_vqueries
             val_m = val_m.at[t].set(vm)
 
         return RBState(
@@ -196,6 +210,8 @@ def make_rb_step(scorer, *, n_thresholds: int, n_levels: int,
             active=active, train_m=train_m, val_m=val_m,
         )
 
+    if raw:
+        return step
     from ranklib_tpu.gbdt.boost import _make_stepper
 
     return _make_stepper(step)
@@ -212,7 +228,7 @@ class RankBoost(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None) -> None:
+            validation: Dataset | None = None, mesh=None) -> None:
         T = int(self.n_threshold)
         if (train.queries and train.queries[0].feats is None
                 and hasattr(train, "materialize_rows")):
@@ -236,7 +252,6 @@ class RankBoost(Ranker):
             # bin = #thresholds strictly below value → q_t(d) = [bin > t]
             binned = bin_features(feats, grid)
 
-        tb = _device_buckets(train, sentinel=N)
         # initial D is uniform over correctly-ordered pairs — implied by
         # H = 0 in the implicit form; count pairs host-side only for the
         # degenerate-data check, via per-query label-value counts
@@ -253,46 +268,54 @@ class RankBoost(Ranker):
         if n_pairs == 0:
             raise RankLibError("RankBoost: no correctly-ordered pairs in data")
 
-        vb = ()
-        vq_T = jnp.zeros((F, 0), jnp.int32)
-        Nv = 0
+        vbinned = None
         if validation is not None:
             if (validation.queries and validation.queries[0].feats is None
                     and hasattr(validation, "materialize_rows")):
-                Nv = validation.n_docs
                 vbinned = self._bin_csr_chunks(validation, T, grid=grid)[3]
             else:
                 vfeats, _, _ = flatten(validation)
-                Nv = vfeats.shape[0]
                 vbinned = bin_features(vfeats, grid)
-            vq_T = jnp.asarray(
-                np.ascontiguousarray(vbinned.T)).astype(jnp.int32)
-            vb = _device_buckets(validation, sentinel=Nv)
-
-        data = RBData(
-            # int16 host bins (CSR path) cast on DEVICE: the int32 [F, N]
-            # copy never exists on the host
-            binned_T=jnp.asarray(
-                np.ascontiguousarray(binned.T)).astype(jnp.int32),
-            tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
         silent = is_silent()
-        step = make_rb_step(
-            scorer, n_thresholds=T, n_levels=len(uniq),
-            n_queries=len(train.queries),
-            n_vqueries=len(validation.queries) if validation is not None else 1,
-            train_metric=not silent)
+        n_q = len(train.queries)
+        n_vq = len(validation.queries) if validation is not None else 1
         CAP = round_capacity(self.n_rounds)
-        state = RBState(
-            scores=jnp.zeros((N + 1,), jnp.float32),
-            vscores=jnp.zeros((Nv + 1,), jnp.float32),
-            wf=jnp.zeros((CAP,), jnp.int32),
-            wt=jnp.zeros((CAP,), jnp.int32),
-            walpha=jnp.zeros((CAP,), jnp.float32),
-            wact=jnp.zeros((CAP,), bool),
-            active=jnp.asarray(True),
-            train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-        )
+        if mesh is not None:
+            data, step, state = self._build_dist(
+                train, validation, scorer, mesh, binned, vbinned, uniq,
+                T, n_q, n_vq, CAP, silent)
+        else:
+            tb = _device_buckets(train, sentinel=N)
+            vb = ()
+            vq_T = jnp.zeros((F, 0), jnp.int32)
+            Nv = 0
+            if validation is not None:
+                Nv = vbinned.shape[0]
+                vq_T = jnp.asarray(
+                    np.ascontiguousarray(vbinned.T)).astype(jnp.int32)
+                vb = _device_buckets(validation, sentinel=Nv)
+
+            data = RBData(
+                # int16 host bins (CSR path) cast on DEVICE: the int32
+                # [F, N] copy never exists on the host
+                binned_T=jnp.asarray(
+                    np.ascontiguousarray(binned.T)).astype(jnp.int32),
+                tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
+            step = make_rb_step(
+                scorer, n_thresholds=T, n_levels=len(uniq),
+                n_queries=n_q, n_vqueries=n_vq,
+                train_metric=not silent)
+            state = RBState(
+                scores=jnp.zeros((N + 1,), jnp.float32),
+                vscores=jnp.zeros((Nv + 1,), jnp.float32),
+                wf=jnp.zeros((CAP,), jnp.int32),
+                wt=jnp.zeros((CAP,), jnp.int32),
+                walpha=jnp.zeros((CAP,), jnp.float32),
+                wact=jnp.zeros((CAP,), bool),
+                active=jnp.asarray(True),
+                train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            )
 
         log("Training starts...")
         head = f"{'#iter':<8}| {scorer.name + '-T':<11}"
@@ -333,6 +356,61 @@ class RankBoost(Ranker):
             (int(wf[t]) + 1, float(grid[int(wf[t]), int(wt[t])]),
              float(walpha[t]))
             for t in range(keep)]
+
+    def _build_dist(self, train, validation, scorer, mesh, binned, vbinned,
+                    uniq, T, n_q, n_vq, CAP, silent):
+        """Data-parallel (data, step, state) over a query-sharded mesh
+        (parallel/dp.py module docstring): Z, the weak-search histogram
+        and the metric sums psum; the weak pick replicates. Results are
+        order-equivalent to single-device (per-device partial sums
+        change f32 summation order only)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ranklib_tpu.gbdt.boost_dist import AXIS, _shard_arrays
+        from ranklib_tpu.parallel.dp import (
+            make_dist_stepper, place_replicated, place_sharded,
+        )
+
+        n_dev = mesh.devices.size
+        binned_T, _, _, tb, Npad = _shard_arrays(train, binned, n_dev)
+        vb = ()
+        Nvpad = 0
+        vq_T = np.zeros((n_dev, train.n_features, 0), np.int32)
+        if validation is not None:
+            vq_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned,
+                                                  n_dev)
+        shd = lambda a: place_sharded(np.asarray(a), mesh)
+        rep = lambda a: place_replicated(np.asarray(a), mesh)
+        data = RBData(
+            binned_T=shd(binned_T),
+            tb=jax.tree.map(lambda a: shd(a), tb),
+            uniq=rep(uniq),
+            vq_T=shd(vq_T),
+            vb=jax.tree.map(lambda a: shd(a), vb))
+        impl = make_rb_step(
+            scorer, n_thresholds=T, n_levels=len(uniq), n_queries=n_q,
+            n_vqueries=n_vq, train_metric=not silent, axis_name=AXIS,
+            raw=True)
+        sh, rp = P(AXIS), P()
+        state_specs = RBState(
+            scores=sh, vscores=sh, wf=rp, wt=rp, walpha=rp, wact=rp,
+            active=rp, train_m=rp, val_m=rp)
+        data_specs = RBData(
+            binned_T=sh, tb=jax.tree.map(lambda _: sh, tb), uniq=rp,
+            vq_T=sh, vb=jax.tree.map(lambda _: sh, vb))
+        step = make_dist_stepper(impl, mesh, state_specs, (data_specs,))
+        state = RBState(
+            scores=shd(np.zeros((n_dev, Npad + 1), np.float32)),
+            vscores=shd(np.zeros((n_dev, Nvpad + 1), np.float32)),
+            wf=rep(np.zeros((CAP,), np.int32)),
+            wt=rep(np.zeros((CAP,), np.int32)),
+            walpha=rep(np.zeros((CAP,), np.float32)),
+            wact=rep(np.zeros((CAP,), bool)),
+            active=rep(np.asarray(True)),
+            train_m=rep(np.full((CAP,), np.nan, np.float32)),
+            val_m=rep(np.full((CAP,), np.nan, np.float32)),
+        )
+        return data, step, state
 
     @staticmethod
     def _bin_csr_chunks(ds, T: int, grid: np.ndarray | None = None):

@@ -1,0 +1,167 @@
+"""Data-parallel machinery for the NON-tree rankers.
+
+The GBDT family shards queries over a 1-D ``"batch"`` mesh in
+``gbdt/boost_dist.py``; this module extends the same design to the other
+training loops, whose per-round statistics are all query-local sums
+(SURVEY §2 owed-rows; the reference's analog is one thread pool
+partitioning query ranges, utilities/MyThreadPool.java:~10):
+
+* RankBoost — the pair-potential normalizer Z, the weak-search histogram
+  ``[F, T+1]`` and the metric sums all-reduce with ``psum``; everything
+  else (argmax, α, the weak-ranker record) replicates deterministically.
+* AdaRank — the weighted weak-metric vector P·S, the α numerator/
+  denominator, the reweighting normalizer Σe^{−metric} and the metric
+  sums are psum'd; the per-query weights P stay sharded.
+* Neural rankers — queries are dealt round-robin per size class and each
+  device steps its LOCAL query in lockstep; per-step gradients psum over
+  the mesh, so ``-dp n`` trains a synchronous minibatch of n queries per
+  step (the documented departure from the reference's strictly
+  sequential per-query SGD — identical at n=1, standard synchronous
+  data-parallel SGD otherwise).
+
+Shared here: a round-robin per-size-class sharder producing stacked
+per-device feature buckets (host peak = the stacked dense buckets, same
+as the single-device bucketize), and a spec-driven ``shard_map`` stepper
+factory that wraps any fused round body (single + chained-multi entry
+points, mirroring ``gbdt.boost._make_stepper``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ranklib_tpu.data.dataset import Dataset, query_feats
+from ranklib_tpu.gbdt.boost_dist import AXIS, _place, _shard_queries
+
+__all__ = ["AXIS", "shard_feat_buckets", "make_dist_stepper",
+           "place_sharded", "place_replicated"]
+
+
+def place_sharded(a, mesh: Mesh):
+    return _place(a, mesh, sharded=True)
+
+
+def place_replicated(a, mesh: Mesh):
+    return _place(a, mesh, sharded=False)
+
+
+def shard_feat_buckets(ds: Dataset, n_dev: int, mesh: Mesh,
+                       want_qidx: bool = False, doc_budget: int | None = None):
+    """Stacked per-device feature buckets.
+
+    Queries are dealt round-robin per padded-size class (the same layout
+    rule as ``gbdt.boost_dist._shard_arrays``), so every device holds
+    IDENTICAL chunk shapes — shard_map's single-program requirement.
+
+    Returns ``(chunks, Qpad, per_dev)`` — ``per_dev`` is the per-device
+    ``[(D, qi), ...]`` query assignment (``gbdt.boost_dist._shard_queries``
+    order), defining each query's local slot. chunks is a tuple of
+    ``(feats [n_dev, rows, D, F], labels [n_dev, rows, D],
+    mask [n_dev, rows, D][, qidx [n_dev, rows]])`` device arrays sharded
+    on the leading axis; padded rows carry all-False masks. ``qidx`` is
+    the query's LOCAL slot on its device (padding rows get the sentinel
+    ``Qpad`` = the uniform per-device slot count); per-query quantities
+    indexed by it live in ``[Qpad + 1]`` arrays whose last slot is the
+    padding accumulator.
+
+    ``doc_budget``: optional max padded docs per chunk (rows·D) — the
+    [rows, D, C] guard of ops.batched_eval.
+    """
+    per_dev, class_rows = _shard_queries(ds, n_dev)
+    F = ds.n_features
+    Qpad = max((len(lst) for lst in per_dev), default=0)
+    chunks = []
+    for D in sorted(class_rows):
+        rows = class_rows[D]
+        feats = np.zeros((n_dev, rows, D, F), np.float32)
+        labels = np.zeros((n_dev, rows, D), np.float32)
+        mask = np.zeros((n_dev, rows, D), bool)
+        qidx = np.full((n_dev, rows), Qpad, np.int32)
+        for dev, lst in enumerate(per_dev):
+            r = 0
+            # local slot of a query = its position in the device's full
+            # (class-sorted) list — per-query arrays use this numbering
+            for j, (Dq, qi) in enumerate(lst):
+                if Dq != D:
+                    continue
+                q = ds.queries[qi]
+                feats[dev, r, : q.n] = query_feats(ds, qi)
+                labels[dev, r, : q.n] = q.labels
+                mask[dev, r, : q.n] = True
+                qidx[dev, r] = j
+                r += 1
+        chunk_rows = rows
+        if doc_budget is not None:
+            chunk_rows = max(1, min(rows, doc_budget // D))
+        for lo in range(0, rows, chunk_rows):
+            hi = min(lo + chunk_rows, rows)
+            pad = chunk_rows - (hi - lo)
+
+            def cut(a, cv):
+                return place_sharded(
+                    np.pad(a[:, lo:hi],
+                           ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2),
+                           constant_values=cv), mesh)
+
+            c = (cut(feats, 0), cut(labels, 0), cut(mask, False))
+            if want_qidx:
+                c += (cut(qidx, Qpad),)
+            chunks.append(c)
+    return tuple(chunks), Qpad, per_dev
+
+
+def _tree_sq(tree, specs, sh):
+    return jax.tree.map(lambda x, sp: x[0] if sp == sh else x, tree, specs)
+
+
+def _tree_ex(tree, specs, sh):
+    return jax.tree.map(lambda x, sp: x[None] if sp == sh else x, tree,
+                        specs)
+
+
+def make_dist_stepper(step_impl, mesh: Mesh, state_specs, data_specs,
+                      axis: str = AXIS):
+    """shard_map a fused round body over the mesh.
+
+    ``step_impl(state, t, *data) -> state`` is the per-device body (built
+    with ``axis_name=axis`` so its global reductions psum). ``state_specs``
+    / ``data_specs`` are pytrees of PartitionSpec matching state / each
+    data arg: ``P(axis)`` leaves carry a stacked leading device axis
+    (squeezed per device), ``P()`` leaves are replicated. Returns a
+    stepper with the ``(state, t, *data)`` / ``.multi(state, t0, t1,
+    *data)`` contract of ``gbdt.boost._make_stepper`` (so
+    ``run_silent_blocks`` drives it unchanged).
+    """
+    sh = P(axis)
+    rep = P()
+
+    def per_device(state, t, *data):
+        st = _tree_sq(state, state_specs, sh)
+        dt = tuple(_tree_sq(d, ds_, sh) for d, ds_ in zip(data, data_specs))
+        out = step_impl(st, t, *dt)
+        return _tree_ex(out, state_specs, sh)
+
+    mapped = jax.shard_map(per_device, mesh=mesh,
+                           in_specs=(state_specs, rep, *data_specs),
+                           out_specs=state_specs, check_vma=False)
+
+    def per_device_multi(state, t0, t1, *data):
+        return jax.lax.fori_loop(
+            t0, t1, lambda t, s: per_device(s, t, *data), state)
+
+    mapped_multi = jax.shard_map(per_device_multi, mesh=mesh,
+                                 in_specs=(state_specs, rep, rep,
+                                           *data_specs),
+                                 out_specs=state_specs, check_vma=False)
+
+    def stepper(state, t, *data):
+        return stepper._single(state, t, *data)
+
+    stepper._single = jax.jit(mapped, donate_argnums=(0,))
+    stepper.multi = jax.jit(mapped_multi, donate_argnums=(0,))
+    return stepper

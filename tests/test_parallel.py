@@ -223,3 +223,102 @@ def test_scaling_harness_mechanism():
     rows = scaling_harness((1, 2, 4, 8), n_rounds=4, n_queries=48)
     assert [nd for nd, _ in rows] == [1, 2, 4, 8]
     assert all(np.isfinite(dt) and dt > 0 for _, dt in rows)
+
+
+# ---- mesh DP for the non-tree rankers (parallel/dp.py) ---------------------
+
+def _dp_fixture():
+    from tests.fixtures import synth_dataset
+
+    train = synth_dataset(n_queries=24, n_features=10, min_docs=5,
+                          max_docs=30, seed=5, nonlinear=True)
+    val = synth_dataset(n_queries=8, n_features=10, min_docs=5,
+                        max_docs=30, seed=6, w_seed=5, nonlinear=True)
+    return train, val
+
+
+def test_rankboost_mesh_matches_single_device():
+    """RankBoost -dp: psum'd Z/histogram/metric sums → the identical weak
+    sequence; α within f32 reduction-order noise."""
+    from ranklib_tpu.models.rankboost import RankBoost
+
+    train, val = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    r1 = RankBoost(n_rounds=30)
+    r1.fit(train, scorer, val)
+    r8 = RankBoost(n_rounds=30)
+    r8.fit(train, scorer, val, mesh=make_mesh(8))
+    assert len(r1.weaks) == len(r8.weaks) > 0
+    for (f1, t1, a1), (f8, t8, a8) in zip(r1.weaks, r8.weaks):
+        assert (f1, t1) == (f8, t8)
+        assert abs(a1 - a8) < 1e-5
+
+
+def test_adarank_mesh_matches_single_device():
+    from ranklib_tpu.models.adarank import AdaRank
+
+    train, val = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    r1 = AdaRank(n_rounds=40)
+    r1.fit(train, scorer, val)
+    r8 = AdaRank(n_rounds=40)
+    r8.fit(train, scorer, val, mesh=make_mesh(8))
+    assert len(r1.history) == len(r8.history) > 0
+    for (f1, a1), (f8, a8) in zip(r1.history, r8.history):
+        assert f1 == f8
+        assert abs(a1 - a8) < 1e-5
+
+
+@pytest.mark.parametrize("cls_name", ["RankNet", "ListNet"])
+def test_neural_mesh_one_device_bit_identical(cls_name):
+    """A 1-device mesh reproduces the sequential no-mesh fit EXACTLY (the
+    DP layout change is round-robin dealing, a no-op at n=1)."""
+    import ranklib_tpu.models.neural as nn
+
+    cls = getattr(nn, cls_name)
+    train, val = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    r1 = cls(n_epoch=15)
+    r1.fit(train, scorer, val)
+    rm = cls(n_epoch=15)
+    rm.fit(train, scorer, val, mesh=make_mesh(1))
+    for (W1, b1), (Wm, bm) in zip(r1.params, rm.params):
+        np.testing.assert_array_equal(W1, Wm)
+        np.testing.assert_array_equal(b1, bm)
+
+
+def test_neural_mesh_minibatch_deterministic_and_learns():
+    """8-device DP (synchronous minibatch of 8 queries/step — the
+    documented departure from sequential SGD) is deterministic and
+    reaches the planted signal."""
+    from ranklib_tpu.metrics.base import score_dataset
+    from ranklib_tpu.models.neural import RankNet
+
+    train, val = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    runs = []
+    for _ in range(2):
+        r = RankNet(n_epoch=30, learning_rate=0.001)
+        r.fit(train, scorer, val, mesh=make_mesh(8))
+        runs.append(r)
+    for (Wa, ba), (Wb, bb) in zip(runs[0].params, runs[1].params):
+        np.testing.assert_array_equal(Wa, Wb)
+    m, _ = score_dataset(scorer, train, runs[0].eval_dataset(train))
+    base = RankNet(n_epoch=0)
+    base.fit(train, scorer)          # untouched init
+    m0, _ = score_dataset(scorer, train, base.eval_dataset(train))
+    assert m > m0 - 1e-6             # training never hurts on this data
+
+
+def test_trainer_plumbs_dp_to_nontree_rankers():
+    """-dp reaches RankBoost/AdaRank/neural through train_ranker (their
+    fit now takes mesh)."""
+    from ranklib_tpu.models.trainer import train_ranker
+
+    train, _ = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    for rtype in (1, 2, 3):
+        r = train_ranker(rtype, train, scorer, None,
+                         {"n_rounds": 5} if rtype in (2, 3)
+                         else {"n_epoch": 5}, n_dp=8)
+        assert r.eval_dataset(train) is not None
