@@ -308,47 +308,49 @@ def evaluate_kcv(args) -> None:
         create_scorer(args.metric2T, gmax=args.gmax)
         if args.metric2T else train_scorer
     )
-    if _try_stream_norm(args):
-        # tree-ranker kcv with -sparse -norm: CSR + lazy normalization →
-        # int16 bins (binned_from_csr); folds subset bin rows
+    fold_binning = False
+    if _try_stream(args) or _try_stream_norm(args):
+        # tree-ranker kcv with -sparse: the file lands in host CSR
+        # (memory ~ nnz; -norm applies lazily) and EACH FOLD bins its own
+        # training rows via the chunked capped-unique merge
+        # (data.binned.binned_from_csr) — per-fold threshold grids
+        # exactly like the dense pipeline / the reference's per-fold
+        # ranker init (ref: features/FeatureManager.java:~200 prepareCV +
+        # learning/tree/LambdaMART.java:~40). Validation/test bin with
+        # their fold's TRAINING grid. RANKLIB_TPU_KCV_SHARED_GRID=1
+        # restores the round-3 fast path (bin the whole file once,
+        # folds subset bin rows — exact only when every feature has
+        # <= -tc distinct values).
+        shared = os.environ.get("RANKLIB_TPU_KCV_SHARED_GRID") == "1"
         try:
-            ds = _read_csr_norm_binned(args.train, args,
-                                       train_scorer.needs_rel,
-                                       feature_fids)
+            if shared and not args.norm:
+                from ranklib_tpu.data.binned import read_letor_binned
+                ds = read_letor_binned(
+                    args.train, n_threshold=args.tc if args.tc is not None
+                    else 256, must_have_rel_doc=train_scorer.needs_rel,
+                    missing_zero=args.missingZero,
+                    want_descs=bool(args.qrel))
+                if args.qrel:
+                    apply_qrel(ds, args.qrel)
+                if feature_fids is not None:
+                    args.hparams = dict(args.hparams or {})
+                    args.hparams["_feature_mask"] = _feature_mask_for(
+                        feature_fids, ds.n_features)
+            elif shared:
+                ds = _read_csr_norm_binned(args.train, args,
+                                           train_scorer.needs_rel,
+                                           feature_fids)
+            else:
+                ds = _prepare(args.train, args.norm, feature_fids,
+                              train_scorer.needs_rel, qrel=args.qrel,
+                              missing_zero=args.missingZero, sparse=True)
+                fold_binning = True
         except RankLibError as e:
-            log(f"[-sparse] CSR-normalized binning not applicable ({e}); "
+            log(f"[-sparse] sparse kcv loader not applicable ({e}); "
                 f"using the dense pipeline")
             ds = _prepare(args.train, args.norm, feature_fids,
                           train_scorer.needs_rel, qrel=args.qrel,
                           missing_zero=args.missingZero)
-    elif _try_stream(args):
-        # GBDT kcv on the streamed bin matrix: folds subset bin rows
-        # (BinnedDataset.subset_queries). Folds share the FILE-level
-        # threshold grid — identical to per-fold grids whenever a
-        # feature has <= -tc distinct values (then every value is a grid
-        # point; byte-equal fold models pinned in tests), a deliberate
-        # approximation above that (the dense pipeline recomputes
-        # per-fold grids like the reference's per-fold ranker init)
-        from ranklib_tpu.data.binned import read_letor_binned
-        try:
-            ds = read_letor_binned(
-                args.train, n_threshold=args.tc if args.tc is not None
-                else 256, must_have_rel_doc=train_scorer.needs_rel,
-                missing_zero=args.missingZero,
-                want_descs=bool(args.qrel))
-            if args.qrel:
-                apply_qrel(ds, args.qrel)
-        except RankLibError as e:
-            log(f"[-sparse] streaming loader not applicable ({e}); "
-                f"using the dense pipeline")
-            ds = _prepare(args.train, args.norm, feature_fids,
-                          train_scorer.needs_rel, qrel=args.qrel,
-                          missing_zero=args.missingZero)
-        if (getattr(ds, "binned", None) is not None
-                and feature_fids is not None):
-            args.hparams = dict(args.hparams or {})
-            args.hparams["_feature_mask"] = _feature_mask_for(
-                feature_fids, ds.n_features)
     else:
         ds = _prepare(args.train, args.norm, feature_fids,
                       train_scorer.needs_rel, qrel=args.qrel,
@@ -357,6 +359,20 @@ def evaluate_kcv(args) -> None:
                       sparse=args.sparse and _try_csr(args))
     splits = prepare_cv(ds, args.kcv, args.tvs if args.tvs else -1.0,
                         lazy=True)   # one fold's copies live at a time
+    if fold_binning:
+        from ranklib_tpu.data.binned import binned_from_csr
+
+        tc = args.tc if args.tc is not None else 256
+
+        def _bin_folds(gen):
+            for tr, va, te in gen:
+                tr_b = binned_from_csr(tr, n_threshold=tc)
+                yield (tr_b,
+                       binned_from_csr(va, thresholds=tr_b.thresholds)
+                       if va is not None else None,
+                       binned_from_csr(te, thresholds=tr_b.thresholds))
+
+        splits = _bin_folds(splits)
     scores_train, scores_test = [], []
     for fold, (tr, va, te) in enumerate(splits):
         log("")

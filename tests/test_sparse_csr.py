@@ -601,3 +601,37 @@ def test_sparse_indri_real_docids(tmp_path, sparse_desc_file):
     first = ind.read_text().splitlines()[0].split()
     qid, docid = first[0], first[2]
     assert docid.startswith(f"doc{qid}_")
+
+
+def test_kcv_sparse_perfold_grids_match_dense(tmp_path, sparse_file):
+    """The divergent case round-3 documented away: a feature with MORE
+    than -tc distinct values. Per-fold grids (binned_from_csr on each
+    fold's training rows) make the sparse kcv fold models byte-equal the
+    dense pipeline's; the shared-grid fast path
+    (RANKLIB_TPU_KCV_SHARED_GRID=1) is the one that diverges here."""
+    import os as _os
+
+    from ranklib_tpu.cli import main as cli_main
+
+    outs = {}
+    for tag, extra in (("dense", []), ("sparse", ["-sparse"])):
+        d = str(tmp_path / f"kcvtc_{tag}")
+        cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "3",
+                  "-leaf", "3", "-kcv", "3", "-tc", "8",
+                  "-metric2t", "NDCG@10", "-missingZero",
+                  "-kcvmd", d, "-kcvmn", "m", *extra])
+        outs[tag] = "".join(
+            open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
+    assert outs["dense"] == outs["sparse"]
+
+    # the documented fast path still runs end-to-end
+    _os.environ["RANKLIB_TPU_KCV_SHARED_GRID"] = "1"
+    try:
+        d = str(tmp_path / "kcvtc_shared")
+        cli_main(["-train", sparse_file, "-ranker", "6", "-tree", "3",
+                  "-leaf", "3", "-kcv", "3", "-tc", "8",
+                  "-metric2t", "NDCG@10", "-missingZero", "-sparse",
+                  "-kcvmd", d, "-kcvmn", "m"])
+        assert sorted(_os.listdir(d)) == ["f1.m", "f2.m", "f3.m"]
+    finally:
+        del _os.environ["RANKLIB_TPU_KCV_SHARED_GRID"]
