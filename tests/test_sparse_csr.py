@@ -635,3 +635,33 @@ def test_kcv_sparse_perfold_grids_match_dense(tmp_path, sparse_file):
         assert sorted(_os.listdir(d)) == ["f1.m", "f2.m", "f3.m"]
     finally:
         del _os.environ["RANKLIB_TPU_KCV_SHARED_GRID"]
+
+
+def test_sparse_norm_stats_scale_with_nnz(tmp_path):
+    """Per-query norm stats are stored sparsely (~nnz entries), not as
+    [Q, F] arrays — a 500-query × 100K-feature file normalizes inside a
+    tight host budget (the dense stat arrays alone would be ~400 MB)."""
+    import tracemalloc
+
+    from ranklib_tpu.data.sparse import normalize_csr
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "vwide.txt")
+    F, n_q, n_d = 100_000, 500, 20
+    with open(path, "w") as f:
+        for q in range(n_q):
+            for _ in range(n_d):
+                fids = np.unique(rng.integers(1, F + 1, 10))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}"
+                                 for fid in fids)
+                f.write(f"{int(rng.integers(0, 3))} qid:{q + 1} {pairs}\n")
+    csr = read_letor_sparse(path, quiet=True)
+    tracemalloc.start()
+    normed = normalize_csr(csr, "zscore")
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert normed.ns_fids.size <= csr.nnz
+    assert peak < 100 << 20, f"normalize peak {peak / (1 << 20):.0f} MB"
+    # application still exact on a narrow slice of the wide space
+    got = normed.materialize_rows(0, n_d)
+    assert np.isfinite(got).all()
