@@ -21,11 +21,15 @@ materialized ON DEMAND in bounded chunks:
   (models/linear.py) — the Gram matrix is [F+1, F+1], never [N, F].
 * Per-query scoring paths materialize one query at a time.
 
-Note the DEVICE footprint of CA/AdaRank is unchanged (their evaluators
-keep every chunk resident in HBM because the metric is re-evaluated each
-sweep); the host-RAM ceiling is what this lifts. A gather/segment-sum
-first layer (embedding-style sparse matmul) would lift the HBM ceiling
-too and is the natural next step if truly wide data shows up.
+DEVICE footprint: Coordinate Ascent routes through the embedding-style
+gather/segment-sum candidate layer (ops/sparse_eval.py) when the dense
+bucket residency would exceed the HBM budget
+(RANKLIB_TPU_DEVICE_DENSE_MB), so wide data trains `-ranker 4` without
+[N, F] blocks in HBM. AdaRank's weak-metric matrix S[Q, F] is inherently
+dense in the feature axis (one metric per (query, feature)) and its
+evaluator keeps dense chunks resident — extreme widths remain bounded by
+HBM for AdaRank specifically; neural first layers are narrow (x @ W1
+streams chunk-by-chunk through the same dense buckets).
 """
 
 from __future__ import annotations

@@ -44,15 +44,27 @@ from ranklib_tpu.utils.logging import event, log
 
 def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
                tolerance: float, n_queries: int, step_base: float,
-               step_scale: float):
+               step_scale: float, sparse_n: int | None = None):
     """Build the jitted one-sweep fn: (w, cur, order_T, buckets) →
-    (w, cur, improved). Shapes: w [R, F], cur [R], order_T [F, R]."""
+    (w, cur, improved). Shapes: w [R, F], cur [R], order_T [F, R].
+
+    ``sparse_n``: set to the doc count when ``buckets`` is the sparse
+    device pytree of ops.sparse_eval (wide CSR data — candidate scores
+    come from the gather/segment-sum embedding layer instead of dense
+    [B, D, F] matmuls, lifting the HBM ceiling)."""
     F = n_features
 
     def mean_metric(Wc, buckets):
         """Wc [R, C, F] → mean metric [R, C] over all queries."""
         R, C = Wc.shape[0], Wc.shape[1]
         Wf = Wc.reshape(R * C, F)
+        if sparse_n is not None:
+            from ranklib_tpu.ops.sparse_eval import sparse_mean_metric
+
+            chunks, sbuckets = buckets
+            vals = sparse_mean_metric(scorer, Wf.T, chunks, sbuckets,
+                                      sparse_n, n_queries)
+            return vals.reshape(R, C)
         total = jnp.zeros((R * C,), jnp.float32)
         for feats, labels, mask in buckets:
             sc = jnp.einsum("bdf,cf->bdc", feats, Wf,
@@ -118,10 +130,32 @@ class CoorAscent(Ranker):
         super().__init__(**hp)
 
     def fit(self, train: Dataset, scorer: MetricScorer, validation=None):
+        from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
         F = train.n_features
         R = self.n_restart
-        ev = LinearMetricEvaluator(train, scorer)
-        buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
+        sparse_n = None
+        if wants_sparse_eval(train):
+            # wide CSR data: dense [B, D, F] bucket residency would blow
+            # the HBM budget — candidate scores come from the device COO
+            # via the gather/segment-sum embedding layer instead
+            from ranklib_tpu.ops.sparse_eval import (
+                build_sparse_data, sparse_mean_metric,
+            )
+
+            chunks, sbuckets, sparse_n = build_sparse_data(train)
+            buckets = (chunks, sbuckets)
+
+            def _mean0(w_col):
+                return float(np.asarray(sparse_mean_metric(
+                    scorer, jnp.asarray(w_col), chunks, sbuckets, sparse_n,
+                    len(train.queries)))[0])
+        else:
+            ev = LinearMetricEvaluator(train, scorer)
+            buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
+
+            def _mean0(w_col):
+                return float(ev.mean_metric(w_col)[0])
         # same deterministic per-restart orders as the reference's shuffle;
         # -randomSeed offsets the streams so restarts differ run-to-run
         # when asked (the reference reshuffles every restart)
@@ -134,10 +168,11 @@ class CoorAscent(Ranker):
         sweep = make_sweep(
             scorer, n_features=F, depth=depth, reg=self.reg,
             tolerance=self.tolerance, n_queries=len(train.queries),
-            step_base=self.STEP_BASE, step_scale=self.STEP_SCALE)
+            step_base=self.STEP_BASE, step_scale=self.STEP_SCALE,
+            sparse_n=sparse_n)
 
         w = jnp.full((R, F), 1.0 / F, jnp.float32)
-        cur0 = float(ev.mean_metric(np.full((F, 1), 1.0 / F, np.float32))[0])
+        cur0 = _mean0(np.full((F, 1), 1.0 / F, np.float32))
         if self.reg is not None:
             cur0 -= self.reg * (1.0 / F)     # Σ(1/F)² over F coordinates
         cur = jnp.full((R,), cur0, jnp.float32)
@@ -168,8 +203,19 @@ class CoorAscent(Ranker):
         log(f"Finished successfully. {scorer.name} on training data: "
             f"{curs[best]:.4f}")
         if validation is not None:
-            ev_val = LinearMetricEvaluator(validation, scorer)
-            vm = float(ev_val.mean_metric(self.weights[:, None])[0])
+            wv = self.weights[:, None].astype(np.float32)
+            if wants_sparse_eval(validation):
+                from ranklib_tpu.ops.sparse_eval import (
+                    build_sparse_data, sparse_mean_metric,
+                )
+
+                vc, vbk, vn = build_sparse_data(validation)
+                vm = float(np.asarray(sparse_mean_metric(
+                    scorer, jnp.asarray(wv), vc, vbk, vn,
+                    len(validation.queries)))[0])
+            else:
+                ev_val = LinearMetricEvaluator(validation, scorer)
+                vm = float(ev_val.mean_metric(wv)[0])
             log(f"{scorer.name} on validation data: {vm:.4f}")
 
     # ---- scoring / io ------------------------------------------------------

@@ -665,3 +665,75 @@ def test_sparse_norm_stats_scale_with_nnz(tmp_path):
     # application still exact on a narrow slice of the wide space
     got = normed.materialize_rows(0, n_d)
     assert np.isfinite(got).all()
+
+
+# ---- embedding-style sparse device layer (ops/sparse_eval.py) --------------
+
+def test_coorascent_sparse_eval_parity(sparse_file, monkeypatch):
+    """Forcing the gather/segment-sum candidate layer (budget -> 0) on
+    narrow data reproduces the dense-bucket CoorAscent fit: identical
+    coordinate decisions, weights within f32 reduction-order noise."""
+    from ranklib_tpu.models.coorascent import CoorAscent
+
+    scorer = create_scorer("NDCG@10")
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    d = CoorAscent(n_restart=2, max_passes=3)
+    d.fit(csr, scorer)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+    assert wants_sparse_eval(csr)          # tiny budget routes CSR sparse
+    s = CoorAscent(n_restart=2, max_passes=3)
+    s.fit(csr, scorer)
+    np.testing.assert_allclose(s.weights, d.weights, atol=2e-5)
+
+
+def test_coorascent_sparse_eval_normalized_parity(sparse_file, monkeypatch):
+    """The sparse layer inherits LAZY normalization through materialized
+    chunks — parity with the dense path under -norm zscore (the
+    densifying case)."""
+    from ranklib_tpu.data.sparse import normalize_csr
+    from ranklib_tpu.models.coorascent import CoorAscent
+
+    scorer = create_scorer("NDCG@10")
+    csr = normalize_csr(read_letor_sparse(sparse_file, quiet=True),
+                        "zscore")
+    d = CoorAscent(n_restart=1, max_passes=2)
+    d.fit(csr, scorer)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    s = CoorAscent(n_restart=1, max_passes=2)
+    s.fit(csr, scorer)
+    np.testing.assert_allclose(s.weights, d.weights, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_coorascent_wide_sparse_trains(tmp_path):
+    """The point: -ranker 4 on a 50K-feature sparse file — the dense
+    device blocks would be ~480 MB on this slice (2.4K docs × 50K f32)
+    and scale linearly with docs; the COO layer holds ~nnz. One sweep
+    pass (a CA pass is inherently F coordinate evaluations — ~40 s of
+    real work at this width on CPU)."""
+    from ranklib_tpu.data.sparse import read_letor_sparse as _read
+    from ranklib_tpu.models.coorascent import CoorAscent
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "wide50k.txt")
+    F, n_q, n_d = 50_000, 60, 40
+    with open(path, "w") as f:
+        for q in range(n_q):
+            for _ in range(n_d):
+                fids = np.unique(rng.integers(1, F + 1, 10))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}"
+                                 for fid in fids)
+                f.write(f"{int(rng.integers(0, 3))} qid:{q + 1} {pairs}\n")
+    csr = _read(path, quiet=True)
+    import os as _os
+    _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"] = "256"
+    try:
+        assert wants_sparse_eval(csr)      # 480 MB dense > 256 MB budget
+        r = CoorAscent(n_restart=1, max_passes=1, n_max_iteration=4)
+        r.fit(csr, create_scorer("NDCG@10"))
+    finally:
+        del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
+    assert r.weights is not None and np.isfinite(r.weights).all()
+    assert r.model_str().startswith("## Coordinate Ascent")
