@@ -44,14 +44,20 @@ from ranklib_tpu.utils.logging import event, log
 
 def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
                tolerance: float, n_queries: int, step_base: float,
-               step_scale: float, sparse_n: int | None = None):
+               step_scale: float, sparse_n: int | None = None,
+               axis_name: str | None = None, raw: bool = False):
     """Build the jitted one-sweep fn: (w, cur, order_T, buckets) →
     (w, cur, improved). Shapes: w [R, F], cur [R], order_T [F, R].
 
     ``sparse_n``: set to the doc count when ``buckets`` is the sparse
     device pytree of ops.sparse_eval (wide CSR data — candidate scores
     come from the gather/segment-sum embedding layer instead of dense
-    [B, D, F] matmuls, lifting the HBM ceiling)."""
+    [B, D, F] matmuls, lifting the HBM ceiling).
+
+    ``axis_name``: set when the sweep runs per-device inside ``shard_map``
+    (queries sharded over a mesh, parallel/dp.py) — the candidate metric
+    totals psum, so every device takes identical coordinate decisions.
+    ``raw`` returns the untraced body for the shard_map wrapper."""
     F = n_features
 
     def mean_metric(Wc, buckets):
@@ -73,6 +79,8 @@ def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
                 lambda s: scorer.score_from_scores(labels, s, mask),
                 in_axes=2, out_axes=1)(sc)
             total += vals.sum(axis=0)
+        if axis_name:
+            total = jax.lax.psum(total, axis_name)
         return total.reshape(R, C) / n_queries
 
     def coordinate_step(carry, f, buckets):
@@ -101,15 +109,16 @@ def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
         cur = jnp.where(gain, vbest, cur)
         return (w, cur, improved | gain), None
 
-    @jax.jit
-    def sweep(w, cur, order_T, buckets):
+    def sweep_impl(w, cur, order_T, buckets):
         improved = jnp.zeros(w.shape[0], bool)
         (w, cur, improved), _ = jax.lax.scan(
             functools.partial(coordinate_step, buckets=buckets),
             (w, cur, improved), order_T)
         return w, cur, improved
 
-    return sweep
+    if raw:
+        return sweep_impl
+    return jax.jit(sweep_impl)
 
 
 @register_ranker
@@ -129,12 +138,18 @@ class CoorAscent(Ranker):
         self.weights = None           # np.float64 [F], Σ|w| = 1
         super().__init__(**hp)
 
-    def fit(self, train: Dataset, scorer: MetricScorer, validation=None):
+    def fit(self, train: Dataset, scorer: MetricScorer, validation=None,
+            mesh=None):
         from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
 
         F = train.n_features
         R = self.n_restart
         sparse_n = None
+        if mesh is not None and wants_sparse_eval(train):
+            from ranklib_tpu.utils.logging import log as _log
+
+            _log("(sparse candidate layer is single-device; -dp ignored)")
+            mesh = None
         if wants_sparse_eval(train):
             # wide CSR data: dense [B, D, F] bucket residency would blow
             # the HBM budget — candidate scores come from the device COO
@@ -150,6 +165,23 @@ class CoorAscent(Ranker):
                 return float(np.asarray(sparse_mean_metric(
                     scorer, jnp.asarray(w_col), chunks, sbuckets, sparse_n,
                     len(train.queries)))[0])
+        elif mesh is not None:
+            # queries sharded over the mesh (parallel/dp.py): the sweep's
+            # candidate metric totals psum per coordinate, decisions
+            # replicate — order-equivalent to single-device
+            from ranklib_tpu.parallel.dp import shard_feat_buckets
+
+            n_dev = mesh.devices.size
+            buckets, _, _ = shard_feat_buckets(train, n_dev, mesh)
+
+            def _mean0(w_col):
+                from ranklib_tpu.data.dataset import query_feats
+                from ranklib_tpu.metrics.base import score_dataset
+
+                w0 = np.asarray(w_col, np.float32)[:, 0]
+                scores = [query_feats(train, qi) @ w0
+                          for qi in range(len(train.queries))]
+                return float(score_dataset(scorer, train, scores)[0])
         else:
             ev = LinearMetricEvaluator(train, scorer)
             buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
@@ -165,11 +197,33 @@ class CoorAscent(Ranker):
             axis=1).astype(np.int32))                  # [F, R]
         depth = max(4, self.n_max_iteration)
 
-        sweep = make_sweep(
-            scorer, n_features=F, depth=depth, reg=self.reg,
-            tolerance=self.tolerance, n_queries=len(train.queries),
-            step_base=self.STEP_BASE, step_scale=self.STEP_SCALE,
-            sparse_n=sparse_n)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P_
+
+            from ranklib_tpu.gbdt.boost_dist import AXIS
+            from ranklib_tpu.parallel.dp import _tree_sq
+
+            impl = make_sweep(
+                scorer, n_features=F, depth=depth, reg=self.reg,
+                tolerance=self.tolerance, n_queries=len(train.queries),
+                step_base=self.STEP_BASE, step_scale=self.STEP_SCALE,
+                axis_name=AXIS, raw=True)
+            sh, rp = P_(AXIS), P_()
+            bucket_specs = jax.tree.map(lambda _: sh, buckets)
+
+            def per_device(w_, cur_, oT_, bk_):
+                return impl(w_, cur_, oT_, _tree_sq(bk_, bucket_specs, sh))
+
+            sweep = jax.jit(jax.shard_map(
+                per_device, mesh=mesh,
+                in_specs=(rp, rp, rp, bucket_specs),
+                out_specs=(rp, rp, rp), check_vma=False))
+        else:
+            sweep = make_sweep(
+                scorer, n_features=F, depth=depth, reg=self.reg,
+                tolerance=self.tolerance, n_queries=len(train.queries),
+                step_base=self.STEP_BASE, step_scale=self.STEP_SCALE,
+                sparse_n=sparse_n)
 
         w = jnp.full((R, F), 1.0 / F, jnp.float32)
         cur0 = _mean0(np.full((F, 1), 1.0 / F, np.float32))

@@ -322,3 +322,17 @@ def test_trainer_plumbs_dp_to_nontree_rankers():
                          {"n_rounds": 5} if rtype in (2, 3)
                          else {"n_epoch": 5}, n_dp=8)
         assert r.eval_dataset(train) is not None
+
+
+def test_coorascent_mesh_matches_single_device():
+    """CoorAscent -dp: psum'd candidate totals → identical coordinate
+    decisions (bit-identical weights on this fixture)."""
+    from ranklib_tpu.models.coorascent import CoorAscent
+
+    train, _ = _dp_fixture()
+    scorer = create_scorer("NDCG@10")
+    r1 = CoorAscent(n_restart=2, max_passes=3)
+    r1.fit(train, scorer)
+    r8 = CoorAscent(n_restart=2, max_passes=3)
+    r8.fit(train, scorer, mesh=make_mesh(8))
+    np.testing.assert_allclose(r8.weights, r1.weights, atol=1e-6)
