@@ -21,15 +21,16 @@ materialized ON DEMAND in bounded chunks:
   (models/linear.py) — the Gram matrix is [F+1, F+1], never [N, F].
 * Per-query scoring paths materialize one query at a time.
 
-DEVICE footprint: Coordinate Ascent routes through the embedding-style
-gather/segment-sum candidate layer (ops/sparse_eval.py) when the dense
+DEVICE footprint: Coordinate Ascent and AdaRank route through the
+embedding-style gather/segment-sum layer (ops/sparse_eval.py) when dense
 bucket residency would exceed the HBM budget
-(RANKLIB_TPU_DEVICE_DENSE_MB), so wide data trains `-ranker 4` without
-[N, F] blocks in HBM. AdaRank's weak-metric matrix S[Q, F] is inherently
-dense in the feature axis (one metric per (query, feature)) and its
-evaluator keeps dense chunks resident — extreme widths remain bounded by
-HBM for AdaRank specifically; neural first layers are narrow (x @ W1
-streams chunk-by-chunk through the same dense buckets).
+(RANKLIB_TPU_DEVICE_DENSE_MB): CA evaluates line-search candidates
+against the device COO; AdaRank builds its weak-metric matrix sparsely
+(absent features reuse the query's zero-score metric) and scores the
+strong model through the same layer. AdaRank's remaining ceiling is the
+S[Q, F] matrix itself (one weak metric per (query, feature) is inherent
+to the algorithm — Q·F floats, far below N·F). Neural first layers are
+narrow (x @ W1 streams chunk-by-chunk through the dense buckets).
 """
 
 from __future__ import annotations

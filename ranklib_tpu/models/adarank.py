@@ -63,7 +63,8 @@ class AdaState(NamedTuple):
 
 def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
                   n_queries: int, n_vqueries: int, n_vslots: int | None = None,
-                  axis_name: str | None = None, raw: bool = False):
+                  axis_name: str | None = None, raw: bool = False,
+                  sparse_docs: tuple | None = None):
     """Build the jitted one-round step: (state, t, S, tb, vb, qmask) →
     state.
 
@@ -78,18 +79,35 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
     pick and all stop/backtrack decisions replicate. ``raw`` returns the
     untraced body for the shard_map wrapper. ``n_vslots``: validation
     slot count (defaults to n_vqueries — the single-device layout).
+
+    ``sparse_docs``: (n_train_docs, n_val_docs) when ``tb``/``vb`` carry
+    the sparse-score layout instead of dense feature buckets: each is
+    ``(coo_chunks, (labels, mask, didx, qidx) buckets)`` — the strong
+    model scores through the gather/segment-sum layer
+    (ops.sparse_eval), so wide data needs no dense [B, D, F] blocks in
+    HBM.
     """
     n_vslots = n_vqueries if n_vslots is None else n_vslots
 
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def _perq_and_mean(wvec, buckets, n_slots, nq):
+    def _perq_and_mean(wvec, buckets, n_slots, nq, n_docs=None):
         """Per-query metric of the linear model wvec, scattered to slot
         order ([n_slots]); padded chunk rows carry sentinel qidx =
         n_slots. The mean divides the (psum'd) sum by the GLOBAL query
         count nq."""
         perq = jnp.zeros((n_slots + 1,), jnp.float32)
+        if sparse_docs is not None:
+            from ranklib_tpu.ops.sparse_eval import sparse_scores_flat
+
+            chunks, bks = buckets
+            Sf = sparse_scores_flat(wvec[:, None], chunks, n_docs)[:, 0]
+            for labels, mask, didx, qidx in bks:
+                vals = scorer.score_from_scores(labels, Sf[didx], mask)
+                perq = perq.at[qidx].set(vals)
+            perq = perq[:-1]
+            return perq, _psum(perq.sum()) / nq
         for feats, labels, mask, qidx in buckets:
             sc = jnp.einsum("bdf,f->bd", feats, wvec,
                             preferred_element_type=jnp.float32)
@@ -113,7 +131,9 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
         alpha = 0.5 * jnp.log(jnp.where(degenerate, 1.0, num / den))
         w_new = state.w.at[fid].add(alpha)
 
-        perq, m_train = _perq_and_mean(w_new, tb, n_slots, n_queries)
+        perq, m_train = _perq_and_mean(
+            w_new, tb, n_slots, n_queries,
+            n_docs=sparse_docs[0] if sparse_docs is not None else None)
         backtrack = m_train < state.prev_train
         keep = state.active & ~degenerate & ~backtrack
 
@@ -133,7 +153,9 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
 
         val_m = state.val_m
         if vb:
-            _, vm = _perq_and_mean(w, vb, n_vslots, n_vqueries)
+            _, vm = _perq_and_mean(
+                w, vb, n_vslots, n_vqueries,
+                n_docs=sparse_docs[1] if sparse_docs is not None else None)
             val_m = val_m.at[t].set(vm)
 
         return AdaState(
@@ -153,6 +175,36 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
     return _make_stepper(step)
 
 
+def _device_buckets_q(ds, sentinel_doc: int, sentinel_q: int) -> tuple:
+    """(labels, mask, didx, qidx) chunks — gbdt.boost._device_buckets
+    plus the per-row QUERY index (Dataset order; padded rows carry
+    ``sentinel_q``), for scattering per-query metrics from flat sparse
+    scores."""
+    from ranklib_tpu.data.dataset import bucketize, flatten_meta
+    from ranklib_tpu.gbdt.boost import _PAIR_BUDGET
+
+    _, qptr = flatten_meta(ds)
+    out = []
+    for b in bucketize(ds, with_feats=False):
+        didx = np.full((b.B, b.D), sentinel_doc, np.int32)
+        for row, qi in enumerate(b.qidx):
+            s, e = qptr[qi], qptr[qi + 1]
+            didx[row, : e - s] = np.arange(s, e, dtype=np.int32)
+        rows = max(1, min(b.B, _PAIR_BUDGET // (b.D * b.D)))
+        for lo in range(0, b.B, rows):
+            hi = min(lo + rows, b.B)
+            pad = rows - (hi - lo)
+            lab = np.pad(b.labels[lo:hi], ((0, pad), (0, 0)))
+            msk = np.pad(b.mask[lo:hi], ((0, pad), (0, 0)))
+            di = np.pad(didx[lo:hi], ((0, pad), (0, 0)),
+                        constant_values=sentinel_doc)
+            qi_ = np.pad(b.qidx[lo:hi].astype(np.int32), (0, pad),
+                         constant_values=sentinel_q)
+            out.append((jnp.asarray(lab), jnp.asarray(msk),
+                        jnp.asarray(di), jnp.asarray(qi_)))
+    return tuple(out)
+
+
 @register_ranker
 class AdaRank(Ranker):
     NAME = "AdaRank"
@@ -168,15 +220,57 @@ class AdaRank(Ranker):
 
     def fit(self, train: Dataset, scorer: MetricScorer,
             validation: Dataset | None = None, mesh=None) -> None:
+        from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
         F = train.n_features
         Q = len(train.queries)
+        n_vq = len(validation.queries) if validation is not None else 1
+        CAP = round_capacity(self.n_rounds)
+        sparse_mode = wants_sparse_eval(train)
+        if sparse_mode and mesh is not None:
+            log("(sparse score layer is single-device; -dp ignored)")
+            mesh = None
+        if sparse_mode:
+            # wide CSR: S built sparsely (absent features reuse the
+            # query's zero-score metric — ops.sparse_eval), strong-model
+            # scoring through the gather/segment-sum layer. The dense
+            # evaluator's feats@eye(F) needs [N, F] + [F, F] in HBM.
+            from ranklib_tpu.ops.sparse_eval import (
+                adarank_weak_matrix, build_sparse_data,
+            )
+
+            S_np = adarank_weak_matrix(train, scorer)
+            chunks, _, Ntr = build_sparse_data(train)
+            tb = (chunks, _device_buckets_q(train, Ntr, Q))
+            vb = ()
+            Nv = 1
+            if validation is not None:
+                vchunks, _, Nv = build_sparse_data(validation)
+                vb = (vchunks, _device_buckets_q(validation, Nv, n_vq))
+            S = jnp.asarray(S_np)
+            qmask = jnp.ones((Q,), bool)
+            step = make_ada_step(
+                scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
+                tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq,
+                sparse_docs=(Ntr, Nv))
+            state = AdaState(
+                P=jnp.full((Q,), 1.0 / Q, jnp.float32),
+                w=jnp.zeros((F,), jnp.float32),
+                last_fid=jnp.int32(-1), consec=jnp.int32(0),
+                prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
+                hfid=jnp.zeros((CAP,), jnp.int32),
+                halpha=jnp.zeros((CAP,), jnp.float32),
+                hact=jnp.zeros((CAP,), bool),
+                train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            )
+            return self._run_rounds(step, state, S, tb, vb, qmask,
+                                    validation, scorer)
         ev = LinearMetricEvaluator(train, scorer)
         # S[q, f]: metric of query q ranked by feature f alone — one batched
         # candidate pass (feats @ I on the MXU), computed once
         S_np = ev.per_query_matrix(np.eye(F, dtype=np.float32)).astype(
             np.float32)
-        n_vq = len(validation.queries) if validation is not None else 1
-        CAP = round_capacity(self.n_rounds)
         if mesh is not None:
             S, tb, vb, qmask, step, state = self._build_dist(
                 train, validation, scorer, mesh, S_np, Q, n_vq, CAP)
@@ -213,6 +307,14 @@ class AdaRank(Ranker):
                 val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
             )
 
+        return self._run_rounds(step, state, S, tb, vb, qmask, validation,
+                                scorer)
+
+    def _run_rounds(self, step, state, S, tb, vb, qmask, validation,
+                    scorer) -> None:
+        """Shared round loop + readback (single-device, DP, and the
+        wide-sparse score layout all use the same stepper contract)."""
+        F = S.shape[-1]
         log("Training starts...")
         head = f"{'#iter':<8}| {'Feature':<8}| {scorer.name + '-T':<11}"
         if validation is not None:

@@ -737,3 +737,54 @@ def test_coorascent_wide_sparse_trains(tmp_path):
         del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
     assert r.weights is not None and np.isfinite(r.weights).all()
     assert r.model_str().startswith("## Coordinate Ascent")
+
+
+def test_adarank_sparse_eval_parity(sparse_file, monkeypatch):
+    """AdaRank's wide route (S built sparsely + strong-model scoring
+    through the gather/segment-sum layer) reproduces the dense-evaluator
+    fit on narrow data — including the validation-snapshot path."""
+    from ranklib_tpu.models.adarank import AdaRank
+
+    scorer = create_scorer("NDCG@10")
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    val = synth_dataset(n_queries=4, n_features=9, min_docs=5, max_docs=12,
+                        gmax=2, seed=205, w_seed=201)
+    d = AdaRank(n_rounds=8)
+    d.fit(csr, scorer, val)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    s = AdaRank(n_rounds=8)
+    s.fit(csr, scorer, val)
+    assert [x[0] for x in d.history] == [x[0] for x in s.history]
+    assert len(d.history) == len(s.history) > 0
+    for (f1, a1), (f2, a2) in zip(d.history, s.history):
+        assert abs(a1 - a2) < 2e-5
+
+
+@pytest.mark.slow
+def test_adarank_wide_sparse_trains(tmp_path):
+    """-ranker 3 on a 50K-feature sparse file: the dense evaluator would
+    need [N, F] blocks + a [F, F] candidate matrix; the sparse route
+    builds S from present (query, feature) pairs only."""
+    from ranklib_tpu.models.adarank import AdaRank
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "wide50k_ada.txt")
+    F, n_q, n_d = 50_000, 40, 30
+    with open(path, "w") as f:
+        for q in range(n_q):
+            for _ in range(n_d):
+                fids = np.unique(rng.integers(1, F + 1, 10))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}"
+                                 for fid in fids)
+                f.write(f"{int(rng.integers(0, 3))} qid:{q + 1} {pairs}\n")
+    csr = read_letor_sparse(path, quiet=True)
+    import os as _os
+    _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"] = "64"
+    try:
+        assert wants_sparse_eval(csr)
+        r = AdaRank(n_rounds=5)
+        r.fit(csr, create_scorer("NDCG@10"))
+    finally:
+        del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
+    assert r.weights is not None and len(r.history) >= 1
