@@ -69,6 +69,24 @@ def _forward(params, x):
     return h[..., 0]
 
 
+def _forward_sparse(params, x, D):
+    """Sparse-first-layer forward for ONE query: ``x`` is
+    (fids [E], vals [E], docpos [E]) — the query's nonzero entries with
+    their doc positions (padding entries carry docpos = D, sliced off).
+    The first layer is the embedding-style gather/segment-sum of
+    ops.sparse_eval (x @ W1 without a dense [D, F] block); later layers
+    are dense as usual. Wide-data route for the neural rankers."""
+    fids, vals, docpos = x
+    W, b = params[0]
+    h = jax.ops.segment_sum(W[fids] * vals[:, None], docpos,
+                            num_segments=D + 1,
+                            indices_are_sorted=True)[:D]
+    h = jax.nn.sigmoid(h + b)
+    for W, b in params[1:]:
+        h = jax.nn.sigmoid(h @ W + b)
+    return h[..., 0]
+
+
 def _pair_mask(labels, mask):
     """[D, D] float: 1 where label_i > label_j and both docs real."""
     valid = mask.astype(jnp.float32)
@@ -76,15 +94,16 @@ def _pair_mask(labels, mask):
     return (labels[:, None] > labels[None, :]).astype(jnp.float32) * both
 
 
-def _ranknet_query_loss(params, feats, labels, mask, scorer):
-    s = _forward(params, feats)
+def _ranknet_query_loss(params, feats, labels, mask, scorer, fwd=_forward):
+    s = fwd(params, feats)
     pm = _pair_mask(labels, mask)
     diff = s[:, None] - s[None, :]
     return jnp.sum(pm * jax.nn.softplus(-diff))
 
 
-def _lambdarank_query_loss(params, feats, labels, mask, scorer):
-    s = _forward(params, feats)
+def _lambdarank_query_loss(params, feats, labels, mask, scorer,
+                           fwd=_forward):
+    s = fwd(params, feats)
     # |Δmetric| of swapping each pair in the current ranking (stop-grad)
     perm = rank_perm(s[None, :], mask[None, :])[0]
     inv = jnp.argsort(perm)
@@ -98,8 +117,8 @@ def _lambdarank_query_loss(params, feats, labels, mask, scorer):
     return jnp.sum(pm * w * jax.nn.softplus(-diff))
 
 
-def _listnet_query_loss(params, feats, labels, mask, scorer):
-    s = _forward(params, feats)
+def _listnet_query_loss(params, feats, labels, mask, scorer, fwd=_forward):
+    s = fwd(params, feats)
     neg = jnp.float32(-1e30)
     logp_model = jax.nn.log_softmax(jnp.where(mask, s, neg))
     p_target = jax.nn.softmax(jnp.where(mask, labels, neg))
@@ -118,11 +137,46 @@ def _bucket_scores_fwd(params, feats):
     return _forward(params, feats)
 
 
-def _misordered(params, feats, labels, mask):
-    s = _forward(params, feats)
-    pm = jax.vmap(_pair_mask)(labels, mask)
-    bad = (s[:, :, None] <= s[:, None, :]).astype(jnp.float32)
-    return jnp.sum(pm * bad)
+def _sparse_query_buckets(ds) -> tuple:
+    """Per-size-class sparse rows for the wide-data route:
+    (fids [B, E], vals [B, E], docpos [B, E], labels [B, D], mask [B, D])
+    with E = the class's max per-query nonzero count. Entries come from
+    MATERIALIZED queries (lazy norm / clipping / duplicate-fid last-wins
+    inherited exactly, like ops.sparse_eval.build_sparse_data); padding
+    entries carry docpos = D (the forward's slice-off segment)."""
+    from ranklib_tpu.data.dataset import padded_size
+
+    groups = {}
+    entries = {}
+    for qi, q in enumerate(ds.queries):
+        X = (ds.materialize_query(qi)
+             if hasattr(ds, "materialize_query") else q.feats)
+        r, f = np.nonzero(X)
+        entries[qi] = (f.astype(np.int32), X[r, f].astype(np.float32),
+                       r.astype(np.int32))
+        groups.setdefault(padded_size(q.n), []).append(qi)
+    out = []
+    for D in sorted(groups):
+        idxs = groups[D]
+        E = max(1, max(len(entries[qi][0]) for qi in idxs))
+        B = len(idxs)
+        fids = np.zeros((B, E), np.int32)
+        vals = np.zeros((B, E), np.float32)
+        docpos = np.full((B, E), D, np.int32)
+        labels = np.zeros((B, D), np.float32)
+        mask = np.zeros((B, D), bool)
+        for b, qi in enumerate(idxs):
+            f, v, r = entries[qi]
+            fids[b, : len(f)] = f
+            vals[b, : len(f)] = v
+            docpos[b, : len(f)] = r
+            q = ds.queries[qi]
+            labels[b, : q.n] = q.labels
+            mask[b, : q.n] = True
+        out.append((jnp.asarray(fids), jnp.asarray(vals),
+                    jnp.asarray(docpos), jnp.asarray(labels),
+                    jnp.asarray(mask)))
+    return tuple(out)
 
 
 class NNState(NamedTuple):
@@ -159,12 +213,22 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
     """
     loss_fn = _LOSSES[loss_name]
 
-    def step(state: NNState, t, tb, vb) -> NNState:
-        params = state.params
+    def _scan_bucket(params, bucket):
+        """One sequential per-query SGD pass over a bucket — dense rows
+        (feats, labels, mask) or sparse-first-layer rows
+        (fids, vals, docpos, labels, mask); see _forward_sparse."""
+        sparse = len(bucket) == 5
+        D = bucket[-2].shape[-1]
 
         def body(p, row):
-            f, l, m = row
-            g = jax.grad(loss_fn)(p, f, l, m, scorer)
+            if sparse:
+                f, v, dp, l, m = row
+                g = jax.grad(loss_fn)(p, (f, v, dp), l, m, scorer,
+                                      functools.partial(_forward_sparse,
+                                                        D=D))
+            else:
+                f, l, m = row
+                g = jax.grad(loss_fn)(p, f, l, m, scorer)
             valid = m.any()
             g = jax.tree.map(
                 lambda a: jnp.where(valid, a, jnp.zeros_like(a)), g)
@@ -172,12 +236,33 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
                 g = jax.lax.psum(g, axis_name)
             return jax.tree.map(lambda a, b: a - lr * b, p, g), None
 
-        for f, l, m in tb:
-            params, _ = jax.lax.scan(body, params, (f, l, m))
+        params, _ = jax.lax.scan(body, params, bucket)
+        return params
+
+    def _bucket_scores(params, bucket):
+        """[rows, D] scores of every query in a bucket."""
+        if len(bucket) == 5:
+            f, v, dp, l, _ = bucket
+            D = l.shape[-1]
+            return jax.vmap(
+                lambda ff, vv, pp: _forward_sparse(params, (ff, vv, pp),
+                                                   D))(f, v, dp)
+        return _forward(params, bucket[0])
+
+    def step(state: NNState, t, tb, vb) -> NNState:
+        params = state.params
+        for bucket in tb:
+            params = _scan_bucket(params, bucket)
 
         mis = state.mis
         if track_mis:
-            tot_mis = sum(_misordered(params, f, l, m) for f, l, m in tb)
+            tot_mis = jnp.float32(0.0)
+            for bucket in tb:
+                l, m = bucket[-2], bucket[-1]
+                s = _bucket_scores(params, bucket)
+                pm = jax.vmap(_pair_mask)(l, m)
+                bad = (s[:, :, None] <= s[:, None, :]).astype(jnp.float32)
+                tot_mis += jnp.sum(pm * bad)
             if axis_name:
                 tot_mis = jax.lax.psum(tot_mis, axis_name)
             mis = mis.at[t].set(tot_mis)
@@ -186,9 +271,10 @@ def make_epoch_step(loss_name: str, scorer, lr: float, n_val_q: int,
             state.best_params, state.best_val, state.val_m)
         if vb:
             tot = jnp.float32(0.0)
-            for f, l, m in vb:
-                tot += scorer.score_from_scores(l, _forward(params, f),
-                                                m).sum()
+            for bucket in vb:
+                l, m = bucket[-2], bucket[-1]
+                tot += scorer.score_from_scores(
+                    l, _bucket_scores(params, bucket), m).sum()
             if axis_name:
                 tot = jax.lax.psum(tot, axis_name)
             val = tot / n_val_q
@@ -239,10 +325,32 @@ class RankNet(Ranker):
         log(f"{'#epoch':<8}| {'# mis-ordered pairs':<20}| {'validation':<10}")
         silent = is_silent()
         CAP = round_capacity(self.n_epoch)
+        from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
+        sparse_mode = wants_sparse_eval(train)
+        if sparse_mode and mesh is not None:
+            log("(sparse first layer is single-device; -dp ignored)")
+            mesh = None
         if mesh is not None:
             tb, vb, step, state = self._build_dist(
                 train, validation, scorer, mesh, params, lr, n_val_q, CAP,
                 silent)
+        elif sparse_mode:
+            # wide CSR: sparse-first-layer rows (gather/segment-sum —
+            # no dense [B, D, F] blocks in HBM); later layers dense
+            tb = _sparse_query_buckets(train)
+            vb = ()
+            if validation is not None:
+                vb = _sparse_query_buckets(validation)
+            step = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
+                                   track_mis=not silent)
+            state = NNState(
+                params=params,
+                best_params=jax.tree.map(jnp.copy, params),
+                best_val=jnp.float32(-np.inf),
+                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+                mis=jnp.full((CAP,), jnp.nan, jnp.float32),
+            )
         else:
             tb = tuple(
                 (jnp.asarray(b.feats), jnp.asarray(b.labels),

@@ -788,3 +788,52 @@ def test_adarank_wide_sparse_trains(tmp_path):
     finally:
         del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
     assert r.weights is not None and len(r.history) >= 1
+
+
+@pytest.mark.parametrize("cls_name", ["RankNet", "ListNet"])
+def test_neural_sparse_first_layer_parity(sparse_file, monkeypatch,
+                                          cls_name):
+    """The sparse-first-layer route (gather/segment-sum x @ W1)
+    reproduces the dense fit to f32 reduction-order noise."""
+    import ranklib_tpu.models.neural as nn
+
+    cls = getattr(nn, cls_name)
+    scorer = create_scorer("NDCG@10")
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    d = cls(n_epoch=3, learning_rate=0.001)
+    d.fit(csr, scorer)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    s = cls(n_epoch=3, learning_rate=0.001)
+    s.fit(csr, scorer)
+    for (Wd, bd), (Ws, bs) in zip(d.params, s.params):
+        np.testing.assert_allclose(Ws, Wd, atol=1e-6)
+        np.testing.assert_allclose(bs, bd, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_neural_wide_sparse_trains(tmp_path):
+    """-ranker 1 on a 50K-feature sparse file through the sparse first
+    layer (the dense route would hold [B, D, 50K] blocks in HBM)."""
+    from ranklib_tpu.models.neural import RankNet
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "wide50k_nn.txt")
+    F, n_q, n_d = 50_000, 40, 30
+    with open(path, "w") as f:
+        for q in range(n_q):
+            for _ in range(n_d):
+                fids = np.unique(rng.integers(1, F + 1, 10))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}"
+                                 for fid in fids)
+                f.write(f"{int(rng.integers(0, 3))} qid:{q + 1} {pairs}\n")
+    csr = read_letor_sparse(path, quiet=True)
+    import os as _os
+    _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"] = "64"
+    try:
+        assert wants_sparse_eval(csr)
+        r = RankNet(n_epoch=3)
+        r.fit(csr, create_scorer("NDCG@10"))
+    finally:
+        del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
+    assert all(np.isfinite(W).all() for W, _ in r.params)
