@@ -180,12 +180,15 @@ def evaluate_train(args) -> Ranker:
                 args.train, n_threshold=tc, must_have_rel_doc=must_rel,
                 missing_zero=args.missingZero,
                 want_descs=bool(args.qrel))
-            if args.qrel:
-                apply_qrel(train, args.qrel)
         except RankLibError as e:
             log(f"[-sparse] streaming loader not applicable ({e}); "
                 f"using the dense pipeline")
             stream = False
+        if stream and args.qrel:
+            # outside the fallback try: a qrel problem is a real error,
+            # not a loader-applicability signal (and would recur after a
+            # pointless dense re-read)
+            apply_qrel(train, args.qrel)
         if stream and feature_fids is not None:
             args.hparams = dict(args.hparams or {})
             args.hparams["_feature_mask"] = _feature_mask_for(
@@ -205,16 +208,19 @@ def evaluate_train(args) -> Ranker:
                 args.train, must_have_rel_doc=must_rel,
                 missing_zero=args.missingZero,
                 want_descs=bool(args.qrel))
+        except RankLibError as e:
+            log(f"[-sparse] CSR loader not applicable ({e}); "
+                f"using the dense pipeline")
+            csr = False
+        if csr:
+            # qrel/subset/norm outside the fallback try: their errors are
+            # real, not loader-applicability signals
             if args.qrel:
                 apply_qrel(train, args.qrel)
             if feature_fids is not None:
                 train = train.subset_features(feature_fids)
             if args.norm:
                 train = normalize_csr(train, args.norm)
-        except RankLibError as e:
-            log(f"[-sparse] CSR loader not applicable ({e}); "
-                f"using the dense pipeline")
-            csr = False
     if not stream and not stream_n and not csr:
         train = _prepare(args.train, args.norm, feature_fids, must_rel,
                          missing_zero=args.missingZero,
@@ -322,6 +328,7 @@ def evaluate_kcv(args) -> None:
         # folds subset bin rows — exact only when every feature has
         # <= -tc distinct values).
         shared = os.environ.get("RANKLIB_TPU_KCV_SHARED_GRID") == "1"
+        sparse_loaded = False
         try:
             if shared and not args.norm:
                 from ranklib_tpu.data.binned import read_letor_binned
@@ -330,6 +337,7 @@ def evaluate_kcv(args) -> None:
                     else 256, must_have_rel_doc=train_scorer.needs_rel,
                     missing_zero=args.missingZero,
                     want_descs=bool(args.qrel))
+                sparse_loaded = True
                 if args.qrel:
                     apply_qrel(ds, args.qrel)
                 if feature_fids is not None:
@@ -346,6 +354,11 @@ def evaluate_kcv(args) -> None:
                               missing_zero=args.missingZero, sparse=True)
                 fold_binning = True
         except RankLibError as e:
+            if sparse_loaded:
+                # the loader succeeded — a later step (e.g. apply_qrel)
+                # failed for real; a dense re-read would only hit the
+                # same error after re-parsing the whole file
+                raise
             log(f"[-sparse] sparse kcv loader not applicable ({e}); "
                 f"using the dense pipeline")
             ds = _prepare(args.train, args.norm, feature_fids,

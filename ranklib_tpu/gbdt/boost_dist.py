@@ -205,27 +205,13 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
     device because all statistics are psum'd). ``data`` (the stacked
     BoostData) is needed here only to derive its PartitionSpec pytree.
     """
+    from ranklib_tpu.parallel.dp import make_dist_stepper
+
     step = make_round_step(
         scorer, n_bins=n_bins, n_leaves=n_leaves,
         min_leaf_support=min_leaf_support, learning_rate=learning_rate,
         pointwise=pointwise, newton=newton, n_queries=n_queries,
         n_vqueries=n_vqueries, train_metric=train_metric, axis_name=axis).impl
-
-    def per_device(state, t, data):
-        sq = lambda x: x[0]
-        state = BoostState(scores=sq(state.scores), vscores=sq(state.vscores),
-                           tfeat=state.tfeat, tbin=state.tbin,
-                           tleft=state.tleft, tright=state.tright,
-                           tleaf=state.tleaf, tout=state.tout,
-                           tnodes=state.tnodes, train_m=state.train_m,
-                           val_m=state.val_m, impacts=state.impacts)
-        data = jax.tree.map(sq, data)
-        out = step(state, t, data)
-        return BoostState(scores=out.scores[None], vscores=out.vscores[None],
-                          tfeat=out.tfeat, tbin=out.tbin, tleft=out.tleft,
-                          tright=out.tright, tleaf=out.tleaf, tout=out.tout,
-                          tnodes=out.tnodes, train_m=out.train_m,
-                          val_m=out.val_m, impacts=out.impacts)
 
     sh = P(axis)
     rep = P()
@@ -233,29 +219,12 @@ def make_dist_round_step(scorer, mesh: Mesh, data: BoostData, *, n_bins,
                              tleft=rep, tright=rep, tleaf=rep, tout=rep,
                              tnodes=rep, train_m=rep, val_m=rep, impacts=rep)
     data_specs = jax.tree.map(lambda _: sh, data)
-
-    mapped = jax.shard_map(per_device, mesh=mesh,
-                           in_specs=(state_specs, rep, data_specs),
-                           out_specs=state_specs, check_vma=False)
-
-    # chained rounds [t0, t1) in one dispatch (see boost._make_stepper):
-    # the fori wraps the per-device body INSIDE shard_map so histograms
-    # still psum every round while the host stays out of the loop
-    def per_device_multi(state, t0, t1, data):
-        return jax.lax.fori_loop(
-            t0, t1, lambda t, s: per_device(s, t, data), state)
-
-    mapped_multi = jax.shard_map(per_device_multi, mesh=mesh,
-                                 in_specs=(state_specs, rep, rep,
-                                           data_specs),
-                                 out_specs=state_specs, check_vma=False)
-
-    def stepper(state, t, data):
-        return stepper._single(state, t, data)
-
-    stepper._single = jax.jit(mapped, donate_argnums=(0,))
-    stepper.multi = jax.jit(mapped_multi, donate_argnums=(0,))
-    return stepper
+    # the generic spec-driven shard_map stepper (parallel/dp.py) owns the
+    # per-device squeeze/expand, the in-shard_map fori chaining and the
+    # donated jit entries — one copy of the distributed plumbing for the
+    # GBDT family AND the non-tree rankers
+    return make_dist_stepper(step, mesh, state_specs, (data_specs,),
+                             axis=axis)
 
 
 def init_dist_state(n_trees: int, n_leaves: int, n_dev: int, Npad: int,

@@ -272,6 +272,10 @@ class AdaRank(Ranker):
         S_np = ev.per_query_matrix(np.eye(F, dtype=np.float32)).astype(
             np.float32)
         if mesh is not None:
+            # free the evaluator's dense device buckets BEFORE the dist
+            # build uploads the sharded copy of the same features — the
+            # -dp case is exactly when memory is tight (review finding)
+            del ev
             S, tb, vb, qmask, step, state = self._build_dist(
                 train, validation, scorer, mesh, S_np, Q, n_vq, CAP)
         else:

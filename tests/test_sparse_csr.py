@@ -837,3 +837,21 @@ def test_neural_wide_sparse_trains(tmp_path):
     finally:
         del _os.environ["RANKLIB_TPU_DEVICE_DENSE_MB"]
     assert all(np.isfinite(W).all() for W, _ in r.params)
+
+
+def test_sparse_qrel_error_not_misdiagnosed(tmp_path, sparse_desc_file,
+                                            capsys):
+    """A qrel problem under -sparse is a real error, not a
+    loader-applicability signal: no '[-sparse] ... not applicable'
+    fallback log, the qrel error surfaces directly (review finding)."""
+    from ranklib_tpu.cli import main as cli_main
+
+    bad = tmp_path / "empty.qrel"
+    bad.write_text("")                       # no judgments at all
+    rc = cli_main(["-train", sparse_desc_file, "-ranker", "6", "-tree",
+                   "2", "-leaf", "3", "-metric2t", "NDCG@10", "-sparse",
+                   "-missingZero", "-qrel", str(bad)])
+    out = capsys.readouterr()
+    assert rc != 0
+    assert "No judgments read" in out.out + out.err
+    assert "not applicable" not in out.out + out.err

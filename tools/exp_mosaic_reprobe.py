@@ -51,10 +51,16 @@ def run_probe(name: str, body: str, timeout_s: float = 150.0) -> str:
     except subprocess.TimeoutExpired:
         p.terminate()
         try:
-            p.communicate(timeout=20)
+            p.communicate(timeout=60)
         except subprocess.TimeoutExpired:
-            p.kill()
-            p.communicate()
+            # NEVER SIGKILL a chip holder (operational rules) — abandon
+            # the process; it exits when the compile RPC breaks
+            pass
+        # a terminated chip holder can wedge the tunnel for ~2-5 min and
+        # the NEXT probe would falsely read HANG — wait it out
+        print("    (hang terminated; waiting 240 s for the tunnel lease "
+              "before the next probe)", flush=True)
+        time.sleep(240)
         return f"HANG (>{timeout_s:.0f}s — blocker persists)"
     dt = time.time() - t0
     if p.returncode == 0 and "result_sum" in out:
