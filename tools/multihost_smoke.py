@@ -139,7 +139,30 @@ def worker(pid: int, nprocs: int, dev_per: int, port: int) -> int:
     print(f"[worker {pid}] product fit(mesh): model identical across "
           f"processes={same}, NDCG dist={m_dist:.4f} single={m_single:.4f} "
           f"{'MATCH' if ok2 else 'DIVERGED'}", flush=True)
-    return 0 if (ok and ok2) else 1
+
+    # ---- stage 3: a NON-TREE DP fit across processes (round 4) -----------
+    # RankBoost's psum'd Z / weak-search histogram / metric sums ride the
+    # same Gloo collectives; the weak-ranker sequence must match the
+    # single-device fit and replicate identically on every process.
+    from ranklib_tpu.models.rankboost import RankBoost
+
+    rb = RankBoost(n_rounds=5)
+    rb.fit(train, scorer, mesh=mesh)
+    rb1 = RankBoost(n_rounds=5)
+    rb1.fit(train, scorer)
+    seq_ok = (len(rb.weaks) == len(rb1.weaks) > 0 and all(
+        a[0] == b[0] and abs(a[1] - b[1]) < 1e-6 and abs(a[2] - b[2]) < 1e-4
+        for a, b in zip(rb.weaks, rb1.weaks)))
+    rb_text = " ".join(f"{f}:{t:.6g}:{a:.6g}" for f, t, a in rb.weaks)
+    rb_digest = np.frombuffer(
+        hashlib.sha256(rb_text.encode()).digest()[:4], np.uint32)
+    rb_all = np.asarray(multihost_utils.process_allgather(rb_digest))
+    rb_same = bool((rb_all == rb_all.flat[0]).all())
+    ok3 = seq_ok and rb_same
+    print(f"[worker {pid}] RankBoost fit(mesh): weak seq matches "
+          f"single={seq_ok}, identical across processes={rb_same} "
+          f"{'MATCH' if ok3 else 'DIVERGED'}", flush=True)
+    return 0 if (ok and ok2 and ok3) else 1
 
 
 def main() -> int:
