@@ -374,6 +374,136 @@ def forest_eval_pallas_bins(X, grid, fid_full, nodebin_full, PmQc, csQc,
     return out[0, :N]
 
 
+def _bins_only_kernel(xt_ref, grid_ref, bins_ref, *, n_grid: int,
+                      n_rows: int):
+    """Standalone binning pass: [Fp, TNB] f32 features → bf16 bin ids.
+    Same compare-accumulate as _forest_bins_kernel's c==0 prologue; split
+    out so the SELECTION kernel never holds the f32 xt in VMEM (its
+    double-buffered residency was what kept the fused kernel at
+    TN=2048)."""
+    x = xt_ref[0:n_rows]
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for b in range(n_grid):
+        acc += (grid_ref[0:n_rows, b][:, None] < x).astype(jnp.float32)
+    acc = jnp.where(jnp.isnan(x), jnp.float32(n_grid), acc)
+    bins_ref[0:n_rows] = acc.astype(jnp.bfloat16)
+    if n_rows < bins_ref.shape[0]:
+        bins_ref[n_rows:] = jnp.zeros(
+            (bins_ref.shape[0] - n_rows, bins_ref.shape[1]), jnp.bfloat16)
+
+
+def _forest_bins_split_kernel(bins_ref, s_ref, nb_ref, pmq_ref, aux_ref,
+                              out_ref):
+    """Selection half of the split bin-space eval: identical math to
+    _forest_bins_kernel minus the binning prologue (bins arrive as a
+    bf16 input block), so the doc tile can grow past the fused kernel's
+    VMEM ceiling."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    vals = jax.lax.dot_general(
+        s_ref[0], bins_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TCM, TN] exact
+    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
+                        aux_ref[0, 1, :][None, :], 0.0)
+    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+
+
+_TN_SPLIT = int(os.environ.get("RANKLIB_TPU_SERVE_TN_SPLIT", "4096"))
+
+
+@functools.partial(jax.jit, static_argnames=("n_grid",))
+def forest_eval_pallas_bins_split(X, grid, fid_full, nodebin_full, PmQc,
+                                  csQc, plenc, outwc, n_grid=None):
+    """Two-kernel bin-space forest eval: a binning pass materializes the
+    bf16 bin matrix to HBM (≈2 bytes/feature/doc each way — ~0.3 ms of
+    bandwidth at 262K docs × 256 features), then the selection sweep
+    runs WITHOUT the f32 xt resident, which lets the doc tile double to
+    TN=4096 (the fused kernel measured a 416 KB VMEM overrun there).
+    Bit-identical results to forest_eval_pallas_bins (same compares,
+    same dots)."""
+    N, F = X.shape
+    nch, TCM, TCL = PmQc.shape
+    Bm = grid.shape[1]
+    if n_grid is None:
+        n_grid = Bm
+    TCLp = ((TCL + 127) // 128) * 128
+    Fp = ((F + 127) // 128) * 128
+    n_rows = min(((F + 15) // 16) * 16, Fp)
+    TN = _TN_SPLIT
+    Np = ((N + TN - 1) // TN) * TN
+    XT = X.T
+    if Np > N or Fp > F:
+        XT = jnp.pad(XT, ((0, Fp - F), (0, Np - N)))
+    gridp = grid
+    if Fp > F:
+        gridp = jnp.pad(grid, ((0, Fp - F), (0, 0)),
+                        constant_values=jnp.inf)
+
+    TNB = min(_TN, TN)                     # binning-pass doc tile
+    bins = pl.pallas_call(
+        functools.partial(_bins_only_kernel, n_grid=int(n_grid),
+                          n_rows=int(n_rows)),
+        grid=(Np // TNB,),
+        in_specs=[
+            pl.BlockSpec((Fp, TNB), lambda d: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Fp, Bm), lambda d: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Fp, TNB), lambda d: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Fp, Np), jnp.bfloat16),
+    )(XT, gridp)
+
+    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp,
+                         dtype=jnp.bfloat16)
+    nb = jnp.broadcast_to(
+        nodebin_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
+    pmq = PmQc.astype(jnp.bfloat16)
+    aux = jnp.stack([plenc - csQc, outwc], axis=1)
+    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))
+    if TCLp > TCL:
+        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = aux.at[:, 0, TCL:].set(-1.0)
+
+    out = pl.pallas_call(
+        _forest_bins_split_kernel,
+        grid=(Np // TN, nch),
+        in_specs=[
+            pl.BlockSpec((Fp, TN), lambda d, c: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, Fp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, 128), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TN), lambda d, c: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * nch * TCM * (Fp + TCLp),
+            transcendentals=0,
+            bytes_accessed=Fp * Np * 2 + 8 * Np * 4
+            + nch * TCM * (Fp * 2 + TCLp * 2)),
+    )(bins, sel, nb, pmq, aux)
+    return out[0, :N]
+
+
 def _forest_kernel(pred_ref, pmq_ref, aux_ref, out_ref):
     """pred: [TCM, TN] bf16; pmq: [1, TCM, TCLp] bf16;
     aux: [1, 8, TCLp] f32 (row 0 colsum(Q), row 1 path_len, row 2 outw);
