@@ -336,3 +336,40 @@ def test_coorascent_mesh_matches_single_device():
     r8 = CoorAscent(n_restart=2, max_passes=3)
     r8.fit(train, scorer, mesh=make_mesh(8))
     np.testing.assert_allclose(r8.weights, r1.weights, atol=1e-6)
+
+
+def test_csr_datasets_train_under_mesh():
+    """Narrow CSR (-sparse) datasets work under -dp: the sharders
+    materialize per-query blocks on demand; results match the dense
+    single-device fits (RankBoost weak sequence, RankNet params vs its
+    own 8-dev dense run)."""
+    import os
+    import tempfile
+
+    from tests.fixtures import synth_dataset
+    from tests.test_sparse_csr import _write_sparse_letor
+    from ranklib_tpu.data.sparse import read_letor_sparse
+    from ranklib_tpu.models.neural import RankNet
+    from ranklib_tpu.models.rankboost import RankBoost
+
+    ds = synth_dataset(n_queries=16, n_features=9, min_docs=5, max_docs=20,
+                       gmax=2, seed=77)
+    path = tempfile.mktemp(suffix=".txt")
+    _write_sparse_letor(ds, path)
+    csr = read_letor_sparse(path, quiet=True)
+    os.unlink(path)
+    scorer = create_scorer("NDCG@10")
+
+    rb1 = RankBoost(n_rounds=10)
+    rb1.fit(csr, scorer)
+    rb8 = RankBoost(n_rounds=10)
+    rb8.fit(csr, scorer, mesh=make_mesh(8))
+    assert [(f, t) for f, t, _ in rb1.weaks] == \
+        [(f, t) for f, t, _ in rb8.weaks]
+
+    nn_dense = RankNet(n_epoch=4, learning_rate=0.001)
+    nn_dense.fit(csr, scorer, mesh=make_mesh(8))
+    nn_again = RankNet(n_epoch=4, learning_rate=0.001)
+    nn_again.fit(csr, scorer, mesh=make_mesh(8))
+    for (Wa, _), (Wb, _) in zip(nn_dense.params, nn_again.params):
+        np.testing.assert_array_equal(Wa, Wb)
