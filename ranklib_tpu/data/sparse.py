@@ -29,8 +29,11 @@ against the device COO; AdaRank builds its weak-metric matrix sparsely
 (absent features reuse the query's zero-score metric) and scores the
 strong model through the same layer. AdaRank's remaining ceiling is the
 S[Q, F] matrix itself (one weak metric per (query, feature) is inherent
-to the algorithm — Q·F floats, far below N·F). Neural first layers are
-narrow (x @ W1 streams chunk-by-chunk through the dense buckets).
+to the algorithm — Q·F floats, far below N·F). The neural first layer
+rides the same gather/segment-sum primitive (models/neural.py
+_forward_sparse). RankBoost's remaining wide ceiling is its device bin
+matrix ([F, N] int32 — the weak search is an all-features histogram;
+int16 device storage is Mosaic-blocked, see CLAUDE.md hazards).
 """
 
 from __future__ import annotations
