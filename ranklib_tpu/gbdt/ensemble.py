@@ -378,8 +378,22 @@ class TreeEnsemble:
         and the bench. Route: bin-space Pallas kernel (exact, fastest) →
         3-plane Pallas kernel → XLA scan (CPU / oversized models)."""
         if self._use_bins_kernel(n_features):
-            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_bins
+            import os
+
             *binpack, n_grid = self._pack_matmul_bins(n_features)
+            if os.environ.get("RANKLIB_TPU_SERVE_SPLIT") == "1":
+                # opt-in two-kernel variant (bin pass to HBM + selection
+                # at a doubled doc tile): measured exact but no faster
+                # than the fused kernel (tools/exp_serving_split_bins.py
+                # — 64.0 ms at TN=8192 vs 64.8 fused on the same
+                # session); kept reachable for re-measurement on future
+                # hardware/compiler bumps
+                from ranklib_tpu.ops.forest_eval import (
+                    forest_eval_pallas_bins_split,
+                )
+                return (lambda X: forest_eval_pallas_bins_split(
+                    X, *binpack, n_grid=n_grid)), self._EVAL_CHUNK_KERNEL
+            from ranklib_tpu.ops.forest_eval import forest_eval_pallas_bins
             return (lambda X: forest_eval_pallas_bins(
                 X, *binpack, n_grid=n_grid)), self._EVAL_CHUNK_KERNEL
         packed = self._pack_matmul(n_features)
