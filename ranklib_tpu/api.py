@@ -36,17 +36,22 @@ __all__ = ["read", "train", "evaluate", "rank", "score", "save", "load",
 
 
 def read(path: str, must_have_rel_doc: bool = False,
-         n_features: int | None = None, sparse: bool = False) -> Dataset:
+         n_features: int | None = None, sparse: bool = False,
+         descs: bool = False) -> Dataset:
     """Read a LETOR/SVMLight file (gzip ok) into a Dataset.
 
     ``sparse=True`` lands the file in host CSR (memory ~ nnz; the CLI's
     ``-sparse`` storage for raw-value rankers) — dense blocks materialize
-    on demand in bounded chunks, trained models are bit-identical."""
+    on demand in bounded chunks, trained models are bit-identical.
+    ``descs=True`` additionally keeps the per-doc '#' descriptions on a
+    sparse read (needed for qrel docid matching / indri output; the
+    dense reader always keeps them)."""
     if sparse:
         from ranklib_tpu.data.sparse import read_letor_sparse
 
         return read_letor_sparse(path, must_have_rel_doc=must_have_rel_doc,
-                                 n_features=n_features, quiet=True)
+                                 n_features=n_features, quiet=True,
+                                 want_descs=descs)
     return read_letor(path, must_have_rel_doc=must_have_rel_doc,
                       n_features=n_features, quiet=True)
 

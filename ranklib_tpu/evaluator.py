@@ -130,6 +130,13 @@ def _try_stream_norm(args) -> bool:
 
 def _read_csr_norm_binned(path, args, must_rel, feature_fids,
                           n_features=None, thresholds=None):
+    """CSR → lazy-norm → per-file bins, for -sparse -norm tree rankers.
+
+    Does NOT apply -qrel: callers do that on the returned dataset,
+    OUTSIDE their loader-fallback try blocks (a qrel problem is a real
+    error, not a loader-applicability signal). Binning only reads
+    feature values, so qrel's label overwrite commutes with it; the
+    '#' descriptions (want_descs) propagate through binned_from_csr."""
     from ranklib_tpu.data.binned import binned_from_csr
     from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
 
@@ -139,8 +146,6 @@ def _read_csr_norm_binned(path, args, must_rel, feature_fids,
                            want_descs=bool(args.qrel))
     if n_features is not None and ds.n_features != n_features:
         ds = ds.with_width(n_features)
-    if args.qrel:
-        apply_qrel(ds, args.qrel)
     if feature_fids is not None:
         ds = ds.subset_features(feature_fids)
     ds = normalize_csr(ds, args.norm)
@@ -201,6 +206,8 @@ def evaluate_train(args) -> Ranker:
             log(f"[-sparse] CSR-normalized binning not applicable ({e}); "
                 f"using the dense pipeline")
             stream_n = False
+        if stream_n and args.qrel:
+            apply_qrel(train, args.qrel)
     if csr:
         from ranklib_tpu.data.sparse import normalize_csr, read_letor_sparse
         try:
@@ -240,6 +247,8 @@ def evaluate_train(args) -> Ranker:
             validation = _read_csr_norm_binned(
                 args.validate, args, must_rel, feature_fids,
                 n_features=train.n_features, thresholds=train.thresholds)
+            if args.qrel:
+                apply_qrel(validation, args.qrel)
         elif stream:
             from ranklib_tpu.data.binned import read_letor_binned
             validation = read_letor_binned(
@@ -279,6 +288,8 @@ def evaluate_train(args) -> Ranker:
             test = _read_csr_norm_binned(
                 args.test, args, False, feature_fids,
                 n_features=train.n_features, thresholds=train.thresholds)
+            if args.qrel:
+                apply_qrel(test, args.qrel)
         elif stream:
             from ranklib_tpu.data.binned import read_letor_binned
             test = read_letor_binned(
@@ -328,6 +339,7 @@ def evaluate_kcv(args) -> None:
         # folds subset bin rows — exact only when every feature has
         # <= -tc distinct values).
         shared = os.environ.get("RANKLIB_TPU_KCV_SHARED_GRID") == "1"
+        shared_mask = False
         sparse_loaded = False
         try:
             if shared and not args.norm:
@@ -337,33 +349,34 @@ def evaluate_kcv(args) -> None:
                     else 256, must_have_rel_doc=train_scorer.needs_rel,
                     missing_zero=args.missingZero,
                     want_descs=bool(args.qrel))
-                sparse_loaded = True
-                if args.qrel:
-                    apply_qrel(ds, args.qrel)
-                if feature_fids is not None:
-                    args.hparams = dict(args.hparams or {})
-                    args.hparams["_feature_mask"] = _feature_mask_for(
-                        feature_fids, ds.n_features)
+                shared_mask = True
             elif shared:
                 ds = _read_csr_norm_binned(args.train, args,
                                            train_scorer.needs_rel,
                                            feature_fids)
             else:
                 ds = _prepare(args.train, args.norm, feature_fids,
-                              train_scorer.needs_rel, qrel=args.qrel,
-                              missing_zero=args.missingZero, sparse=True)
+                              train_scorer.needs_rel,
+                              missing_zero=args.missingZero, sparse=True,
+                              want_descs=bool(args.qrel))
                 fold_binning = True
+            sparse_loaded = True
         except RankLibError as e:
-            if sparse_loaded:
-                # the loader succeeded — a later step (e.g. apply_qrel)
-                # failed for real; a dense re-read would only hit the
-                # same error after re-parsing the whole file
-                raise
             log(f"[-sparse] sparse kcv loader not applicable ({e}); "
                 f"using the dense pipeline")
+            fold_binning = False
             ds = _prepare(args.train, args.norm, feature_fids,
                           train_scorer.needs_rel, qrel=args.qrel,
                           missing_zero=args.missingZero)
+        if sparse_loaded:
+            # qrel outside the fallback try on EVERY sparse branch: a
+            # qrel problem is a real error, not a loader signal
+            if args.qrel:
+                apply_qrel(ds, args.qrel)
+            if shared_mask and feature_fids is not None:
+                args.hparams = dict(args.hparams or {})
+                args.hparams["_feature_mask"] = _feature_mask_for(
+                    feature_fids, ds.n_features)
     else:
         ds = _prepare(args.train, args.norm, feature_fids,
                       train_scorer.needs_rel, qrel=args.qrel,

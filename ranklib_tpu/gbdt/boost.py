@@ -146,12 +146,18 @@ def _upload_bins(a: np.ndarray) -> jnp.ndarray:
 _PAIR_BUDGET = 1 << 24
 
 
-def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
-    """Padded (labels, mask, didx) chunks per bucket. Buckets are split
-    into row chunks so no [Bc, D, D] pair temporary in the fused step
-    exceeds the budget (the 'long-context' guard of SURVEY §5: pair
+def _device_buckets(ds: Dataset, sentinel: int,
+                    qidx_sentinel: int | None = None) -> tuple:
+    """Padded (labels, mask, didx[, qidx]) chunks per bucket. Buckets are
+    split into row chunks so no [Bc, D, D] pair temporary in the fused
+    step exceeds the budget (the 'long-context' guard of SURVEY §5: pair
     matrices never pad to the global max doc count, and never blow HBM
-    when a bucket holds thousands of queries)."""
+    when a bucket holds thousands of queries).
+
+    ``qidx_sentinel``: when given, each chunk additionally carries the
+    per-row QUERY index (Dataset order; padding rows get the sentinel) —
+    for scattering per-query metrics from flat scores (AdaRank's sparse
+    route)."""
     _, qptr = flatten_meta(ds)
     out = []
     for b in bucketize(ds, with_feats=False):
@@ -167,7 +173,12 @@ def _device_buckets(ds: Dataset, sentinel: int) -> tuple:
             msk = np.pad(b.mask[lo:hi], ((0, pad), (0, 0)))
             di = np.pad(didx[lo:hi], ((0, pad), (0, 0)),
                         constant_values=sentinel)
-            out.append((jnp.asarray(lab), jnp.asarray(msk), jnp.asarray(di)))
+            chunk = (jnp.asarray(lab), jnp.asarray(msk), jnp.asarray(di))
+            if qidx_sentinel is not None:
+                qi_ = np.pad(b.qidx[lo:hi].astype(np.int32), (0, pad),
+                             constant_values=qidx_sentinel)
+                chunk += (jnp.asarray(qi_),)
+            out.append(chunk)
     return tuple(out)
 
 

@@ -67,10 +67,13 @@ def _shard_queries(ds: Dataset, n_dev: int):
     return per_dev, class_rows
 
 
-def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
+def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int,
+                  bin_dtype=np.int32):
     """Per-device padded flat arrays + uniform bucket chunks for one
     dataset. Returns (binned_T [n_dev,F,Npad], labels_flat, doc_mask,
-    chunks tuple, Npad)."""
+    chunks tuple, Npad). ``bin_dtype``: host/transfer dtype of the bin
+    matrix — int16 (when the bin range allows) halves the host copy and
+    the link bytes; callers upcast ON DEVICE."""
     from ranklib_tpu.data.dataset import flatten_meta
     from ranklib_tpu.models.gbdt import _pad_doc_count
 
@@ -81,7 +84,7 @@ def _shard_arrays(ds: Dataset, binned: np.ndarray, n_dev: int):
     Npad = _pad_doc_count(max(
         sum(ds.queries[qi].n for _, qi in dev) for dev in per_dev) or 1)
 
-    binned_T = np.zeros((n_dev, F, Npad), np.int32)
+    binned_T = np.zeros((n_dev, F, Npad), bin_dtype)
     labels_flat = np.zeros((n_dev, Npad), np.float32)
     doc_mask = np.zeros((n_dev, Npad), bool)
     # per class: labels/mask/didx [n_dev, rows, D]

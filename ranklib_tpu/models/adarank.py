@@ -177,32 +177,11 @@ def make_ada_step(scorer, *, no_eq: bool, max_sel: int, tolerance: float,
 
 def _device_buckets_q(ds, sentinel_doc: int, sentinel_q: int) -> tuple:
     """(labels, mask, didx, qidx) chunks — gbdt.boost._device_buckets
-    plus the per-row QUERY index (Dataset order; padded rows carry
-    ``sentinel_q``), for scattering per-query metrics from flat sparse
-    scores."""
-    from ranklib_tpu.data.dataset import bucketize, flatten_meta
-    from ranklib_tpu.gbdt.boost import _PAIR_BUDGET
+    with the qidx channel, for scattering per-query metrics from flat
+    sparse scores."""
+    from ranklib_tpu.gbdt.boost import _device_buckets
 
-    _, qptr = flatten_meta(ds)
-    out = []
-    for b in bucketize(ds, with_feats=False):
-        didx = np.full((b.B, b.D), sentinel_doc, np.int32)
-        for row, qi in enumerate(b.qidx):
-            s, e = qptr[qi], qptr[qi + 1]
-            didx[row, : e - s] = np.arange(s, e, dtype=np.int32)
-        rows = max(1, min(b.B, _PAIR_BUDGET // (b.D * b.D)))
-        for lo in range(0, b.B, rows):
-            hi = min(lo + rows, b.B)
-            pad = rows - (hi - lo)
-            lab = np.pad(b.labels[lo:hi], ((0, pad), (0, 0)))
-            msk = np.pad(b.mask[lo:hi], ((0, pad), (0, 0)))
-            di = np.pad(didx[lo:hi], ((0, pad), (0, 0)),
-                        constant_values=sentinel_doc)
-            qi_ = np.pad(b.qidx[lo:hi].astype(np.int32), (0, pad),
-                         constant_values=sentinel_q)
-            out.append((jnp.asarray(lab), jnp.asarray(msk),
-                        jnp.asarray(di), jnp.asarray(qi_)))
-    return tuple(out)
+    return _device_buckets(ds, sentinel_doc, qidx_sentinel=sentinel_q)
 
 
 @register_ranker
@@ -253,17 +232,7 @@ class AdaRank(Ranker):
                 scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
                 tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq,
                 sparse_docs=(Ntr, Nv))
-            state = AdaState(
-                P=jnp.full((Q,), 1.0 / Q, jnp.float32),
-                w=jnp.zeros((F,), jnp.float32),
-                last_fid=jnp.int32(-1), consec=jnp.int32(0),
-                prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
-                hfid=jnp.zeros((CAP,), jnp.int32),
-                halpha=jnp.zeros((CAP,), jnp.float32),
-                hact=jnp.zeros((CAP,), bool),
-                train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-            )
+            state = self._init_state(Q, F, CAP)
             return self._run_rounds(step, state, S, tb, vb, qmask,
                                     validation, scorer)
         ev = LinearMetricEvaluator(train, scorer)
@@ -299,20 +268,24 @@ class AdaRank(Ranker):
             step = make_ada_step(
                 scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
                 tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq)
-            state = AdaState(
-                P=jnp.full((Q,), 1.0 / Q, jnp.float32),
-                w=jnp.zeros((F,), jnp.float32),
-                last_fid=jnp.int32(-1), consec=jnp.int32(0),
-                prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
-                hfid=jnp.zeros((CAP,), jnp.int32),
-                halpha=jnp.zeros((CAP,), jnp.float32),
-                hact=jnp.zeros((CAP,), bool),
-                train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-                val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
-            )
+            state = self._init_state(Q, F, CAP)
 
         return self._run_rounds(step, state, S, tb, vb, qmask, validation,
                                 scorer)
+
+    @staticmethod
+    def _init_state(Q: int, F: int, CAP: int) -> AdaState:
+        return AdaState(
+            P=jnp.full((Q,), 1.0 / Q, jnp.float32),
+            w=jnp.zeros((F,), jnp.float32),
+            last_fid=jnp.int32(-1), consec=jnp.int32(0),
+            prev_train=jnp.float32(-np.inf), active=jnp.asarray(True),
+            hfid=jnp.zeros((CAP,), jnp.int32),
+            halpha=jnp.zeros((CAP,), jnp.float32),
+            hact=jnp.zeros((CAP,), bool),
+            train_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+            val_m=jnp.full((CAP,), jnp.nan, jnp.float32),
+        )
 
     def _run_rounds(self, step, state, S, tb, vb, qmask, validation,
                     scorer) -> None:

@@ -169,10 +169,15 @@ class CoorAscent(Ranker):
             # queries sharded over the mesh (parallel/dp.py): the sweep's
             # candidate metric totals psum per coordinate, decisions
             # replicate — order-equivalent to single-device
+            from ranklib_tpu.ops.batched_eval import _DOC_BUDGET
             from ranklib_tpu.parallel.dp import shard_feat_buckets
 
             n_dev = mesh.devices.size
-            buckets, _, _ = shard_feat_buckets(train, n_dev, mesh)
+            # same [rows·D] cap as the single-device evaluator: the
+            # sweep's [rows, D, R·C] candidate-score temporary must stay
+            # bounded per device
+            buckets, _, _ = shard_feat_buckets(train, n_dev, mesh,
+                                               doc_budget=_DOC_BUDGET)
 
             def _mean0(w_col):
                 from ranklib_tpu.data.dataset import query_feats

@@ -372,20 +372,25 @@ class RankBoost(Ranker):
         )
 
         n_dev = mesh.devices.size
-        binned_T, _, _, tb, Npad = _shard_arrays(train, binned, n_dev)
+        # int16 host/transfer discipline like the single-device path:
+        # T+1 bins always fit; upcast happens ON DEVICE below
+        bdt = (np.int16 if np.asarray(binned).max(initial=0)
+               < np.iinfo(np.int16).max else np.int32)
+        binned_T, _, _, tb, Npad = _shard_arrays(train, binned, n_dev,
+                                                 bin_dtype=bdt)
         vb = ()
         Nvpad = 0
-        vq_T = np.zeros((n_dev, train.n_features, 0), np.int32)
+        vq_T = np.zeros((n_dev, train.n_features, 0), bdt)
         if validation is not None:
             vq_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned,
-                                                  n_dev)
+                                                  n_dev, bin_dtype=bdt)
         shd = lambda a: place_sharded(np.asarray(a), mesh)
         rep = lambda a: place_replicated(np.asarray(a), mesh)
         data = RBData(
-            binned_T=shd(binned_T),
+            binned_T=shd(binned_T).astype(jnp.int32),
             tb=jax.tree.map(lambda a: shd(a), tb),
             uniq=rep(uniq),
-            vq_T=shd(vq_T),
+            vq_T=shd(vq_T).astype(jnp.int32),
             vb=jax.tree.map(lambda a: shd(a), vb))
         impl = make_rb_step(
             scorer, n_thresholds=T, n_levels=len(uniq), n_queries=n_q,

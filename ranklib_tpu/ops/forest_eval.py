@@ -450,6 +450,10 @@ def forest_eval_pallas_bins_split(X, grid, fid_full, nodebin_full, PmQc,
                         constant_values=jnp.inf)
 
     TNB = min(_TN, TN)                     # binning-pass doc tile
+    if TN % TNB:
+        # Np is a multiple of TN only — a non-divisor TNB would floor
+        # away trailing tiles and leave their bins unwritten
+        TNB = TN
     bins = pl.pallas_call(
         functools.partial(_bins_only_kernel, n_grid=int(n_grid),
                           n_rows=int(n_rows)),
