@@ -855,3 +855,32 @@ def test_sparse_qrel_error_not_misdiagnosed(tmp_path, sparse_desc_file,
     assert rc != 0
     assert "No judgments read" in out.out + out.err
     assert "not applicable" not in out.out + out.err
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sparse_eval_layer_property(seed):
+    """Property: sparse_mean_metric == the dense evaluator's mean_metric
+    for random CSR data and random candidate matrices (gather/segment-sum
+    vs MXU matmul — reduction orders differ, so 1e-5)."""
+    import tempfile
+
+    from ranklib_tpu.ops.batched_eval import LinearMetricEvaluator
+    from ranklib_tpu.ops.sparse_eval import (
+        build_sparse_data, sparse_mean_metric,
+    )
+
+    rng = np.random.default_rng(seed)
+    ds = synth_dataset(n_queries=10, n_features=13, min_docs=4,
+                       max_docs=18, gmax=2, seed=300 + seed)
+    path = tempfile.mktemp(suffix=".txt")
+    _write_sparse_letor(ds, path, keep_prob=0.3, seed=seed)
+    csr = read_letor_sparse(path, quiet=True)
+    os.unlink(path)
+    scorer = create_scorer(["NDCG@10", "ERR@10", "MAP"][seed % 3])
+    W = rng.normal(size=(csr.n_features, 7)).astype(np.float32)
+    dense_vals = LinearMetricEvaluator(csr, scorer).mean_metric(W)
+    chunks, buckets, N = build_sparse_data(csr)
+    import jax.numpy as jnp
+    sparse_vals = np.asarray(sparse_mean_metric(
+        scorer, jnp.asarray(W), chunks, buckets, N, len(csr.queries)))
+    np.testing.assert_allclose(sparse_vals, dense_vals, atol=1e-5)
