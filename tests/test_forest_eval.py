@@ -113,3 +113,30 @@ def test_bins_kernel_exact_at_split_boundaries():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(forest_eval_pallas_bins(X, *binpack, n_grid=n_grid))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_serving_gates_reject_hostile_shapes(monkeypatch):
+    """The VMEM/width gates route a -leaf 500 model and an oversized-grid
+    model OFF the fused kernels (pinned here with on_tpu forced True;
+    the on-chip probe tools/exp_round4_tpu.py verified the same shapes
+    serve exactly through the fallback)."""
+    import numpy as np
+
+    import ranklib_tpu.gbdt.ensemble as ens_mod
+    from __graft_entry__ import _synthetic_ensemble
+
+    monkeypatch.setattr(ens_mod, "on_tpu", lambda: True, raising=False)
+    import ranklib_tpu.utils.backend as backend
+    monkeypatch.setattr(backend, "on_tpu", lambda: True)
+
+    rng = np.random.default_rng(0)
+    big = _synthetic_ensemble(n_trees=50, n_leaves=500, n_features=136,
+                              rng=rng)
+    assert not big._use_forest_kernel(136)
+    assert not big._use_bins_kernel(136)
+
+    ok = _synthetic_ensemble(n_trees=100, n_leaves=10, n_features=136,
+                             rng=rng)
+    for t in ok.trees:                     # modest grid -> bins eligible
+        t.threshold = np.round(t.threshold * 16.0) / 16.0
+    assert ok._use_bins_kernel(136)
