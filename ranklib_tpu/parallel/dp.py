@@ -28,12 +28,9 @@ points, mirroring ``gbdt.boost._make_stepper``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ranklib_tpu.data.dataset import Dataset, query_feats
 from ranklib_tpu.gbdt.boost_dist import AXIS, _place, _shard_queries
