@@ -367,9 +367,22 @@ def test_csr_datasets_train_under_mesh():
     assert [(f, t) for f, t, _ in rb1.weaks] == \
         [(f, t) for f, t, _ in rb8.weaks]
 
+    # CSR+mesh vs DENSE+mesh (same minibatch semantics): pins that the
+    # sharder materializes CSR queries identically to dense blocks
+    from ranklib_tpu.data.letor import read_letor as _rd
+    import tempfile as _tf
+    from tests.fixtures import write_letor_text
+
+    dpath = _tf.mktemp(suffix=".txt")
+    write_letor_text(ds, dpath)
+    # re-read BOTH representations from one file so values round-trip
+    # through the same text precision
+    dense = _rd(dpath, quiet=True)
+    csr2 = read_letor_sparse(dpath, quiet=True)
+    os.unlink(dpath)
     nn_dense = RankNet(n_epoch=4, learning_rate=0.001)
-    nn_dense.fit(csr, scorer, mesh=make_mesh(8))
-    nn_again = RankNet(n_epoch=4, learning_rate=0.001)
-    nn_again.fit(csr, scorer, mesh=make_mesh(8))
-    for (Wa, _), (Wb, _) in zip(nn_dense.params, nn_again.params):
+    nn_dense.fit(dense, scorer, mesh=make_mesh(8))
+    nn_csr = RankNet(n_epoch=4, learning_rate=0.001)
+    nn_csr.fit(csr2, scorer, mesh=make_mesh(8))
+    for (Wa, _), (Wb, _) in zip(nn_dense.params, nn_csr.params):
         np.testing.assert_array_equal(Wa, Wb)
