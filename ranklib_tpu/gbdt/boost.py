@@ -133,12 +133,16 @@ def make_boost_data(train: Dataset, binned_pad: np.ndarray,
 
 
 def _upload_bins(a: np.ndarray) -> jnp.ndarray:
-    """Host→device transfer of a bin matrix at int16 width, upcast to the
-    kernels' int32 on device. Bin ids are ≤ n_bins ≤ a few thousand, and
-    at MSLR-30K scale the int32 bin matrix is ~2 GB — through the ~10s-of-
-    MB/s tunnel the transfer dominates setup, so halving it matters."""
+    """Host→device transfer AND device residency of a bin matrix at
+    int16 width. Bin ids are ≤ n_bins ≤ a few thousand; at MSLR-30K
+    scale the int32 matrix was ~2 GB — halving it cuts both the
+    dominant setup transfer (~10s-of-MB/s tunnel) and the largest HBM
+    array (doubling the one-chip doc ceiling). The Pallas kernels load
+    int16 blocks and upcast IN-KERNEL (probed compiling + bit-identical
+    2026-08-20 — only sub-32-bit COMPARES crash the remote Mosaic
+    compiler); XLA consumers promote in fused elementwise ops."""
     if a.max(initial=0) < np.iinfo(np.int16).max:
-        return jnp.asarray(a.astype(np.int16)).astype(jnp.int32)
+        return jnp.asarray(a.astype(np.int16))
     return jnp.asarray(a)
 
 

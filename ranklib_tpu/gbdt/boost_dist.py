@@ -155,13 +155,18 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
     order). Returns (data, Npad, Nvpad); every device's flat doc axes pad
     to the common Npad / Nvpad.
     """
+    # int16 host/transfer/device discipline (kernels upcast in-VMEM,
+    # XLA consumers promote in fused ops — see gbdt.boost._upload_bins)
+    bdt = (np.int16 if np.asarray(binned).max(initial=0)
+           < np.iinfo(np.int16).max else np.int32)
     binned_T, labels_flat, doc_mask, tb, Npad = _shard_arrays(
-        train, binned, n_dev)
+        train, binned, n_dev, bin_dtype=bdt)
     vb = ()
     vbin_dev = None
     Nvpad = 0
     if validation is not None:
-        vbinned_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned, n_dev)
+        vbinned_T, _, _, vb, Nvpad = _shard_arrays(validation, vbinned,
+                                                   n_dev, bin_dtype=bdt)
         # traversal wants doc-major [Nvpad, F] per device
         vbin_dev = np.ascontiguousarray(vbinned_T.transpose(0, 2, 1))
     F = binned.shape[1]

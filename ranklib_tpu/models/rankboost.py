@@ -59,13 +59,13 @@ from ranklib_tpu.utils.logging import event, is_silent, log
 class RBData(NamedTuple):
     """Static-per-training device arrays (passed, not captured)."""
 
-    binned_T: jnp.ndarray        # [F, N] int32 (bin = #thresholds < value)
+    binned_T: jnp.ndarray        # [F, N] int16/int32 (bin = #thresholds < value)
     tb: tuple                    # train buckets: ((labels, mask, didx), ...)
     uniq: jnp.ndarray            # [L] f32 sorted distinct label values —
                                  #   pair validity is label_x > label_y on
                                  #   RAW values (ref), so levels must be
                                  #   value ranks, not integer casts
-    vq_T: jnp.ndarray            # [F, Nv] int32 validation docs, same bins
+    vq_T: jnp.ndarray            # [F, Nv] int16/int32 validation docs, same bins
     vb: tuple                    # validation buckets (may be empty)
 
 
@@ -291,15 +291,14 @@ class RankBoost(Ranker):
             Nv = 0
             if validation is not None:
                 Nv = vbinned.shape[0]
-                vq_T = jnp.asarray(
-                    np.ascontiguousarray(vbinned.T)).astype(jnp.int32)
+                # int16 device residency (kernels upcast in-VMEM)
+                vq_T = jnp.asarray(np.ascontiguousarray(vbinned.T))
                 vb = _device_buckets(validation, sentinel=Nv)
 
             data = RBData(
-                # int16 host bins (CSR path) cast on DEVICE: the int32
-                # [F, N] copy never exists on the host
-                binned_T=jnp.asarray(
-                    np.ascontiguousarray(binned.T)).astype(jnp.int32),
+                # int16 host AND device bins (the radix kernel upcasts
+                # in-VMEM; XLA consumers promote in fused elementwise ops)
+                binned_T=jnp.asarray(np.ascontiguousarray(binned.T)),
                 tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
             step = make_rb_step(
                 scorer, n_thresholds=T, n_levels=len(uniq),
@@ -387,10 +386,10 @@ class RankBoost(Ranker):
         shd = lambda a: place_sharded(np.asarray(a), mesh)
         rep = lambda a: place_replicated(np.asarray(a), mesh)
         data = RBData(
-            binned_T=shd(binned_T).astype(jnp.int32),
+            binned_T=shd(binned_T),
             tb=jax.tree.map(lambda a: shd(a), tb),
             uniq=rep(uniq),
-            vq_T=shd(vq_T).astype(jnp.int32),
+            vq_T=shd(vq_T),
             vb=jax.tree.map(lambda a: shd(a), vb))
         impl = make_rb_step(
             scorer, n_thresholds=T, n_levels=len(uniq), n_queries=n_q,

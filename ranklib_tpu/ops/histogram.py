@@ -77,8 +77,13 @@ def _hist_kernel(bins_ref, gm_ref, out_ref):
         FB = out_ref.shape[1]
         B = FB // TF
         # pltpu.repeat TILES the block along sublanes: rep[b·TF + f, d] =
-        # bins[f, d]; the sublane's local bin index is its row // TF
-        rep = pltpu.repeat(bins_ref[:], B, axis=0)             # [TF*B, TN]
+        # bins[f, d]; the sublane's local bin index is its row // TF.
+        # Upcast the block FIRST: int16 VMEM loads compile (probed
+        # 2026-08-20) and halve the bin matrix's HBM footprint, but
+        # sub-32-bit COMPARES still crash the remote Mosaic compiler —
+        # everything below must be i32.
+        rep = pltpu.repeat(bins_ref[:].astype(jnp.int32), B,
+                           axis=0)                             # [TF*B, TN]
         row_bin = jax.lax.broadcasted_iota(jnp.int32, (FB, TN), 0) // TF
         onehot = (rep == row_bin).astype(jnp.float32)
         out_ref[:] += jax.lax.dot_general(
@@ -198,7 +203,9 @@ def _hist_radix_kernel(bins_ref, gm_ref, out_ref):
     @pl.when(jnp.sum(gm_ref[1:, :]) > 0.0)
     def _():
         TF, TN = bins_ref.shape
-        b = bins_ref[:]
+        # upcast before any compare/shift: int16 loads compile, int16
+        # compares crash the remote Mosaic compiler (CLAUDE.md hazards)
+        b = bins_ref[:].astype(jnp.int32)
         rep_hi = pltpu.repeat(b >> 4, 16, axis=0)              # [16·TF, TN]
         rep_lo = pltpu.repeat(b & 15, 16, axis=0)
         row16 = jax.lax.broadcasted_iota(jnp.int32, (16 * TF, TN), 0) // TF
