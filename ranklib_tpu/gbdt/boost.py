@@ -141,7 +141,10 @@ def _upload_bins(a: np.ndarray) -> jnp.ndarray:
     int16 blocks and upcast IN-KERNEL (probed compiling + bit-identical
     2026-08-20 — only sub-32-bit COMPARES crash the remote Mosaic
     compiler); XLA consumers promote in fused elementwise ops."""
-    if a.max(initial=0) < np.iinfo(np.int16).max:
+    mx = a.max(initial=0)
+    if mx < 256:                 # B = 256 bins are 0..255 — one byte
+        return jnp.asarray(a.astype(np.uint8))
+    if mx < np.iinfo(np.int16).max:
         return jnp.asarray(a.astype(np.int16))
     return jnp.asarray(a)
 

@@ -157,8 +157,9 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
     """
     # int16 host/transfer/device discipline (kernels upcast in-VMEM,
     # XLA consumers promote in fused ops — see gbdt.boost._upload_bins)
-    bdt = (np.int16 if np.asarray(binned).max(initial=0)
-           < np.iinfo(np.int16).max else np.int32)
+    mx = np.asarray(binned).max(initial=0)
+    bdt = (np.uint8 if mx < 256
+           else np.int16 if mx < np.iinfo(np.int16).max else np.int32)
     binned_T, labels_flat, doc_mask, tb, Npad = _shard_arrays(
         train, binned, n_dev, bin_dtype=bdt)
     vb = ()

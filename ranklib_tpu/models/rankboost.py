@@ -373,8 +373,9 @@ class RankBoost(Ranker):
         n_dev = mesh.devices.size
         # int16 host/transfer discipline like the single-device path:
         # T+1 bins always fit; upcast happens ON DEVICE below
-        bdt = (np.int16 if np.asarray(binned).max(initial=0)
-               < np.iinfo(np.int16).max else np.int32)
+        mx = np.asarray(binned).max(initial=0)
+        bdt = (np.uint8 if mx < 256
+               else np.int16 if mx < np.iinfo(np.int16).max else np.int32)
         binned_T, _, _, tb, Npad = _shard_arrays(train, binned, n_dev,
                                                  bin_dtype=bdt)
         vb = ()

@@ -38,6 +38,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 
 from ranklib_tpu.utils.backend import on_tpu
 import jax.numpy as jnp
@@ -115,13 +116,17 @@ def _hist_pallas_rows(binned_T, gm, n_bins: int):
     TF = _tile_features(F, B)
     Fp = ((F + TF - 1) // TF) * TF
     Np = ((N + _TN - 1) // _TN) * _TN
+    # pad bin value: B ("matches no one-hot row") when the dtype can hold
+    # it; for uint8 at B=256 use 0 — wrapper padding is inert regardless
+    # (feature-pad rows are sliced off the output, doc-pad columns carry
+    # gm = 0), the sentinel is just belt-and-braces
+    cv = B if np.iinfo(binned_T.dtype).max >= B else 0
     if Fp > F:
-        # bin id B matches no one-hot row → padding features stay zero
         binned_T = jnp.pad(binned_T, ((0, Fp - F), (0, 0)),
-                           constant_values=B)
+                           constant_values=cv)
     if Np > N:
         binned_T = jnp.pad(binned_T, ((0, 0), (0, Np - N)),
-                           constant_values=B)
+                           constant_values=cv)
         gm = jnp.pad(gm, ((0, 0), (0, Np - N)))
 
     grid = (Fp // TF, Np // _TN)
@@ -254,14 +259,19 @@ def hist_pallas_radix(binned_T, grad, mask, n_bins: int,
     _TN = _RADIX_TN if tn is None else tn
     Fp = ((F + TF - 1) // TF) * TF
     Np = ((N + _TN - 1) // _TN) * _TN
+    # same pad-value rule as _hist_pallas_rows: the sentinel n_bins when
+    # the dtype holds it, else 0 (wrapper padding is inert either way —
+    # pad features slice off via the diagonal extraction's [:F], pad docs
+    # carry gm = 0)
+    cv = n_bins if np.iinfo(binned_T.dtype).max >= n_bins else 0
     if Fp > F:
         binned_T = jnp.pad(binned_T, ((0, Fp - F), (0, 0)),
-                           constant_values=n_bins)
+                           constant_values=cv)
     m = mask.astype(jnp.float32)
     gm = jnp.stack([grad * m, m])
     if Np > N:
         binned_T = jnp.pad(binned_T, ((0, 0), (0, Np - N)),
-                           constant_values=n_bins)
+                           constant_values=cv)
         gm = jnp.pad(gm, ((0, 0), (0, Np - N)))
 
     Ft = Fp // TF
@@ -292,10 +302,15 @@ def hist_pallas_radix(binned_T, grad, mask, n_bins: int,
 
 
 def hist_xla(binned_T, grad, mask, n_bins: int):
-    """Reference path: one segment-sum (runs everywhere, incl. CPU)."""
+    """Reference path: one segment-sum (runs everywhere, incl. CPU).
+
+    Bins upcast to i32 FIRST: with uint8 storage, ``binned < B`` at
+    B = 256 would cast the weak literal INTO uint8 (wrapping to 0) and
+    silently zero the keep mask — the device-storage-narrowing footgun
+    (found by test_mart_learns when uint8 bins landed)."""
     F, N = binned_T.shape
     B = int(n_bins)
-    binned = binned_T.T
+    binned = binned_T.T.astype(jnp.int32)
     ids = (jnp.arange(F, dtype=jnp.int32)[None, :] * B
            + jnp.minimum(binned, B - 1)).reshape(-1)
     keep = (binned < B).reshape(-1)

@@ -182,3 +182,29 @@ def test_split_scan_kernel_matches_xla():
                 assert b[c, f_best[c]] == int(want[2][c]), trial
             else:
                 assert not np.isfinite(g[c]).any()
+
+
+def test_bins_dtype_invariance():
+    """uint8 / int16 / int32 bin matrices produce identical histograms
+    and identical trees. Pins the weak-literal footgun: `uint8 < 256`
+    casts the literal INTO uint8 (wrapping to 0) and silently zeroed the
+    hist_xla keep mask when uint8 device storage landed."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ranklib_tpu.gbdt.grow import grow_tree
+    from ranklib_tpu.ops.histogram import hist_xla
+
+    rng = np.random.default_rng(0)
+    bt32 = jnp.asarray(rng.integers(0, 256, (5, 500)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(500,)), jnp.float32)
+    m = jnp.asarray(rng.random(500) < 0.9)
+    ref_h = hist_xla(bt32, g, m, 256)
+    ref_t = grow_tree(bt32, g, n_bins=256, n_leaves=4, doc_mask=m)
+    for dt in (jnp.uint8, jnp.int16):
+        bt = bt32.astype(dt)
+        np.testing.assert_array_equal(hist_xla(bt, g, m, 256), ref_h)
+        t = grow_tree(bt, g, n_bins=256, n_leaves=4, doc_mask=m)
+        np.testing.assert_array_equal(t.feature, ref_t.feature)
+        np.testing.assert_array_equal(t.bin, ref_t.bin)
+        np.testing.assert_array_equal(t.node_of_doc, ref_t.node_of_doc)
