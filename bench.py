@@ -254,10 +254,15 @@ def main() -> int:
             try:
                 R = 300 if on_tpu else 30
                 make(2).fit(train, scorer)     # compile
-                t0 = time.perf_counter()
-                make(R).fit(train, scorer)
-                extra[f"{name}_{R}rounds_s"] = round(
-                    time.perf_counter() - t0, 2)
+                best = None
+                # best-of-2: single-shot fits swung 5 → 38 s on one
+                # congested session (r04) — pure link/server noise
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    make(R).fit(train, scorer)
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                extra[f"{name}_{R}rounds_s"] = round(best, 2)
             except Exception as e:             # noqa: BLE001
                 print(f"bench extra {name} failed: {e!r}", file=sys.stderr)
                 extra[f"{name}_rounds_s"] = None
@@ -265,9 +270,13 @@ def main() -> int:
             from ranklib_tpu.models.neural import RankNet
             E = 100 if on_tpu else 10
             RankNet(n_epoch=2).fit(train, scorer)     # compile
-            t0 = time.perf_counter()
-            RankNet(n_epoch=E).fit(train, scorer)
-            extra[f"ranknet_{E}epochs_s"] = round(time.perf_counter() - t0, 2)
+            best = None
+            for _ in range(2):                 # best-of-2 (link noise)
+                t0 = time.perf_counter()
+                RankNet(n_epoch=E).fit(train, scorer)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            extra[f"ranknet_{E}epochs_s"] = round(best, 2)
         except Exception as e:                 # noqa: BLE001
             print(f"bench extra ranknet failed: {e!r}", file=sys.stderr)
             extra["ranknet_epochs_s"] = None
