@@ -228,13 +228,8 @@ class TreeEnsemble:
                 self._pack_matmul(n_features))
             fid = np.asarray(fid_full)
             thr = np.asarray(thr_full)
-            uniq, Bm_real = self._bins_grid_meta()
-            Bm = ((Bm_real + 127) // 128) * 128
-            grid = np.full((n_features, Bm), np.inf, np.float32)
-            for f, s in uniq.items():
-                if f < n_features:
-                    v = np.sort(np.asarray(list(s), np.float32))
-                    grid[f, : len(v)] = v
+            _, Bm_real = self._bins_grid_meta()
+            grid = self._model_grid_np(n_features)
             # node bin = #(grid values < threshold) — index of the
             # threshold itself (strictly increasing grid, exact f32 match).
             # Dead pad rows (fid 0, thr 0) get an arbitrary bin: their
@@ -330,6 +325,20 @@ class TreeEnsemble:
             self._bins_meta = (uniq, Bm_real)
         return self._bins_meta
 
+    def _model_grid_np(self, n_features: int) -> np.ndarray:
+        """[F, Bm] host copy of the model's per-feature split-threshold
+        grid (strictly increasing, +inf lane-padded) — shared by the
+        device pack (_pack_matmul_bins) and host-side binning
+        (_eval_matrix_hostbin)."""
+        uniq, Bm_real = self._bins_grid_meta()
+        Bm = ((Bm_real + 127) // 128) * 128
+        grid = np.full((n_features, Bm), np.inf, np.float32)
+        for f, s in uniq.items():
+            if f < n_features:
+                v = np.sort(np.asarray(list(s), np.float32))
+                grid[f, : len(v)] = v
+        return grid
+
     def _use_bins_kernel(self, n_features: int) -> bool:
         """Route preference for the bin-space kernel (exact, one bf16
         selection pass — 43.1 ms vs 52.9 for the 3-plane kernel at 262K
@@ -413,6 +422,12 @@ class TreeEnsemble:
         elsewhere the XLA scan path runs."""
         if not self.trees:
             return np.zeros(feats.shape[0], np.float32)
+        import os
+
+        if (os.environ.get("RANKLIB_TPU_SERVE_HOSTBIN", "1") != "0"
+                and self._use_bins_kernel(feats.shape[1])):
+            return self._eval_matrix_hostbin(
+                np.asarray(feats, np.float32))
         eval_fn, C = self._device_eval_fn(feats.shape[1])
         N = feats.shape[0]
         Xd = jnp.asarray(feats, jnp.float32)
@@ -429,6 +444,50 @@ class TreeEnsemble:
             else:
                 part = Xd[lo:N]
             parts.append(eval_fn(part))
+        return np.asarray(jnp.concatenate(parts))[:N]
+
+    def _eval_matrix_hostbin(self, feats: np.ndarray) -> np.ndarray:
+        """Bin-space serving with HOST-side binning + integer upload.
+
+        eval_matrix always starts from host features, and through the
+        device tunnel the f32 upload dominates end-to-end scoring
+        (4 bytes/feature/doc — ~2.2 GB for 4M docs × 136 feats against a
+        ~40 ms kernel). Here docs bin against the model grid on the host
+        (native multithreaded binner; the kernel prologue's exact rule
+        ``bin = #{grid < x}``, NaN → n_grid to match the dense path's
+        ``NaN <= t == False`` right-routing) and only the 1–2
+        byte/feature/doc bin matrix crosses the tunnel. Scores are
+        bit-identical to forest_eval_pallas_bins — same selection math on
+        the same bin ids. Kill switch: RANKLIB_TPU_SERVE_HOSTBIN=0."""
+        from ranklib_tpu.gbdt.binning import bin_features
+        from ranklib_tpu.ops.forest_eval import forest_eval_pallas_frombins
+
+        F = feats.shape[1]
+        _grid_j, fid_full, nodebin, PmQc, csQc, plenc, outwc, n_grid = (
+            self._pack_matmul_bins(F))
+        bins = bin_features(feats, self._model_grid_np(F))
+        nanm = np.isnan(feats)
+        if nanm.any():
+            bins[nanm] = n_grid
+        dt = np.uint8 if n_grid < 256 else np.int16
+        binsT = np.ascontiguousarray(bins.astype(dt).T)
+        del bins
+        Xd = jnp.asarray(binsT)
+
+        def fn(part):
+            return forest_eval_pallas_frombins(part, fid_full, nodebin,
+                                               PmQc, csQc, plenc, outwc)
+
+        N, C = feats.shape[0], self._EVAL_CHUNK_KERNEL
+        if N <= C:
+            return np.asarray(fn(Xd))[:N]
+        parts = []
+        for lo in range(0, N, C):
+            if lo + C <= N:
+                part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, 1)
+            else:
+                part = Xd[:, lo:N]
+            parts.append(fn(part))
         return np.asarray(jnp.concatenate(parts))[:N]
 
     # ---- text format ---------------------------------------------------------

@@ -327,20 +327,8 @@ def forest_eval_pallas_bins(X, grid, fid_full, nodebin_full, PmQc, csQc,
         gridp = jnp.pad(grid, ((0, Fp - F), (0, 0)),
                         constant_values=jnp.inf)
 
-    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp,
-                         dtype=jnp.bfloat16)
-    nb = jnp.broadcast_to(
-        nodebin_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
-
-    pmq = PmQc.astype(jnp.bfloat16)
-    # row 0: plen − csQ (csQ folded host-side); row 1: outw
-    aux = jnp.stack([plenc - csQc, outwc], axis=1)      # [nch, 2, TCL]
-    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))        # [nch, 8, TCL]
-    if TCLp > TCL:
-        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
-        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
-        # padded leaf columns: raw hits = 0; plen_adj −1 never matches
-        aux = aux.at[:, 0, TCL:].set(-1.0)
+    sel, nb, pmq, aux, TCLp = _selection_operands(
+        fid_full, nodebin_full, PmQc, csQc, plenc, outwc, Fp)
 
     grid_dims = (Np // _TN, nch)
     out = pl.pallas_call(
@@ -390,6 +378,31 @@ def _bins_only_kernel(xt_ref, grid_ref, bins_ref, *, n_grid: int,
     if n_rows < bins_ref.shape[0]:
         bins_ref[n_rows:] = jnp.zeros(
             (bins_ref.shape[0] - n_rows, bins_ref.shape[1]), jnp.bfloat16)
+
+
+def _selection_operands(fid_full, nodebin_full, PmQc, csQc, plenc, outwc,
+                        Fp: int):
+    """Shared device-operand packing of the bin-space selection sweep
+    (fused / split / from-host-bins wrappers): the per-chunk one-hot
+    selection matrix, broadcast node-bin thresholds, bf16 P−Q planes and
+    the 2-row aux block (plen−csQ fold + leaf outputs), all lane-padded.
+    Padded leaf columns carry plen_adj = −1, which raw hits ≥ 0 never
+    match."""
+    nch, TCM, TCL = PmQc.shape
+    TCLp = ((TCL + 127) // 128) * 128
+    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp,
+                         dtype=jnp.bfloat16)
+    nb = jnp.broadcast_to(
+        nodebin_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
+    pmq = PmQc.astype(jnp.bfloat16)
+    # row 0: plen − csQ (csQ folded host-side); row 1: outw
+    aux = jnp.stack([plenc - csQc, outwc], axis=1)      # [nch, 2, TCL]
+    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))        # [nch, 8, TCL]
+    if TCLp > TCL:
+        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
+        aux = aux.at[:, 0, TCL:].set(-1.0)
+    return sel, nb, pmq, aux, TCLp
 
 
 def _forest_bins_split_kernel(bins_ref, s_ref, nb_ref, pmq_ref, aux_ref,
@@ -469,17 +482,8 @@ def forest_eval_pallas_bins_split(X, grid, fid_full, nodebin_full, PmQc,
         out_shape=jax.ShapeDtypeStruct((Fp, Np), jnp.bfloat16),
     )(XT, gridp)
 
-    sel = jax.nn.one_hot(fid_full.reshape(nch, TCM), Fp,
-                         dtype=jnp.bfloat16)
-    nb = jnp.broadcast_to(
-        nodebin_full.reshape(nch, TCM)[:, :, None], (nch, TCM, 128))
-    pmq = PmQc.astype(jnp.bfloat16)
-    aux = jnp.stack([plenc - csQc, outwc], axis=1)
-    aux = jnp.pad(aux, ((0, 0), (0, 6), (0, 0)))
-    if TCLp > TCL:
-        pmq = jnp.pad(pmq, ((0, 0), (0, 0), (0, TCLp - TCL)))
-        aux = jnp.pad(aux, ((0, 0), (0, 0), (0, TCLp - TCL)))
-        aux = aux.at[:, 0, TCL:].set(-1.0)
+    sel, nb, pmq, aux, TCLp = _selection_operands(
+        fid_full, nodebin_full, PmQc, csQc, plenc, outwc, Fp)
 
     out = pl.pallas_call(
         _forest_bins_split_kernel,
@@ -505,6 +509,92 @@ def forest_eval_pallas_bins_split(X, grid, fid_full, nodebin_full, PmQc,
             bytes_accessed=Fp * Np * 2 + 8 * Np * 4
             + nch * TCM * (Fp * 2 + TCLp * 2)),
     )(bins, sel, nb, pmq, aux)
+    return out[0, :N]
+
+
+def _forest_frombins_kernel(bini_ref, s_ref, nb_ref, pmq_ref, aux_ref,
+                            out_ref):
+    """Selection sweep over HOST-binned ids: the _forest_bins_split_kernel
+    math, with the bf16 bin block produced by an in-kernel upcast of a
+    uint8/int16 input (sub-32-bit VMEM loads and via-i32 upcasts compile
+    through the relay; only sub-32-bit COMPARES crash — CLAUDE.md hazard
+    taxonomy). Bin ids ≤ 256 are exact in bf16, so scores are
+    bit-identical to the fused bins kernel's."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    bins = (bini_ref[:].astype(jnp.int32).astype(jnp.float32)
+            .astype(jnp.bfloat16))
+    vals = jax.lax.dot_general(
+        s_ref[0], bins,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TCM, TN] exact
+    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
+                        aux_ref[0, 1, :][None, :], 0.0)
+    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+
+
+@jax.jit
+def forest_eval_pallas_frombins(binsT, fid_full, nodebin_full, PmQc, csQc,
+                                plenc, outwc):
+    """Bin-space forest eval from PRE-BINNED docs. ``binsT``: [F, N]
+    integer bin ids (uint8/int16/int32), binned on the HOST against the
+    model's own per-feature threshold grid with the kernel prologue's
+    exact rule ``bin = #{grid < x}`` and NaN → n_grid
+    (ensemble._eval_matrix_hostbin does this via the native binner).
+
+    Purpose: eval_matrix always starts from host features, and through
+    the device tunnel the f32 feature upload dominates end-to-end scoring
+    (4 bytes/feature/doc ≈ 2.2 GB at 4M docs × 136 feats, vs a ~40 ms
+    kernel). Host binning drops the transfer to 1–2 bytes/feature/doc;
+    the selection math is identical to forest_eval_pallas_bins, so the
+    scores are bit-identical. VMEM per block is strictly SMALLER than
+    the fused kernel's at the same doc tile (the f32 xt plane and the
+    grid never load), so the fused kernel's routing gate is sufficient."""
+    F, N = binsT.shape
+    Fp = ((F + 127) // 128) * 128          # matmul contraction dim
+    Np = ((N + _TN - 1) // _TN) * _TN
+    if Np > N or Fp > F:
+        # pad bin 0: pad FEATURE rows are never one-hot-selected by real
+        # rows (dead pad rows select feature 0 but their P−Q rows are
+        # zero); pad DOC columns produce garbage sliced off below
+        binsT = jnp.pad(binsT, ((0, Fp - F), (0, Np - N)))
+    sel, nb, pmq, aux, TCLp = _selection_operands(
+        fid_full, nodebin_full, PmQc, csQc, plenc, outwc, Fp)
+    nch, TCM, _ = PmQc.shape
+
+    out = pl.pallas_call(
+        _forest_frombins_kernel,
+        grid=(Np // _TN, nch),
+        in_specs=[
+            pl.BlockSpec((Fp, _TN), lambda d, c: (0, d),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, Fp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, 128), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TCM, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TCLp), lambda d, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, _TN), lambda d, c: (0, d),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Np * nch * TCM * (Fp + TCLp),
+            transcendentals=0,
+            bytes_accessed=Fp * Np * binsT.dtype.itemsize + 8 * Np * 4
+            + nch * TCM * (Fp * 2 + TCLp * 2)),
+    )(binsT, sel, nb, pmq, aux)
     return out[0, :N]
 
 

@@ -140,3 +140,49 @@ def test_serving_gates_reject_hostile_shapes(monkeypatch):
     for t in ok.trees:                     # modest grid -> bins eligible
         t.threshold = np.round(t.threshold * 16.0) / 16.0
     assert ok._use_bins_kernel(136)
+
+
+def test_frombins_kernel_matches_xla_scan():
+    """Host-binned serving input (uint8/int16 upload path): binning docs
+    on the host with the kernel prologue's rule (#{grid < x}, NaN ->
+    n_grid) and running the selection-only kernel must match the dense
+    f32 compare exactly -- including docs sitting ON thresholds and NaN
+    features (dense: NaN <= t == False, routed right)."""
+    from ranklib_tpu.gbdt.binning import bin_features
+    from ranklib_tpu.ops.forest_eval import forest_eval_pallas_frombins
+
+    rng = np.random.default_rng(7)
+    ens, X, packed = _case(50, 10, 20, 300, seed=7)
+    Xn = np.asarray(X).copy()
+    thrs = np.concatenate([t.threshold[~t.is_leaf] for t in ens.trees])
+    Xn[::7, 4] = thrs[rng.integers(0, len(thrs), size=len(Xn[::7, 4]))]
+    Xn[::17, 3] = np.nan
+    want = np.asarray(_mm_eval(jnp.asarray(Xn), *ens._pack_matmul(20)))
+    _g, fid_full, nodebin, PmQc, csQc, plenc, outwc, n_grid = (
+        ens._pack_matmul_bins(20))
+    assert n_grid < 256                    # uint8 leg must be exercisable
+    bins = bin_features(Xn, ens._model_grid_np(20))
+    bins[np.isnan(Xn)] = n_grid
+    for dt in (np.uint8, np.int16):
+        binsT = jnp.asarray(np.ascontiguousarray(bins.astype(dt).T))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(forest_eval_pallas_frombins(
+                binsT, fid_full, nodebin, PmQc, csQc, plenc, outwc))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_eval_matrix_hostbin_route(monkeypatch):
+    # the real eval_matrix entry through the host-binned route,
+    # including chunking and the NaN fix
+    ens, X, packed = _case(37, 7, 12, 600, seed=3)
+    Xn = np.asarray(X).copy()
+    Xn[5, 2] = np.nan
+    monkeypatch.setenv("RANKLIB_TPU_SERVE_HOSTBIN", "0")
+    want = ens.eval_matrix(Xn)                    # XLA route on CPU
+    monkeypatch.setenv("RANKLIB_TPU_SERVE_HOSTBIN", "1")
+    monkeypatch.setattr(TreeEnsemble, "_use_bins_kernel",
+                        lambda self, n_features: True)
+    monkeypatch.setattr(TreeEnsemble, "_EVAL_CHUNK_KERNEL", 256)
+    with pltpu.force_tpu_interpret_mode():
+        got = ens.eval_matrix(Xn)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
