@@ -329,15 +329,23 @@ class TreeEnsemble:
         """[F, Bm] host copy of the model's per-feature split-threshold
         grid (strictly increasing, +inf lane-padded) — shared by the
         device pack (_pack_matmul_bins) and host-side binning
-        (_eval_matrix_hostbin)."""
+        (_eval_matrix_hostbin). Cached per width: RF per-bag scoring and
+        the -sparse chunked scorer call eval_matrix repeatedly and must
+        not rebuild the O(nodes) python loop each time (invalidated with
+        the rest of the packs by add/truncate via _bins_meta)."""
         uniq, Bm_real = self._bins_grid_meta()
-        Bm = ((Bm_real + 127) // 128) * 128
-        grid = np.full((n_features, Bm), np.inf, np.float32)
-        for f, s in uniq.items():
-            if f < n_features:
-                v = np.sort(np.asarray(list(s), np.float32))
-                grid[f, : len(v)] = v
-        return grid
+        cached = getattr(self, "_gridnp", None)
+        # identity of the cached meta dict (a held reference, so its id
+        # cannot be recycled) marks staleness after add/truncate
+        if cached is None or cached[0] is not uniq or cached[1] != n_features:
+            Bm = ((Bm_real + 127) // 128) * 128
+            grid = np.full((n_features, Bm), np.inf, np.float32)
+            for f, s in uniq.items():
+                if f < n_features:
+                    v = np.sort(np.asarray(list(s), np.float32))
+                    grid[f, : len(v)] = v
+            self._gridnp = (uniq, n_features, grid)
+        return self._gridnp[2]
 
     def _use_bins_kernel(self, n_features: int) -> bool:
         """Route preference for the bin-space kernel (exact, one bf16
@@ -424,25 +432,34 @@ class TreeEnsemble:
             return np.zeros(feats.shape[0], np.float32)
         import os
 
+        # (SERVE_SPLIT=1 — the opt-in split-kernel re-measurement route —
+        # must win over the hostbin short-circuit or it silently times
+        # the frombins path instead)
         if (os.environ.get("RANKLIB_TPU_SERVE_HOSTBIN", "1") != "0"
+                and os.environ.get("RANKLIB_TPU_SERVE_SPLIT") != "1"
                 and self._use_bins_kernel(feats.shape[1])):
             return self._eval_matrix_hostbin(
                 np.asarray(feats, np.float32))
         eval_fn, C = self._device_eval_fn(feats.shape[1])
-        N = feats.shape[0]
         Xd = jnp.asarray(feats, jnp.float32)
+        return self._chunked_eval(Xd, eval_fn, feats.shape[0], C, axis=0)
+
+    @staticmethod
+    def _chunked_eval(Xd, eval_fn, N: int, C: int, axis: int) -> np.ndarray:
+        """Doc-chunked device eval shared by the f32 and host-binned
+        routes (docs live on axis 0 / 1 respectively). Full C-sized
+        chunks share one compiled program; the tail runs at its true
+        length (both eval paths handle any N internally) instead of
+        padding N up to a C multiple — padding 1.05M docs to 2M nearly
+        doubled upload + kernel work."""
         if N <= C:
             return np.asarray(eval_fn(Xd))[:N]
-        # Full C-sized chunks share one compiled program; the tail runs
-        # at its true length (both eval paths handle any N internally)
-        # instead of padding N up to a C multiple — padding 1.05M docs
-        # to 2M nearly doubled upload + kernel work.
         parts = []
         for lo in range(0, N, C):
             if lo + C <= N:
-                part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, 0)
+                part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, axis)
             else:
-                part = Xd[lo:N]
+                part = (Xd[lo:N] if axis == 0 else Xd[:, lo:N])
             parts.append(eval_fn(part))
         return np.asarray(jnp.concatenate(parts))[:N]
 
@@ -476,19 +493,11 @@ class TreeEnsemble:
 
         def fn(part):
             return forest_eval_pallas_frombins(part, fid_full, nodebin,
-                                               PmQc, csQc, plenc, outwc)
+                                               PmQc, csQc, plenc, outwc,
+                                               n_grid=int(n_grid))
 
-        N, C = feats.shape[0], self._EVAL_CHUNK_KERNEL
-        if N <= C:
-            return np.asarray(fn(Xd))[:N]
-        parts = []
-        for lo in range(0, N, C):
-            if lo + C <= N:
-                part = jax.lax.dynamic_slice_in_dim(Xd, lo, C, 1)
-            else:
-                part = Xd[:, lo:N]
-            parts.append(fn(part))
-        return np.asarray(jnp.concatenate(parts))[:N]
+        return self._chunked_eval(Xd, fn, feats.shape[0],
+                                  self._EVAL_CHUNK_KERNEL, axis=1)
 
     # ---- text format ---------------------------------------------------------
     def to_text(self) -> str:

@@ -542,14 +542,19 @@ def _forest_frombins_kernel(bini_ref, s_ref, nb_ref, pmq_ref, aux_ref,
     out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("n_grid",))
 def forest_eval_pallas_frombins(binsT, fid_full, nodebin_full, PmQc, csQc,
-                                plenc, outwc):
+                                plenc, outwc, n_grid: int = 256):
     """Bin-space forest eval from PRE-BINNED docs. ``binsT``: [F, N]
     integer bin ids (uint8/int16/int32), binned on the HOST against the
     model's own per-feature threshold grid with the kernel prologue's
     exact rule ``bin = #{grid < x}`` and NaN → n_grid
     (ensemble._eval_matrix_hostbin does this via the native binner).
+    ``n_grid``: the max bin id the caller can produce — asserted ≤ 256
+    because the selection pass casts ids to bf16, which is integer-exact
+    only that far (the fused kernels get the same guarantee from the
+    _use_bins_kernel Bm_real gate; this entry point has no router above
+    it, so it checks its own precondition).
 
     Purpose: eval_matrix always starts from host features, and through
     the device tunnel the f32 feature upload dominates end-to-end scoring
@@ -559,6 +564,7 @@ def forest_eval_pallas_frombins(binsT, fid_full, nodebin_full, PmQc, csQc,
     scores are bit-identical. VMEM per block is strictly SMALLER than
     the fused kernel's at the same doc tile (the f32 xt plane and the
     grid never load), so the fused kernel's routing gate is sufficient."""
+    assert n_grid <= 256, "bin ids past 256 are not bf16-exact"
     F, N = binsT.shape
     Fp = ((F + 127) // 128) * 128          # matmul contraction dim
     Np = ((N + _TN - 1) // _TN) * _TN

@@ -186,3 +186,33 @@ def test_eval_matrix_hostbin_route(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = ens.eval_matrix(Xn)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_eval_matrix_hostbin_int16_grid(monkeypatch):
+    """n_grid == 256 exactly: the int16 upload leg. Bin ids can reach 256
+    (above-every-threshold and NaN docs) which uint8 cannot hold -- the
+    device-storage-narrowing footgun class pinned in CLAUDE.md."""
+    from __graft_entry__ import _synthetic_ensemble
+
+    rng = np.random.default_rng(5)
+    ens = _synthetic_ensemble(n_trees=60, n_leaves=6, n_features=12,
+                              rng=rng)
+    pool = np.linspace(-2.0, 2.0, 256).astype(np.float32)
+    i = 0
+    for t in ens.trees:                  # every split on feature 0,
+        for n in np.flatnonzero(~t.is_leaf):   # 256 distinct thresholds
+            t.feature[n] = 0
+            t.threshold[n] = pool[i % 256]
+            i += 1
+    Xn = rng.normal(size=(400, 12)).astype(np.float32)
+    Xn[7, 0] = 5.0                       # above every grid value -> 256
+    Xn[11, 0] = np.nan                   # NaN -> 256 (routed right)
+    monkeypatch.setenv("RANKLIB_TPU_SERVE_HOSTBIN", "0")
+    want = ens.eval_matrix(Xn)                    # XLA route on CPU
+    assert ens._pack_matmul_bins(12)[-1] == 256
+    monkeypatch.setenv("RANKLIB_TPU_SERVE_HOSTBIN", "1")
+    monkeypatch.setattr(TreeEnsemble, "_use_bins_kernel",
+                        lambda self, n_features: True)
+    with pltpu.force_tpu_interpret_mode():
+        got = ens.eval_matrix(Xn)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

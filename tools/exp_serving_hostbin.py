@@ -30,7 +30,7 @@ for N in (1 << 20, 1 << 22):
     X = rng.normal(size=(N, 136)).astype(np.float32)
     t0 = time.perf_counter()
     xd = jax.device_put(X)
-    xd.block_until_ready()
+    float(xd[0, 0])                  # MEASUREMENT RULE: force a value read
     up = time.perf_counter() - t0
     print(f"N={N}: raw f32 device_put {up:.2f}s "
           f"({X.nbytes / up / 1e6:.0f} MB/s)", flush=True)
