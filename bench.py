@@ -243,6 +243,25 @@ def main() -> int:
         except Exception as e:                 # noqa: BLE001
             print(f"bench extra serving failed: {e!r}", file=sys.stderr)
             extra["serving_eval_ms"] = None
+        try:                       # ---- end-to-end serving (HOST feats)
+            # the full eval_matrix path a CLI user pays: host binning +
+            # tunnel upload + kernel + download. On TPU this rides the
+            # host-binned uint8 route (2.2x the f32-upload path at 1M
+            # docs, tools/exp_serving_hostbin.py); includes link noise,
+            # hence best-of-2 after a warm call.
+            Xh = np.asarray(rng.normal(size=(n_serve, 136)), np.float32)
+            ens.eval_matrix(Xh)                # compile + warm
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ens.eval_matrix(Xh)            # returns host np: full sync
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            extra[f"serving_e2e_ms_{n_serve}docs_{trees_serve}trees"] = (
+                round(best * 1e3, 1))
+        except Exception as e:                 # noqa: BLE001
+            print(f"bench extra serving e2e failed: {e!r}", file=sys.stderr)
+            extra["serving_e2e_ms"] = None
         for name, make in (
             ("rankboost", lambda R: __import__(
                 "ranklib_tpu.models.rankboost", fromlist=["RankBoost"]
