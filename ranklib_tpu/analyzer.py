@@ -85,8 +85,11 @@ def analyze(directory: str, base_file: str,
     log("")
     log("Detailed break down")
     log("-" * 84)
+    # both signs bucketed by |margin| (the reference reports improved AND
+    # degraded counts per range, not only the positive side)
     hdr = f"{'':<24}" + "".join(
         f"{f'[{lo:g},{min(hi, 1.0):g})':>10}" for lo, hi in _BUCKETS)
+    log(f"{'(improvements)':<24}")
     log(hdr + f"{'> 0':>8}{'< 0':>8}")
     for r in results:
         d = r["d"]
@@ -94,4 +97,11 @@ def analyze(directory: str, base_file: str,
                        for lo, hi in _BUCKETS)
         log(f"{r['name']:<24}{wins}{int((d > 0).sum()):>8}"
             f"{int((d < 0).sum()):>8}")
+    log(f"{'(degradations)':<24}")
+    log(hdr)
+    for r in results:
+        d = -r["d"]                        # mirror: bucket loss margins
+        losses = "".join(f"{int(((d >= lo) & (d < hi)).sum()):>10}"
+                         for lo, hi in _BUCKETS)
+        log(f"{r['name']:<24}{losses}")
     return results

@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-silent", action="store_true")
     p.add_argument("-thread", type=int, default=-1,
                    help="accepted for compatibility; parallelism is XLA's")
-    p.add_argument("-ckpt", type=int, default=0,
+    p.add_argument("-ckpt", type=int, default=None,
                    help="checkpoint the model every N boosting rounds "
                         "(extension; tree rankers)")
     p.add_argument("-resume", metavar="file",

@@ -85,7 +85,14 @@ def write_score_file(path: str, ds: Dataset, scores) -> None:
 
 def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
     """Indri-style reranking output (ref: Evaluator -indri flow):
-    '<qid> Q0 <docid> <rank> <score> indri' in score-descending order."""
+    '<qid> Q0 <docid> <rank> <score> indri' in score-descending order.
+
+    The docid column is the RAW '#' description minus the marker — the
+    reference writes description.replace("#", "").trim() verbatim, so a
+    multi-token MSLR-style comment ('docid = GX008-86 inc = ...') appears
+    as-is here (exactly as the Java tool emits it), while -qrel matching
+    deliberately token-extracts via data.qrel.doc_id. Divergent on
+    purpose; do not "fix" one to match the other."""
     with open(path, "w") as f:
         for q, s in zip(ds.queries, scores):
             order = np.argsort(-np.asarray(s), kind="stable")
@@ -115,8 +122,10 @@ def _try_stream(args) -> bool:
     normalization (transforms raw values before binning); native parser
     available. ``-qrel`` is served by streaming the '#' descriptions as
     a side-array (want_descs). ``-feature`` is served as a split feature
-    MASK (exactly equivalent for trees — see models/trainer)."""
-    return bool(args.sparse and args.ranker in (0, 6) and not args.norm)
+    MASK (exactly equivalent for trees — see models/trainer). Random
+    Forests (8) bin with the shared grid exactly like its per-bag MART
+    fits would."""
+    return bool(args.sparse and args.ranker in (0, 6, 8) and not args.norm)
 
 
 def _try_stream_norm(args) -> bool:
@@ -125,7 +134,7 @@ def _try_stream_norm(args) -> bool:
     with LAZY normalization and bins from normalized chunks
     (data.binned.binned_from_csr) — grids and models bit-identical to
     the dense normalize-then-bin pipeline."""
-    return bool(args.sparse and args.ranker in (0, 6) and args.norm)
+    return bool(args.sparse and args.ranker in (0, 6, 8) and args.norm)
 
 
 def _read_csr_norm_binned(path, args, must_rel, feature_fids,

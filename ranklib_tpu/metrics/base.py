@@ -60,7 +60,11 @@ class MetricScorer:
     # test scorers for the same metric string) share every jit cache
     # entry instead of retracing per object.
     def _key(self):
-        return (self.metric, self.k if self.uses_k else 0, self.gmax)
+        # gmax only changes behavior for ERR (the 2^gmax normalization);
+        # folding it into every key made e.g. NDCG@10 scorers built under
+        # different -gmax values retrace identical programs
+        return (self.metric, self.k if self.uses_k else 0,
+                self.gmax if self.metric == "ERR" else None)
 
     def __eq__(self, other):
         return (isinstance(other, MetricScorer)

@@ -84,12 +84,18 @@ class LambdaMART(Ranker):
                                          feature_mask, prebinned)
         # streaming -sparse datasets carry their bin matrix and grid and
         # no raw feature values at all (data.binned); everything below is
-        # bit-identical to binning the dense matrix with the same grid
+        # bit-identical to binning the dense matrix with the same grid.
+        # A caller-prebinned FEATS-FREE dataset (RF bagging over a
+        # streamed file: sampled query subsets + rows of the shared bin
+        # matrix) takes the same labels-only path.
         stream = getattr(train, "binned", None) is not None
+        featless = (prebinned is not None and len(train.queries) > 0
+                    and train.queries[0].feats is None)
         feats = None
-        if stream:
+        if stream or featless:
             labels, _ = flatten_meta(train)
-            thresholds, binned_real = train.thresholds, train.binned
+            thresholds, binned_real = ((train.thresholds, train.binned)
+                                       if stream else prebinned)
             N, F = binned_real.shape
         else:
             feats, labels, _ = flatten(train)
@@ -133,7 +139,7 @@ class LambdaMART(Ranker):
         if len(self.ensemble):
             prior = self.ensemble
             rounds = max(0, self.n_trees - len(prior))
-            if stream:
+            if feats is None:          # stream / featless-prebinned
                 # no raw values to evaluate on: score the prior ensemble in
                 # bin space (exact when its grid is this grid)
                 ens_bin = prior.to_bin_space(thresholds)
@@ -288,13 +294,14 @@ class LambdaMART(Ranker):
         feats = None
         if stream:
             thresholds, binned = train.thresholds, train.binned
+        elif prebinned is not None:
+            # prebinned datasets may be feats-free (RF bags over a
+            # streamed file) — never flatten raw values here
+            thresholds, binned = prebinned
         else:
             feats, _, _ = flatten(train)
-            if prebinned is not None:
-                thresholds, binned = prebinned
-            else:
-                thresholds, _ = compute_thresholds(feats, self.n_threshold)
-                binned = bin_features(feats, thresholds)
+            thresholds, _ = compute_thresholds(feats, self.n_threshold)
+            binned = bin_features(feats, thresholds)
         B = thresholds.shape[1]
         vbinned = None
         if validation is not None:
@@ -327,7 +334,7 @@ class LambdaMART(Ranker):
             from ranklib_tpu.gbdt.boost_dist import _place, scatter_doc_values
             prior = self.ensemble
             rounds = max(0, self.n_trees - len(prior))
-            if stream:
+            if feats is None:          # stream / prebinned warm start
                 ens_bin = prior.to_bin_space(thresholds)
                 sc = _eval_binned(ens_bin, binned)
                 vsc = (_eval_binned(ens_bin, vbinned)

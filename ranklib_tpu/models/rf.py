@@ -19,7 +19,7 @@ import functools
 import jax
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, flatten
+from ranklib_tpu.data.dataset import Dataset, flatten, flatten_meta
 from ranklib_tpu.data.sampling import sample_features, sample_queries
 from ranklib_tpu.gbdt.ensemble import TreeEnsemble
 from ranklib_tpu.metrics.base import MetricScorer
@@ -29,6 +29,32 @@ from ranklib_tpu.models.base import (
 from ranklib_tpu.models.gbdt import MART, LambdaMART
 from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log, set_silent, is_silent
+
+
+def _bag_train_metric(ens: TreeEnsemble, sampled: Dataset, idx, qptr,
+                      binned, thresholds, stream: bool, scorer) -> float:
+    """Per-bag train metric for the non-silent console table. Dense bags
+    score through eval_matrix; streamed -sparse bags have no raw values,
+    so the bag ensemble is rebased to bin space and scored on the
+    sampled rows of the shared bin matrix (exact — its thresholds ARE
+    grid points)."""
+    from ranklib_tpu.metrics.base import score_dataset
+
+    if stream:
+        from ranklib_tpu.models.gbdt import _eval_binned
+
+        rows = (np.concatenate([np.arange(qptr[i], qptr[i + 1])
+                                for i in idx])
+                if len(idx) else np.zeros(0, np.int64))
+        flat = _eval_binned(ens.to_bin_space(thresholds), binned[rows])
+    else:
+        sfeats, _, _ = flatten(sampled)
+        flat = ens.eval_matrix(sfeats)
+    sqptr = np.zeros(len(sampled.queries) + 1, np.int64)
+    np.cumsum([q.n for q in sampled.queries], out=sqptr[1:])
+    scores = [flat[sqptr[i]: sqptr[i + 1]]
+              for i in range(len(sampled.queries))]
+    return score_dataset(scorer, sampled, scores)[0]
 
 
 @functools.partial(
@@ -102,11 +128,17 @@ class RFRanker(Ranker):
                 "Random Forests supports -rtype 0 (MART) or 6 (LambdaMART)")
 
     def fit(self, train: Dataset, scorer: MetricScorer,
-            validation: Dataset | None = None, mesh=None) -> None:
+            validation: Dataset | None = None, mesh=None,
+            feature_mask: np.ndarray | None = None) -> None:
+        """``feature_mask``: optional [F] bool (-feature on the streamed
+        -sparse path) — intersected with every bag's sampled feature set,
+        exactly equivalent to the dense pipeline's column zeroing (a
+        zeroed column can never win a split)."""
         if mesh is not None and mesh.size > 1:
-            return self._fit_bags_rebuild(train, scorer, mesh)
+            return self._fit_bags_rebuild(train, scorer, mesh,
+                                          feature_mask)
         if self.ranker_type == 0:
-            return self._fit_bags_batched(train, scorer)
+            return self._fit_bags_batched(train, scorer, feature_mask)
         import jax
         import jax.numpy as jnp
 
@@ -125,15 +157,24 @@ class RFRanker(Ranker):
         # hundred KB and re-dispatches the SAME compiled fused round, no
         # re-binning, no re-bucketing (the reference trains each bag as a
         # separate MART run, RFRanker.java:~25).
-        feats, labels, qptr = flatten(train)
-        N, F = feats.shape
+        stream = getattr(train, "binned", None) is not None
+        if stream:
+            # streamed -sparse file: bins + grid arrive with the dataset
+            labels, qptr = flatten_meta(train)
+            thresholds, binned_real = train.thresholds, train.binned
+            N, F = binned_real.shape
+        else:
+            feats, labels, qptr = flatten(train)
+            N, F = feats.shape
+            thresholds, _ = compute_thresholds(feats, self.n_threshold)
+            binned_real = None
         Q = len(train.queries)
         doc_counts = np.diff(qptr)
-        thresholds, _ = compute_thresholds(feats, self.n_threshold)
         B = thresholds.shape[1]
         Npad = _pad_doc_count(N)
-        binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
-                              thresholds)
+        binned = (bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
+                               thresholds) if binned_real is None
+                  else np.pad(binned_real, ((0, Npad - N), (0, 0))))
         labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
         pointwise = self.ranker_type == 0
         data, Npad, _ = make_boost_data(train, binned, labels_pad, N,
@@ -153,6 +194,8 @@ class RFRanker(Ranker):
             fids = sample_features(F, self.feature_sampling_rate, rng)
             fmask = np.zeros(F, bool)
             fmask[[f - 1 for f in fids]] = True
+            if feature_mask is not None:
+                fmask &= feature_mask
             mult = np.bincount(qidx, minlength=Q).astype(np.float32)
             doc_w = np.zeros(Npad, np.float32)
             doc_w[:N] = np.repeat(mult, doc_counts)
@@ -172,16 +215,13 @@ class RFRanker(Ranker):
                         self.learning_rate)
             self.ensembles.append(ens)
             if not silent:
-                from ranklib_tpu.metrics.base import score_dataset
-                sfeats, _, sqptr = flatten(sampled)
-                flat = ens.eval_matrix(sfeats)
-                scores = [flat[sqptr[i]: sqptr[i + 1]]
-                          for i in range(len(sampled.queries))]
-                m, _ = score_dataset(scorer, sampled, scores)
+                m = _bag_train_metric(ens, sampled, qidx, qptr, binned,
+                                      thresholds, stream, scorer)
                 log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
         self._merged = None
 
-    def _fit_bags_batched(self, train: Dataset, scorer: MetricScorer) -> None:
+    def _fit_bags_batched(self, train: Dataset, scorer: MetricScorer,
+                          feature_mask: np.ndarray | None = None) -> None:
         """Batched-bag fit for ``-rtype 0`` (the default): groups of bags
         grow their trees in LOCKSTEP via gbdt.grow.grow_forest, so the
         histogram kernel's dominant one-hot compare work is paid once per
@@ -198,31 +238,42 @@ class RFRanker(Ranker):
 
         rng = np.random.default_rng(self.seed)
         log("Training starts...")
-        feats, labels, qptr = flatten(train)
-        N, F = feats.shape
+        stream = getattr(train, "binned", None) is not None
+        if stream:
+            labels, qptr = flatten_meta(train)
+            thresholds, binned_real = train.thresholds, train.binned
+            N, F = binned_real.shape
+        else:
+            feats, labels, qptr = flatten(train)
+            N, F = feats.shape
+            thresholds, _ = compute_thresholds(feats, self.n_threshold)
+            binned_real = None
         Q = len(train.queries)
         doc_counts = np.diff(qptr)
-        thresholds, _ = compute_thresholds(feats, self.n_threshold)
         B = thresholds.shape[1]
         Npad = _pad_doc_count(N)
-        binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
-                              thresholds)
+        binned = (bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
+                               thresholds) if binned_real is None
+                  else np.pad(binned_real, ((0, Npad - N), (0, 0))))
         binned_T = _upload_bins(np.ascontiguousarray(binned.T))
         labels_dev = jnp.asarray(
             np.pad(labels, (0, Npad - N)).astype(np.float32))
 
         # Bag sampling happens upfront IN BAG ORDER — the rng consumption
         # (and so every bag's composition) matches the sequential path.
-        bag_m, bag_f, bag_samples = [], [], []
+        bag_m, bag_f, bag_samples, bag_idx = [], [], [], []
         for _ in range(self.n_bags):
             sampled, _, qidx = sample_queries(train, self.sub_sampling_rate,
                                               rng)
             fids = sample_features(F, self.feature_sampling_rate, rng)
             fmask = np.zeros(F, bool)
             fmask[[f - 1 for f in fids]] = True
+            if feature_mask is not None:
+                fmask &= feature_mask
             bag_m.append(np.bincount(qidx, minlength=Q).astype(np.float32))
             bag_f.append(fmask)
             bag_samples.append(sampled)
+            bag_idx.append(qidx)
         # doc→query map with a zero-weight sentinel query Q for pad docs
         qod = np.full(Npad, Q, np.int32)
         qod[:N] = np.repeat(np.arange(Q, dtype=np.int32), doc_counts)
@@ -261,18 +312,15 @@ class RFRanker(Ranker):
                             lr)
                 self.ensembles.append(ens)
                 if not silent:
-                    from ranklib_tpu.metrics.base import score_dataset
-                    sampled = bag_samples[lo + c]
-                    sfeats, _, sqptr = flatten(sampled)
-                    flat = ens.eval_matrix(sfeats)
-                    sc = [flat[sqptr[i]: sqptr[i + 1]]
-                          for i in range(len(sampled.queries))]
-                    m, _ = score_dataset(scorer, sampled, sc)
+                    m = _bag_train_metric(ens, bag_samples[lo + c],
+                                          bag_idx[lo + c], qptr, binned,
+                                          thresholds, stream, scorer)
                     log(f"bag {lo + c + 1:<5}| {scorer.name}-bag: {m:.4f}")
         self._merged = None
 
     def _fit_bags_rebuild(self, train: Dataset, scorer: MetricScorer,
-                          mesh) -> None:
+                          mesh, feature_mask: np.ndarray | None = None
+                          ) -> None:
         """Mesh path: each bag trains through the full (distributed)
         LambdaMART/MART fit on its sampled subset, sharing the global
         binning via ``prebinned``."""
@@ -281,9 +329,14 @@ class RFRanker(Ranker):
         rng = np.random.default_rng(self.seed)
         cls = MART if self.ranker_type == 0 else LambdaMART
         log("Training starts...")
-        feats_full, _, qptr = flatten(train)
-        thresholds, _ = compute_thresholds(feats_full, self.n_threshold)
-        binned_full = bin_features(feats_full, thresholds)
+        stream = getattr(train, "binned", None) is not None
+        if stream:
+            _, qptr = flatten_meta(train)
+            thresholds, binned_full = train.thresholds, train.binned
+        else:
+            feats_full, _, qptr = flatten(train)
+            thresholds, _ = compute_thresholds(feats_full, self.n_threshold)
+            binned_full = bin_features(feats_full, thresholds)
         self.ensembles = []
         was_silent = is_silent()
         for bag in range(self.n_bags):
@@ -293,6 +346,8 @@ class RFRanker(Ranker):
                                    self.feature_sampling_rate, rng)
             fmask = np.zeros(train.n_features, bool)
             fmask[[f - 1 for f in fids]] = True
+            if feature_mask is not None:
+                fmask &= feature_mask
             rows = np.concatenate(
                 [np.arange(qptr[i], qptr[i + 1]) for i in qidx])
             ranker = cls(n_trees=self.n_trees, n_leaves=self.n_leaves,
@@ -306,7 +361,11 @@ class RFRanker(Ranker):
                 set_silent(was_silent)
             self.ensembles.append(ranker.ensemble)
             if not was_silent:
-                m = self._bag_metric(sampled, scorer, ranker)
+                m = (_bag_train_metric(ranker.ensemble, sampled, qidx,
+                                       qptr, binned_full, thresholds,
+                                       True, scorer)
+                     if stream else
+                     self._bag_metric(sampled, scorer, ranker))
                 log(f"bag {bag + 1:<5}| {scorer.name}-bag: {m:.4f}")
         self._merged = None
 
@@ -331,8 +390,18 @@ class RFRanker(Ranker):
         return self._merged
 
     def eval_dataset(self, ds: Dataset):
-        from ranklib_tpu.models.gbdt import eval_ensemble_dataset
+        from ranklib_tpu.models.gbdt import (_eval_binned, flatten_meta,
+                                             eval_ensemble_dataset)
 
+        if getattr(ds, "binned", None) is not None:
+            # streaming -sparse dataset: bin-space eval (exact — this
+            # model was trained on this grid), like MART/LambdaMART
+            flat = _eval_binned(
+                self._merged_ensemble().to_bin_space(ds.thresholds),
+                ds.binned)
+            _, qptr = flatten_meta(ds)
+            return [flat[qptr[i]: qptr[i + 1]]
+                    for i in range(len(ds.queries))]
         return eval_ensemble_dataset(self._merged_ensemble(), ds)
 
     # ---- serialization -----------------------------------------------------

@@ -386,3 +386,38 @@ def test_csr_datasets_train_under_mesh():
     nn_csr.fit(csr2, scorer, mesh=make_mesh(8))
     for (Wa, _), (Wb, _) in zip(nn_dense.params, nn_csr.params):
         np.testing.assert_array_equal(Wa, Wb)
+
+
+def test_rf_mesh_streamed_binned_matches_dense():
+    """RF under a mesh with a STREAMED BinnedDataset (-ranker 8 -sparse
+    -dp): the rebuild path must consume the dataset's grid/bins (each
+    feats-free sampled bag rides ``prebinned``) and produce the same
+    model text as the dense mesh fit."""
+    import numpy as np
+
+    from ranklib_tpu.data.binned import read_letor_binned
+    from ranklib_tpu.data.letor import read_letor
+    from ranklib_tpu.models.rf import RFRanker
+    from ranklib_tpu.native.loader import native_available
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native parser unavailable")
+    import tempfile
+
+    train = synth_dataset(n_queries=16, n_features=6, min_docs=6,
+                          max_docs=14, seed=9, w_seed=4, signal=3.0)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t.txt"
+        write_letor_text(train, path)
+        dense = read_letor(path, quiet=True)
+        bd = read_letor_binned(path, quiet=True)
+    scorer = create_scorer("NDCG@10")
+    kw = dict(n_bags=2, n_trees=2, n_leaves=3, ranker_type=0)
+    r1 = RFRanker(**kw)
+    r1.fit(dense, scorer, mesh=make_mesh(4))
+    r2 = RFRanker(**kw)
+    r2.fit(bd, scorer, mesh=make_mesh(4))
+    assert r1.model_str() == r2.model_str()

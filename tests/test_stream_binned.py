@@ -215,3 +215,46 @@ def test_streamed_binned_reads_gzip(tmp_path):
     np.testing.assert_array_equal(a.binned, b.binned)
     np.testing.assert_array_equal(a.thresholds, b.thresholds)
     assert [q.qid for q in a.queries] == [q.qid for q in b.queries]
+
+
+def test_stream_rf_model_identical(sparse_file):
+    """Random Forests (-ranker 8) on the streamed BinnedDataset: byte-
+    equal model vs the dense pipeline for BOTH -rtype 0 (batched bags)
+    and -rtype 6 (sequential weighted bags), plus bin-space eval parity
+    (the review gap: -ranker 8 -sparse silently fell back dense)."""
+    from ranklib_tpu.models.rf import RFRanker
+
+    scorer = create_scorer("NDCG@10")
+    dense = read_letor(sparse_file, missing_zero=True, quiet=True)
+    bd = read_letor_binned(sparse_file, quiet=True)
+    for rtype in (0, 6):
+        r1 = RFRanker(n_bags=3, n_trees=2, n_leaves=3, ranker_type=rtype)
+        r1.fit(dense, scorer)
+        r2 = RFRanker(n_bags=3, n_trees=2, n_leaves=3, ranker_type=rtype)
+        r2.fit(bd, scorer)
+        assert r1.model_str() == r2.model_str()
+        s1 = r1.eval_dataset(dense)
+        s2 = r2.eval_dataset(bd)
+        for a, b in zip(s1, s2):
+            np.testing.assert_allclose(a, b, rtol=0, atol=0)
+
+
+def test_cli_sparse_rf_flow(tmp_path, sparse_file):
+    """-ranker 8 -sparse end-to-end through the CLI: identical model to
+    the dense pipeline (streamed loader, no dense fallback)."""
+    from ranklib_tpu import cli
+
+    model = tmp_path / "m.txt"
+    rc = cli.main(["-train", sparse_file, "-ranker", "8", "-bag", "3",
+                   "-tree", "2", "-leaf", "3", "-metric2t", "NDCG@10",
+                   "-sparse", "-missingZero", "-save", str(model),
+                   "-silent"])
+    assert rc == 0
+    text = model.read_text()
+    assert text.startswith("## Random Forests")
+    model2 = tmp_path / "m2.txt"
+    rc = cli.main(["-train", sparse_file, "-ranker", "8", "-bag", "3",
+                   "-tree", "2", "-leaf", "3", "-metric2t", "NDCG@10",
+                   "-missingZero", "-save", str(model2), "-silent"])
+    assert rc == 0
+    assert model2.read_text() == text
