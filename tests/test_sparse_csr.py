@@ -884,3 +884,21 @@ def test_sparse_eval_layer_property(seed):
     sparse_vals = np.asarray(sparse_mean_metric(
         scorer, jnp.asarray(W), chunks, buckets, N, len(csr.queries)))
     np.testing.assert_allclose(sparse_vals, dense_vals, atol=1e-5)
+
+
+def test_kcv_sparse_rf_matches_dense(tmp_path, sparse_file):
+    """-ranker 8 -sparse -kcv: RF fold models byte-equal the dense
+    pipeline's through the per-fold grid flow (RF joined the streamed
+    gates in the round-4 review pass)."""
+    from ranklib_tpu.cli import main as cli_main
+
+    outs = {}
+    for tag, extra in (("dense", []), ("sparse", ["-sparse"])):
+        d = str(tmp_path / f"kcvrf_{tag}")
+        cli_main(["-train", sparse_file, "-ranker", "8", "-bag", "2",
+                  "-tree", "2", "-leaf", "3", "-kcv", "3", "-tc", "8",
+                  "-metric2t", "NDCG@10", "-missingZero",
+                  "-kcvmd", d, "-kcvmn", "m", *extra])
+        outs[tag] = "".join(
+            open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
+    assert outs["dense"] == outs["sparse"]
