@@ -125,6 +125,7 @@ def read_letor_binned(path: str, n_threshold: int = 256,
     if n_docs == 0 or n_queries == 0:
         raise RankLibError(f"No queries read from {path}")
     F = max(max_fid, int(n_features or 0))
+    grid_local = thresholds is None
     try:
         if thresholds is None:
             if n_threshold > 400:
@@ -179,6 +180,16 @@ def read_letor_binned(path: str, n_threshold: int = 256,
     if not queries:
         raise RankLibError(f"No queries read from {path}")
     if n_dropped:
+        if grid_local:
+            # the grid above was computed over ALL file rows, but the
+            # dense pipeline drops no-rel queries BEFORE computing
+            # thresholds — a unique/min/max present only in a dropped
+            # query would change the grid and break bit-parity (review
+            # finding). Bounce to the dense pipeline (callers catch this
+            # as loader-not-applicable).
+            raise RankLibError(
+                f"{n_dropped} no-relevant-doc queries would be dropped "
+                f"after the file-level grid; use the dense pipeline")
         bins = bins[keep_rows]
     if not quiet:
         log(f"Reading feature file [{path}]... [Done.] (streamed to bins)")

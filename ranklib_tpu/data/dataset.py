@@ -147,7 +147,17 @@ def padded_size(n: int) -> int:
 
 
 def bucketize(ds: Dataset, with_feats: bool = True) -> list:
-    """Group queries into :class:`QueryBucket`\\ s by padded doc count.
+    """Eager list of :func:`iter_buckets` — fine for dense datasets and
+    feats-free consumers. CSR consumers that materialize dense chunks
+    should iterate :func:`iter_buckets` instead: an eager list holds
+    EVERY chunk's dense block simultaneously, defeating the one-chunk
+    host bound (review finding)."""
+    return list(iter_buckets(ds, with_feats))
+
+
+def iter_buckets(ds: Dataset, with_feats: bool = True):
+    """Group queries into :class:`QueryBucket`\\ s by padded doc count
+    (generator).
 
     Query order inside a bucket follows file order; macro-averaged metrics
     are order-independent so bucketing never changes results.
@@ -155,10 +165,11 @@ def bucketize(ds: Dataset, with_feats: bool = True) -> list:
     CSR datasets (``data.sparse.CSRDataset``: feats live in host CSR, not
     on the Query objects) are materialized here in bounded CHUNKS — each
     yielded bucket's dense block stays under the sparse chunk budget, so
-    the peak host allocation is one chunk instead of [N, F]. Chunking
-    splits a size class into more buckets but preserves query order, so
-    sequential consumers (the neural per-query SGD scan) visit queries in
-    exactly the dense pipeline's order.
+    the peak host allocation is one chunk instead of [N, F] — PROVIDED
+    the caller consumes buckets one at a time (upload/score, then drop).
+    Chunking splits a size class into more buckets but preserves query
+    order, so sequential consumers (the neural per-query SGD scan) visit
+    queries in exactly the dense pipeline's order.
     """
     groups = {}
     for qi, q in enumerate(ds.queries):
@@ -167,7 +178,6 @@ def bucketize(ds: Dataset, with_feats: bool = True) -> list:
     if sparse:
         from ranklib_tpu.data.sparse import _chunk_bytes
         rows_cap_bytes = _chunk_bytes()
-    buckets = []
     for D in sorted(groups):
         idxs_all = groups[D]
         if sparse:
@@ -191,12 +201,9 @@ def bucketize(ds: Dataset, with_feats: bool = True) -> list:
                 if with_feats:
                     feats[b, : q.n] = (ds.materialize_query(qi) if sparse
                                        else q.feats)
-            buckets.append(
-                QueryBucket(feats=feats, labels=labels, mask=mask,
-                            qidx=np.asarray(idxs, dtype=np.int32),
-                            n_docs=n_docs)
-            )
-    return buckets
+            yield QueryBucket(feats=feats, labels=labels, mask=mask,
+                              qidx=np.asarray(idxs, dtype=np.int32),
+                              n_docs=n_docs)
 
 
 def flatten_meta(ds: Dataset):

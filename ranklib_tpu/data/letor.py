@@ -29,10 +29,21 @@ from ranklib_tpu.utils.io import open_text
 from ranklib_tpu.utils.logging import log
 
 
+def _desc_pos(line: str) -> int:
+    """Index of the '#' starting the description, or -1. Only a '#' at a
+    TOKEN BOUNDARY (line start or after whitespace) starts a description
+    — the native parser's rule; a '#' embedded in a qid or value token
+    is part of that token, and both parsers must agree."""
+    pos = line.find("#")
+    while pos > 0 and not line[pos - 1].isspace():
+        pos = line.find("#", pos + 1)
+    return pos
+
+
 def _parse_line(line: str):
     """Parse one LETOR line → (label, qid, fids, vals, description)."""
     desc = ""
-    hash_pos = line.find("#")
+    hash_pos = _desc_pos(line)
     if hash_pos >= 0:
         desc = line[hash_pos:].rstrip()
         line = line[:hash_pos]
@@ -128,9 +139,12 @@ def read_letor(path: str, must_have_rel_doc: bool = False,
             cur[2].append(vals)
             cur[3].append(desc)
     if not missing_zero:
+        # raw PAIR count, not distinct fids — the native check (and the
+        # reference) counts pairs, where a duplicated fid masks a miss;
+        # both parsers must accept/reject the same files
         for qid, (_, fid_lists, _, _) in raw:
             for fids in fid_lists:
-                if len(set(fids)) < max_fid:
+                if len(fids) < max_fid:
                     _raise_missing(path, qid, fids, max_fid)
     if n_features is not None:
         max_fid = max(max_fid, int(n_features))
@@ -232,7 +246,7 @@ def read_descs(path: str, n_docs: int | None = None) -> list:
             s = line.strip()
             if not s or s.startswith("#"):
                 continue
-            hp = s.find("#")
+            hp = _desc_pos(s)            # token-boundary '#' (native rule)
             descs.append(s[hp:].rstrip() if hp >= 0 else "")
     if n_docs is not None and len(descs) != n_docs:
         raise RankLibError(

@@ -55,14 +55,16 @@ def doc_id(desc: str) -> str:
 def apply_qrel(ds: Dataset, path: str) -> None:
     """Overwrite labels in-place from a qrel file (unjudged → 0)."""
     qrel = read_qrel(path)
-    if not any(q.descs for q in ds.queries):
-        # a dataset loaded WITHOUT descriptions (programmatic use, or a
-        # sparse loader called with want_descs=False) — matching would
-        # silently zero EVERY label; fail loudly instead. The evaluator's
-        # sparse flows request descs (want_descs) whenever -qrel is set.
-        raise RankLibError(
-            "-qrel needs per-doc '#' descriptions, but this dataset "
-            "carries none (was it loaded without descriptions?)")
+    # Per-QUERY guard: docs without a '#' description cannot match any
+    # judgment, so their whole query would silently zero (a dataset-level
+    # any() check let mixed files corrupt the desc-less queries). Loaded
+    # without descriptions entirely = the same failure at query 1.
+    for q in ds.queries:
+        if not q.descs or not all(q.descs):
+            raise RankLibError(
+                f"-qrel needs per-doc '#' descriptions, but qid {q.qid} "
+                f"has docs without one (was the file loaded without "
+                f"descriptions, or are some lines uncommented?)")
     n_hit = 0
     for q in ds.queries:
         labels = np.zeros_like(q.labels)

@@ -44,6 +44,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, Query
+from ranklib_tpu.data.letor import _desc_pos
 from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log
 
@@ -260,7 +261,8 @@ def _py_parse_csr(path: str):
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as fh:
         for ln, line in enumerate(fh, 1):
-            body = line.split("#", 1)[0].strip()
+            hp = _desc_pos(line)         # token-boundary '#' only (native rule)
+            body = (line[:hp] if hp >= 0 else line).strip()
             if not body:
                 continue
             toks = body.split()

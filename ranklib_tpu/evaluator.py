@@ -242,15 +242,55 @@ def evaluate_train(args) -> Ranker:
                          missing_zero=args.missingZero,
                          qrel=args.qrel)
     split_test = None
+    validation = None
     tts = getattr(args, "tts", -1.0)
     has_tts = bool(tts) and tts > 0
-    if has_tts:
+    tvs_wanted = (not args.validate and not has_tts
+                  and bool(args.tvs) and args.tvs > 0)
+    if (stream or stream_n) and (has_tts or tvs_wanted):
+        # Splitting a streamed BinnedDataset would keep the WHOLE-FILE
+        # threshold grid, but the dense pipeline computes grids from the
+        # train SUBSET (review finding — the kcv per-fold-grid rule
+        # applies to -tts/-tvs too). Reload via CSR, split there, and bin
+        # each side with the train subset's own grid; the held-out side
+        # bins with the TRAIN grid (it only ever scores in bin space).
+        from ranklib_tpu.data.binned import binned_from_csr
+        try:
+            csr_ds = _prepare(args.train, args.norm, feature_fids,
+                              must_rel, missing_zero=args.missingZero,
+                              sparse=True, want_descs=bool(args.qrel))
+        except RankLibError as e:
+            log(f"[-sparse] CSR split-grid loader not applicable ({e}); "
+                f"using the dense pipeline")
+            stream = stream_n = False
+            if args.hparams:
+                args.hparams.pop("_feature_mask", None)
+            train = _prepare(args.train, args.norm, feature_fids,
+                             must_rel, missing_zero=args.missingZero,
+                             qrel=args.qrel)
+        else:
+            if args.qrel:
+                apply_qrel(csr_ds, args.qrel)
+            if args.hparams:
+                # the CSR path zeroes unlisted feature columns itself
+                args.hparams.pop("_feature_mask", None)
+            tc = args.tc if args.tc is not None else 256
+            tr_c, held_c = split_tvs(csr_ds,
+                                     tts if has_tts else args.tvs)
+            train = binned_from_csr(tr_c, n_threshold=tc)
+            held_b = binned_from_csr(held_c, thresholds=train.thresholds)
+            if has_tts:
+                split_test = held_b
+                log(f"Train-test split: {len(train.queries)} / "
+                    f"{len(split_test.queries)} queries")
+            else:
+                validation = held_b
+    elif has_tts:
         # -tts: carve the test set out of the training file; it overrides
         # -tvs and an explicit -test file (ref: Evaluator -tts precedence)
         train, split_test = split_tvs(train, tts)
         log(f"Train-test split: {len(train.queries)} / "
             f"{len(split_test.queries)} queries")
-    validation = None
     if args.validate:
         if stream_n:
             validation = _read_csr_norm_binned(
@@ -279,7 +319,8 @@ def evaluate_train(args) -> Ranker:
                                   must_rel, missing_zero=args.missingZero,
                                   n_features=train.n_features,
                                   qrel=args.qrel)
-    elif args.tvs and args.tvs > 0 and not has_tts:
+    elif (validation is None and args.tvs and args.tvs > 0
+          and not has_tts):
         train, validation = split_tvs(train, args.tvs)
     ranker = train_ranker(args.ranker, train, train_scorer, validation,
                           args.hparams, n_dp=getattr(args, "dp", 0),

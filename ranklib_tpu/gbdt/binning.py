@@ -72,8 +72,9 @@ def compute_thresholds(feats: np.ndarray, n_threshold: int):
         u = np.unique(feats[:, f])
         vals.append(u[:n_threshold + 1])
         counts.append(len(u))
-        if len(u):
-            minmax[f] = (u[0], u[-1])
+        fin = u[~np.isnan(u)]          # finite-only minmax (native rule:
+        if len(fin):                   # NaN never wins a compare)
+            minmax[f] = (fin[0], fin[-1])
     return thresholds_from_uniques(vals, np.asarray(counts), minmax,
                                    n_threshold)
 

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, bucketize
+from ranklib_tpu.data.dataset import Dataset, iter_buckets
 from ranklib_tpu.gbdt.boost import round_capacity
 from ranklib_tpu.metrics.base import MetricScorer
 from ranklib_tpu.models.base import (
@@ -355,14 +355,14 @@ class RankNet(Ranker):
             tb = tuple(
                 (jnp.asarray(b.feats), jnp.asarray(b.labels),
                  jnp.asarray(b.mask))
-                for b in bucketize(train)
+                for b in iter_buckets(train)
             )
             vb = ()
             if validation is not None:
                 vb = tuple(
                     (jnp.asarray(b.feats), jnp.asarray(b.labels),
                      jnp.asarray(b.mask))
-                    for b in bucketize(validation)
+                    for b in iter_buckets(validation)
                 )
             step = make_epoch_step(self.LOSS, scorer, lr, n_val_q,
                                    track_mis=not silent)
@@ -436,7 +436,7 @@ class RankNet(Ranker):
         F = self.params[0][0].shape[0]
         params = [(jnp.asarray(W), jnp.asarray(b)) for W, b in self.params]
         out = [None] * len(ds.queries)
-        for b in bucketize(ds):
+        for b in iter_buckets(ds):
             feats = b.feats
             if ds.n_features != F:  # width mismatch between model and data
                 feats = np.zeros((b.B, b.D, F), np.float32)

@@ -42,6 +42,12 @@ def train_ranker(
 
             raise RankLibError(
                 f"-resume model is a {loaded.NAME}, not a {ranker.NAME}")
+        if not hasattr(loaded, "ensemble"):
+            from ranklib_tpu.utils.errors import RankLibError
+
+            raise RankLibError(
+                f"-resume is only supported for tree rankers "
+                f"(got {ranker.NAME})")
         ranker.ensemble = loaded.ensemble      # warm start (tree rankers)
     kwargs = {}
     if feature_mask is not None:

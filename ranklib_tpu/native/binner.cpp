@@ -11,6 +11,7 @@
 // numpy's. (Reference behavior being reproduced: the one-time threshold
 // grid of learning/tree/FeatureHistogram.java:~60.)
 
+#include <cmath>
 #include <cstdint>
 #include <thread>
 #include <vector>
@@ -113,12 +114,11 @@ extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
         s.count = 0;
         s.dead = false;
     }
-    std::vector<float> mn(static_cast<size_t>(F));
-    std::vector<float> mx(static_cast<size_t>(F));
-    for (int64_t f = 0; f < F; ++f) {     // row 0 seeds both
-        mn[f] = feats[f];
-        mx[f] = feats[f];
-    }
+    // +/-inf seeds: NaN never wins a < / > compare, so NaN can never
+    // poison the minmax (a row-0 seed let a leading NaN stick,
+    // diverging from the numpy fallback's finite-only rule)
+    std::vector<float> mn(static_cast<size_t>(F), INFINITY);
+    std::vector<float> mx(static_cast<size_t>(F), -INFINITY);
     for (int64_t i = 0; i < N; ++i) {
         const float* row = feats + i * F;
         for (int64_t f = 0; f < F; ++f) {
@@ -146,6 +146,10 @@ extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
     }
     for (int64_t f = 0; f < F; ++f) {
         out_counts[f] = sets[f].dead ? cap + 1 : sets[f].count;
+        if (mn[f] > mx[f]) {  // no finite value seen (all NaN)
+            mn[f] = 0.0f;
+            mx[f] = 0.0f;
+        }
         out_minmax[f * 2] = mn[f];
         out_minmax[f * 2 + 1] = mx[f];
     }

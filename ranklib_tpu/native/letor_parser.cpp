@@ -17,6 +17,7 @@
 // C ABI only — loaded from Python via ctypes (no pybind11 in this image).
 // Gzip inputs and malformed files fall back to the Python parser.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -392,8 +393,11 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
     return -1;
   }
   for (int64_t f = 0; f < n_feat; ++f) {
-    mn[f] = 0.0f;  // overwritten on the first specified value
-    mx[f] = 0.0f;
+    // +/-inf seeds: NaN values never win a < / > compare, so NaN can
+    // never poison the minmax (the old first-value seed let a leading
+    // NaN stick, diverging from the numpy fallback's finite-only rule)
+    mn[f] = INFINITY;
+    mx[f] = -INFINITY;
   }
   int64_t docs = 0;
   char qid[QID_MAX + 1];
@@ -409,13 +413,8 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
         [&](int64_t fid, float val) {
           if (fid >= 1 && fid <= n_feat) {
             const int64_t f = fid - 1;
-            if (specified[f] == 0) {
-              mn[f] = val;
-              mx[f] = val;
-            } else {
-              if (val < mn[f]) mn[f] = val;
-              if (val > mx[f]) mx[f] = val;
-            }
+            if (val < mn[f]) mn[f] = val;
+            if (val > mx[f]) mx[f] = val;
             ++specified[f];
             capped_insert(sets[f], val, out_vals + f * cap, cap);
           }
@@ -433,13 +432,12 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
     for (int64_t f = 0; f < n_feat; ++f) {
       if (specified[f] < docs) {  // at least one implicit 0.0
         capped_insert(sets[f], 0.0f, out_vals + f * cap, cap);
-        if (specified[f] == 0) {
-          mn[f] = 0.0f;
-          mx[f] = 0.0f;
-        } else {
-          if (0.0f < mn[f]) mn[f] = 0.0f;
-          if (0.0f > mx[f]) mx[f] = 0.0f;
-        }
+        if (0.0f < mn[f]) mn[f] = 0.0f;   // valid from the +/-inf seeds
+        if (0.0f > mx[f]) mx[f] = 0.0f;
+      }
+      if (mn[f] > mx[f]) {  // no finite value seen (all NaN / none)
+        mn[f] = 0.0f;
+        mx[f] = 0.0f;
       }
       out_counts[f] = sets[f].dead ? cap + 1 : sets[f].count;
       out_minmax[f * 2] = mn[f];

@@ -139,28 +139,20 @@ def native_parse_letor(path: str, want_descs: bool = True,
     """
     if path.endswith(".gz"):
         # keep the native path for gzip: decompress once to a temp file
-        # (streamed; ~100 MB/s) — still ~5× the Python parse of the same
-        # stream. Bad archives fall back to Python for the exact error.
-        import gzip
-        import shutil
-        import tempfile
-
-        import zlib
+        # (gunzip_to_temp, streamed; ~100 MB/s) — still ~5× the Python
+        # parse of the same stream. Bad archives fall back to Python for
+        # the exact error message.
+        from ranklib_tpu.utils.errors import RankLibError
 
         if _get_lib() is None:
             return None
-        with tempfile.NamedTemporaryFile(suffix=".letor",
-                                         delete=False) as tmp:
-            tmp_path = tmp.name
         try:
-            with gzip.open(path, "rb") as src, open(tmp_path, "wb") as dst:
-                shutil.copyfileobj(src, dst, length=1 << 20)
+            tmp_path = gunzip_to_temp(path)
+        except RankLibError:
+            return None
+        try:
             return native_parse_letor(tmp_path, want_descs=want_descs,
                                       min_features=min_features)
-        except (OSError, EOFError, zlib.error):
-            # truncated archive → EOFError; mid-stream corruption →
-            # zlib.error; both fall back to Python for the exact message
-            return None
         finally:
             try:
                 os.unlink(tmp_path)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ranklib_tpu.data.dataset import Dataset, bucketize
+from ranklib_tpu.data.dataset import Dataset, iter_buckets
 from ranklib_tpu.metrics.base import MetricScorer
 
 
@@ -48,7 +48,7 @@ class LinearMetricEvaluator:
         self.n_queries = len(ds.queries)
         self.n_features = ds.n_features
         self.buckets = []
-        for b in bucketize(ds):
+        for b in iter_buckets(ds):
             rows = max(1, min(b.B, _DOC_BUDGET // b.D))
             for lo in range(0, b.B, rows):
                 hi = min(lo + rows, b.B)

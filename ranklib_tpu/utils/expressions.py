@@ -149,7 +149,10 @@ def _eval_rpn(rpn, variables=None) -> float:
                 elif val == "/":
                     st.append(a / b)
                 elif val == "^":
-                    st.append(a ** b)
+                    r = a ** b
+                    # negative base ** fractional exponent yields a Python
+                    # complex; the reference's Math.pow returns NaN
+                    st.append(float("nan") if isinstance(r, complex) else r)
     if len(st) != 1:
         raise RankLibError("Malformed expression (leftover operands)")
     return st[0]

@@ -902,3 +902,32 @@ def test_kcv_sparse_rf_matches_dense(tmp_path, sparse_file):
         outs[tag] = "".join(
             open(os.path.join(d, f"f{i + 1}.m")).read() for i in range(3))
     assert outs["dense"] == outs["sparse"]
+
+
+def test_csr_iter_buckets_host_peak_one_chunk(tmp_path, monkeypatch):
+    """iter_buckets on CSR must hold ONE dense chunk at a time (review
+    finding: the eager bucket list kept every chunk alive, so peak host
+    memory was the full dense matrix)."""
+    import tracemalloc
+
+    from ranklib_tpu.data.dataset import iter_buckets
+
+    rng = np.random.default_rng(2)
+    F, Q, D = 2000, 40, 40                  # dense [1600, 2000] = 12.8 MB
+    path = str(tmp_path / "wide.txt")
+    with open(path, "w") as f:
+        for q in range(Q):
+            for _ in range(D):
+                fids = np.unique(rng.integers(1, F + 1, 8))
+                pairs = " ".join(f"{fid}:{rng.normal():.4g}"
+                                 for fid in fids)
+                f.write(f"{rng.integers(0, 3)} qid:{q} {pairs}\n")
+    csr = read_letor_sparse(path, quiet=True)
+    dense_bytes = csr.n_docs * F * 4
+    monkeypatch.setenv("RANKLIB_TPU_SPARSE_CHUNK_MB", "1")
+    tracemalloc.start()
+    for b in iter_buckets(csr):
+        assert b.feats.shape[2] == F
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < dense_bytes / 3, (peak, dense_bytes)

@@ -146,10 +146,18 @@ def test_stream_missing_zero_strict(tmp_path):
 
 
 def test_stream_must_have_rel_drops_rows(tmp_path):
+    """With a LOCAL grid, rel-doc drops would skew thresholds vs the
+    dense drop-first pipeline → loader-not-applicable (callers fall back
+    dense). With a GIVEN grid (validation/test reads) dropping is safe
+    and rows slice out."""
     path = tmp_path / "rel.txt"
     path.write_text("0 qid:1 1:1\n0 qid:1 1:2\n"
                     "1 qid:2 1:3\n0 qid:2 1:4\n")
-    bd = read_letor_binned(str(path), must_have_rel_doc=True, quiet=True)
+    with pytest.raises(RankLibError, match="dense pipeline"):
+        read_letor_binned(str(path), must_have_rel_doc=True, quiet=True)
+    grid = read_letor_binned(str(path), quiet=True).thresholds
+    bd = read_letor_binned(str(path), must_have_rel_doc=True,
+                           thresholds=grid, quiet=True)
     assert len(bd.queries) == 1 and bd.queries[0].qid == "2"
     assert bd.binned.shape[0] == 2
 
@@ -258,3 +266,69 @@ def test_cli_sparse_rf_flow(tmp_path, sparse_file):
                    "-missingZero", "-save", str(model2), "-silent"])
     assert rc == 0
     assert model2.read_text() == text
+
+
+def test_tts_sparse_grid_matches_dense(tmp_path, sparse_file):
+    """-tts under -sparse: the dense pipeline computes threshold grids
+    from the TRAIN SUBSET, so the streamed path must too (review
+    finding: split_binned kept the whole-file grid). -tc 8 forces
+    evenly spaced min/max grids, which diverge immediately if the
+    held-out rows leak into the stats."""
+    from ranklib_tpu import cli
+
+    outs = {}
+    for tag, extra in (("dense", []), ("sparse", ["-sparse"])):
+        model = tmp_path / f"tts_{tag}.txt"
+        rc = cli.main(["-train", sparse_file, "-ranker", "6", "-tree",
+                       "4", "-leaf", "3", "-tc", "8", "-metric2t",
+                       "NDCG@10", "-missingZero", "-tts", "0.7",
+                       "-save", str(model), "-silent", *extra])
+        assert rc == 0
+        outs[tag] = model.read_text()
+    assert outs["dense"] == outs["sparse"]
+
+
+def test_tvs_sparse_grid_matches_dense(tmp_path, sparse_file):
+    """-tvs (train-validation carve-out) under -sparse: same per-subset
+    grid rule; validation scores/early-stop ride the train grid."""
+    from ranklib_tpu import cli
+
+    outs = {}
+    for tag, extra in (("dense", []), ("sparse", ["-sparse"])):
+        model = tmp_path / f"tvs_{tag}.txt"
+        rc = cli.main(["-train", sparse_file, "-ranker", "6", "-tree",
+                       "4", "-leaf", "3", "-tc", "8", "-metric2t",
+                       "NDCG@10", "-missingZero", "-tvs", "0.7",
+                       "-save", str(model), "-silent", *extra])
+        assert rc == 0
+        outs[tag] = model.read_text()
+    assert outs["dense"] == outs["sparse"]
+
+
+def test_sparse_relddrop_grid_matches_dense(tmp_path):
+    """A no-relevant-doc query under a needs-rel metric (MAP): the dense
+    pipeline drops it BEFORE computing grids; the streamed loader's
+    file-level grid would include its values, so it must bounce to the
+    dense pipeline and stay byte-identical (review finding)."""
+    from ranklib_tpu import cli
+
+    rng = np.random.default_rng(11)
+    ds = synth_dataset(n_queries=12, n_features=5, min_docs=5,
+                       max_docs=10, gmax=2, seed=5)
+    for i in range(ds.queries[3].n):       # one query with no rel docs
+        ds.queries[3].labels[i] = 0.0
+    # give the dropped query an extreme value so the file-level grid
+    # provably differs from the kept-rows grid
+    ds.queries[3].feats[0, 2] = 99.0
+    path = tmp_path / "relcase.txt"
+    _write_sparse(ds, str(path), rng, drop=0.3)
+    outs = {}
+    for tag, extra in (("dense", []), ("sparse", ["-sparse"])):
+        model = tmp_path / f"rel_{tag}.txt"
+        rc = cli.main(["-train", str(path), "-ranker", "6", "-tree", "3",
+                       "-leaf", "3", "-tc", "4", "-metric2t", "MAP",
+                       "-missingZero", "-save", str(model), "-silent",
+                       *extra])
+        assert rc == 0
+        outs[tag] = model.read_text()
+    assert outs["dense"] == outs["sparse"]
