@@ -410,7 +410,10 @@ class AdaRank(Ranker):
     def model_str(self) -> str:
         head = model_header(self.NAME, {
             "Iteration": self.n_rounds,
-            "Train with 'enqueue'": "Yes" if self.no_eq else "No",
+            # -noeq DISABLES enqueue-style retraining, so the header says
+            # Yes exactly when no_eq is off (ref AdaRank default
+            # trainWithEnqueue=true; was inverted — review finding)
+            "Train with 'enqueue'": "No" if self.no_eq else "Yes",
         })
         body = " ".join(f"{fid}:{alpha}" for fid, alpha in self.history)
         return head + body + "\n"

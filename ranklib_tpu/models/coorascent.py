@@ -117,6 +117,12 @@ def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
         return w, cur, improved
 
     if raw:
+        # expose the candidate-metric instrument so the mesh caller can
+        # compute the BASELINE with the exact same math (einsum + psum)
+        # as the sweep's candidates — a host-side baseline diverging by
+        # more than tolerance from the device instrument could flip
+        # first-sweep decisions (review finding)
+        sweep_impl.mean_metric = mean_metric
         return sweep_impl
     return jax.jit(sweep_impl)
 
@@ -145,12 +151,11 @@ class CoorAscent(Ranker):
         F = train.n_features
         R = self.n_restart
         sparse_n = None
-        if mesh is not None and wants_sparse_eval(train):
-            from ranklib_tpu.utils.logging import log as _log
-
-            _log("(sparse candidate layer is single-device; -dp ignored)")
+        use_sparse = wants_sparse_eval(train)
+        if mesh is not None and use_sparse:
+            log("(sparse candidate layer is single-device; -dp ignored)")
             mesh = None
-        if wants_sparse_eval(train):
+        if use_sparse:
             # wide CSR data: dense [B, D, F] bucket residency would blow
             # the HBM budget — candidate scores come from the device COO
             # via the gather/segment-sum embedding layer instead
@@ -178,15 +183,8 @@ class CoorAscent(Ranker):
             # bounded per device
             buckets, _, _ = shard_feat_buckets(train, n_dev, mesh,
                                                doc_budget=_DOC_BUDGET)
-
-            def _mean0(w_col):
-                from ranklib_tpu.data.dataset import query_feats
-                from ranklib_tpu.metrics.base import score_dataset
-
-                w0 = np.asarray(w_col, np.float32)[:, 0]
-                scores = [query_feats(train, qi) @ w0
-                          for qi in range(len(train.queries))]
-                return float(score_dataset(scorer, train, scores)[0])
+            # _mean0 for this branch is defined AFTER the sweep is built
+            # (it reuses the sweep's own psum'd metric instrument)
         else:
             ev = LinearMetricEvaluator(train, scorer)
             buckets = tuple((f, l, m) for f, l, m, _ in ev.buckets)
@@ -200,7 +198,9 @@ class CoorAscent(Ranker):
             [np.random.default_rng(self.seed + r).permutation(F)
              for r in range(R)],
             axis=1).astype(np.int32))                  # [F, R]
-        depth = max(4, self.n_max_iteration)
+        # honor -i exactly, even below the old floor of 4 (review
+        # finding: max(4, i) silently widened the candidate ladder)
+        depth = max(1, self.n_max_iteration)
 
         if mesh is not None:
             from jax.sharding import PartitionSpec as P_
@@ -223,6 +223,22 @@ class CoorAscent(Ranker):
                 per_device, mesh=mesh,
                 in_specs=(rp, rp, rp, bucket_specs),
                 out_specs=(rp, rp, rp), check_vma=False))
+
+            def _bl_dev(bk_, Wc):
+                return impl.mean_metric(Wc,
+                                        _tree_sq(bk_, bucket_specs, sh))
+
+            _bl = jax.jit(jax.shard_map(
+                _bl_dev, mesh=mesh, in_specs=(bucket_specs, rp),
+                out_specs=rp, check_vma=False))
+
+            def _mean0(w_col):
+                # SAME instrument as the sweep's candidates (einsum +
+                # psum), not a host-side recomputation — the baseline
+                # and the candidates must agree to sub-tolerance
+                Wc = jnp.asarray(
+                    np.asarray(w_col, np.float32).T)[:, None, :]
+                return float(np.asarray(_bl(buckets, Wc))[0, 0])
         else:
             sweep = make_sweep(
                 scorer, n_features=F, depth=depth, reg=self.reg,

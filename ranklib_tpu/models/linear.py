@@ -13,8 +13,6 @@ intercept; feature fids are 1-indexed).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset, flatten
@@ -23,15 +21,6 @@ from ranklib_tpu.models.base import (
 )
 from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import log
-
-
-@jax.jit
-def _gram(X, y):
-    """XᵀX and Xᵀy in one pass (f32 matmul, f32 accumulate)."""
-    return (
-        jnp.dot(X.T, X, preferred_element_type=jnp.float32),
-        jnp.dot(X.T, y, preferred_element_type=jnp.float32),
-    )
 
 
 @register_ranker
@@ -71,14 +60,19 @@ class LinearRegRank(Ranker):
             feats, labels, _ = flatten(train)
             N, F = feats.shape
             X = np.concatenate([np.ones((N, 1), np.float32), feats], axis=1)
-            if N * (F + 1) <= (1 << 22):
-                # small problems: full f64 on host for exact normal equations
-                Xd = X.astype(np.float64)
-                xtx = Xd.T @ Xd
-                xty = Xd.T @ labels.astype(np.float64)
-            else:
-                xtx, xty = (np.asarray(a, np.float64) for a in _gram(
-                    jnp.asarray(X), jnp.asarray(labels)))
+            # f64 normal equations always (the reference solves in
+            # double; a device matmul at default precision rounds
+            # operands to bf16 and visibly skews the ill-conditioned
+            # ridge solve — review finding). Large N chunks the f64 cast,
+            # not the math: XᵀX accumulates exactly like the CSR branch.
+            xtx = np.zeros((F + 1, F + 1), np.float64)
+            xty = np.zeros((F + 1,), np.float64)
+            lab64 = labels.astype(np.float64)
+            rows = max(1, (1 << 22) // (F + 1))
+            for lo in range(0, N, rows):
+                Xd = X[lo: lo + rows].astype(np.float64)
+                xtx += Xd.T @ Xd
+                xty += Xd.T @ lab64[lo: lo + rows]
         xtx[np.diag_indices_from(xtx)] += self.lam
         try:
             self.weights = np.linalg.solve(xtx, xty)

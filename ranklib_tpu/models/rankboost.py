@@ -292,13 +292,18 @@ class RankBoost(Ranker):
             if validation is not None:
                 Nv = vbinned.shape[0]
                 # int16 device residency (kernels upcast in-VMEM)
-                vq_T = jnp.asarray(np.ascontiguousarray(vbinned.T))
+                vq_T = jnp.asarray(np.ascontiguousarray(
+                    vbinned.T.astype(np.int16, copy=False)))
                 vb = _device_buckets(validation, sentinel=Nv)
 
             data = RBData(
-                # int16 host AND device bins (the radix kernel upcasts
-                # in-VMEM; XLA consumers promote in fused elementwise ops)
-                binned_T=jnp.asarray(np.ascontiguousarray(binned.T)),
+                # int16 host AND device bins — the dense path's
+                # bin_features returns int32 and used to upload it as-is
+                # (review finding: 2× the claimed transfer/HBM); bins are
+                # ≤ tc+1 so int16 always fits, and int16 is the width the
+                # RB kernels are proven with on-chip (the CSR path)
+                binned_T=jnp.asarray(np.ascontiguousarray(
+                    binned.T.astype(np.int16, copy=False))),
                 tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
             step = make_rb_step(
                 scorer, n_thresholds=T, n_levels=len(uniq),

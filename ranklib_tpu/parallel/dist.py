@@ -42,14 +42,22 @@ def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
 def make_train_step(scorer, n_bins: int, n_leaves: int,
                     min_leaf_support: int, learning_rate: float,
                     mesh: Mesh, axis: str = AXIS):
-    """Build the jitted distributed LambdaMART round.
+    """Build the jitted distributed LambdaMART round (SCAFFOLDING — the
+    mechanism demo used by the multihost smoke and the scaling harness;
+    the PRODUCT distributed path is gbdt.boost_dist, which additionally
+    chunks pair work).
 
     Inputs (all sharded on the leading query axis over ``axis``):
       binned [B, D, F] int32, labels [B, D] f32, mask [B, D] bool,
       scores [B, D] f32.
     Returns (new_scores [B, D] sharded, TreeArrays with replicated node
     arrays and sharded node_of_doc, leaf outputs [2·nLeaves−1] replicated).
-    """
+
+    CALLER CONTRACT: ``lambda_weights`` materializes the full [B, D, D]
+    pair block per shard — keep B·D² under the ~64 MB pair budget (small
+    smoke shapes). Real-scale training must go through gbdt.boost_dist,
+    whose buckets are pre-chunked (review finding: this entry point does
+    NOT chunk)."""
     M = 2 * n_leaves - 1
 
     def step(binned, labels, mask, scores):

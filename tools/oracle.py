@@ -713,7 +713,7 @@ class OracleCoorAscent:
 
     def fit(self, train: list) -> None:
         F = train[0].feats.shape[1]
-        depth = max(4, self.depth)
+        depth = max(1, self.depth)     # honor -i exactly (mirrors model)
         best_w, best_m = None, -math.inf
         for r in range(self.n_restart):
             order = np.random.default_rng(self.seed + r).permutation(F)
