@@ -118,6 +118,7 @@ class LambdaMART(Ranker):
         labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
 
         vbinned = None
+        vfeats = None
         if validation is not None:
             if getattr(validation, "binned", None) is not None:
                 vbinned = validation.binned
@@ -149,7 +150,13 @@ class LambdaMART(Ranker):
             else:
                 init_scores = prior.eval_matrix(feats[:N])
                 if validation is not None:
-                    init_vscores = prior.eval_matrix(vfeats)
+                    # a PRE-BINNED validation set next to a dense train
+                    # set has no raw values (review finding: NameError);
+                    # its bins carry this grid, so bin-space is exact
+                    init_vscores = (
+                        prior.eval_matrix(vfeats) if vfeats is not None
+                        else _eval_binned(prior.to_bin_space(thresholds),
+                                          vbinned))
             log(f"Warm start from {len(prior)} trees "
                 f"({rounds} rounds to go)")
 
@@ -206,6 +213,7 @@ class LambdaMART(Ranker):
         multi = getattr(step, "multi", None)
         built = 0
         t = 0
+        stopped = False
         while t < rounds:
             # chain every round up to the next host event (per-round table
             # line when not silent, else checkpoint write or early-stop
@@ -259,9 +267,23 @@ class LambdaMART(Ranker):
                 sr = _stop_round(hist, self.early_stop)
                 if sr is not None:
                     built = sr
+                    stopped = True
                     log(f"Early stop at round {built} "
                         f"(no validation gain in {self.early_stop} rounds)")
                     break
+
+        if has_val and self.early_stop > 0 and built and not stopped:
+            # the final chunk may not land on the modulo gate (warm
+            # starts / -tree not a multiple of the check stride): replay
+            # the stop rule over the FULL history so a semantic stop in
+            # the last chunk still clamps `built` before rollback
+            # (review finding)
+            sr = _stop_round(np.asarray(state.val_m[:built]),
+                             self.early_stop)
+            if sr is not None:
+                built = sr
+                log(f"Early stop at round {built} "
+                    f"(no validation gain in {self.early_stop} rounds)")
 
         keep = built
         if has_val and built:
@@ -304,6 +326,7 @@ class LambdaMART(Ranker):
             binned = bin_features(feats, thresholds)
         B = thresholds.shape[1]
         vbinned = None
+        vfeats = None
         if validation is not None:
             if getattr(validation, "binned", None) is not None:
                 vbinned = validation.binned
@@ -341,8 +364,13 @@ class LambdaMART(Ranker):
                        if validation is not None else None)
             else:
                 sc = prior.eval_matrix(feats)
-                vsc = (prior.eval_matrix(vfeats)
-                       if validation is not None else None)
+                # pre-binned validation next to dense train: bin-space
+                # (exact on this grid; vfeats is unbound there)
+                vsc = (None if validation is None
+                       else prior.eval_matrix(vfeats)
+                       if vfeats is not None
+                       else _eval_binned(prior.to_bin_space(thresholds),
+                                         vbinned))
             init = scatter_doc_values(train, sc, n_dev, Npad)
             state = state._replace(scores=_place(init, mesh, sharded=True))
             if validation is not None:

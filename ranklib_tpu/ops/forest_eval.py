@@ -158,7 +158,14 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
     TCLp = ((TCL + 127) // 128) * 128
     Fp = ((F + 127) // 128) * 128
     Np = ((N + _TN - 1) // _TN) * _TN
+    # ±inf features break the 3-plane split (hi − hi = NaN → routed
+    # right, while the f32 compare routes −inf LEFT — review finding),
+    # and a NaN feature would poison EVERY node of its doc through the
+    # one-hot selection dot (0·NaN = NaN): the per-node semantics
+    # `NaN <= t == False` ⟺ "larger than every threshold", so NaN maps
+    # to +3e38 — inside bf16 range, above any finite f32 threshold scale
     XT = X.T
+    XT = jnp.where(jnp.isnan(XT), 3.0e38, jnp.clip(XT, -3.0e38, 3.0e38))
     if Np > N or Fp > F:
         XT = jnp.pad(XT, ((0, Fp - F), (0, Np - N)))
 

@@ -337,22 +337,26 @@ def hist_multi_xla(binned_T, grads, weights, n_bins: int):
 
 
 def _hist_auto(binned_T, grad, mask, n_bins: int):
-    """Pallas for lane-aligned bin counts; XLA otherwise. The remote
-    Mosaic compiler HANGS (no error) on small / non-128-divisible B
-    (reproduced at B=11; B=8 is the same hazard class) — those only
-    arise for near-categorical features or tiny -tc, where the XLA
-    scatter is cheap anyway."""
+    """Pallas ONLY at B = 256 — the single width the remote Mosaic
+    compiler accepts for the histogram kernels (width sweep 2026-08-20,
+    tools/exp_mosaic_reprobe.py: B ∈ {32, 64, 128, 192, 512} ALL fail;
+    B=11 reproduced the hang class earlier). B=128 is reachable at the
+    DEFAULT -tc whenever a dataset has 9..128 distinct values per
+    feature (thresholds_from_uniques pads the grid width to a
+    128-multiple), so a %128 gate would crash real small/categorical
+    runs (review finding). Everything non-256 takes the XLA segment-sum,
+    which is cheap at those widths anyway."""
     if n_bins == 256:
         # the GBDT default: radix-16 measured 3.25 ms vs 6.04 ms for the
         # one-hot kernel at bench shape (F=136, N=180K) on v5e
         return hist_pallas_radix(binned_T, grad, mask, n_bins)
-    if n_bins % 128 == 0:
-        return hist_pallas(binned_T, grad, mask, n_bins)
     return hist_xla(binned_T, grad, mask, n_bins)
 
 
 def _hist_multi_auto(binned_T, grads, weights, n_bins: int):
-    if n_bins % 128 == 0:
+    # same B=256-only Mosaic gate as _hist_auto (the multi kernel is the
+    # same hazard class; RF at B=256 is the proven on-chip shape)
+    if n_bins == 256:
         return hist_multi_pallas(binned_T, grads, weights, n_bins)
     return hist_multi_xla(binned_T, grads, weights, n_bins)
 

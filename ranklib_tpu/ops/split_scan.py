@@ -114,6 +114,11 @@ def best_splits_xla(hist, mls: float, fmask=None):
     """Reference path (runs everywhere): hist [Cn, F, B, 2] →
     (gain [Cn], feature [Cn], bin [Cn], ok [Cn]). Totals derive from each
     row's own bin sum (every feature bins every doc exactly once)."""
+    # -mls 0 must still reject EMPTY sides: the reference's 0/0 division
+    # yields NaN and such candidates never win, while a 0-count side here
+    # would score s²/max(c,1) = the parent term and could tie-win the
+    # first-max scan (review finding) — floor the support test above 0
+    mls = max(float(mls), 1e-9)
     c_l = jnp.cumsum(hist[..., 1], axis=2)
     s_l = jnp.cumsum(hist[..., 0], axis=2)
     c_r = c_l[..., -1:] - c_l
@@ -135,6 +140,7 @@ def best_splits_xla(hist, mls: float, fmask=None):
 
 def best_splits(hist, mls: float, fmask=None):
     """Backend-routed best-split scan; hist [Cn, F, B, 2]."""
+    mls = max(float(mls), 1e-9)    # empty sides never win (see _xla note)
     Cn, F, B, _ = hist.shape
     # B == 256 is the ONE width proven to compile on the remote Mosaic
     # compiler (CLAUDE.md hazard: lane-aligned B=128 and small/odd widths

@@ -216,3 +216,20 @@ def test_eval_matrix_hostbin_int16_grid(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got = ens.eval_matrix(Xn)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_full_kernel_inf_features_route_like_f32():
+    """±inf features: the 3-plane bf16 split used to produce NaN planes
+    (hi − hi) and route −inf RIGHT, while the f32 compare routes it LEFT
+    (review finding — inputs clamp to ±3e38 now; NaN stays right)."""
+    from ranklib_tpu.ops.forest_eval import forest_eval_pallas_full
+
+    ens, X, packed = _case(23, 7, 13, 64, seed=2)
+    Xn = np.asarray(X).copy()
+    Xn[3, 5] = -np.inf
+    Xn[7, 1] = np.inf
+    Xn[9, 0] = np.nan
+    want = np.asarray(_mm_eval(jnp.asarray(Xn), *packed))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(forest_eval_pallas_full(jnp.asarray(Xn), *packed))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -477,3 +477,20 @@ def test_silent_mode_early_stop_identical():
         return r.model_str()
 
     assert fit(True) == fit(False)
+
+
+def test_best_splits_mls_zero_rejects_empty_sides():
+    """-mls 0: an empty-side candidate scores the parent term and can
+    TIE a proper split; the reference's 0/0 → NaN never selects it, so
+    the scan must reject zero-count sides too (review finding)."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.ops.split_scan import best_splits_xla
+
+    # constant gradients: counts [0, 2, 2], sums equal counts — the
+    # empty-left candidate (b=0) exactly ties the proper split (b=1)
+    hist = np.zeros((1, 1, 3, 2), np.float32)
+    hist[0, 0, :, 1] = [0.0, 2.0, 2.0]
+    hist[0, 0, :, 0] = [0.0, 2.0, 2.0]
+    g, f, b, ok = best_splits_xla(jnp.asarray(hist), mls=0.0)
+    assert bool(ok[0]) and int(b[0]) == 1
