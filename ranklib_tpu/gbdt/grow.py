@@ -366,10 +366,17 @@ def grow_forest(binned_T, grads, n_bins: int, n_leaves: int,
                     return jnp.where(C > 0, SQ - S * S / jnp.maximum(C, 1.0),
                                      -jnp.inf)
 
-                g_l, f_l, b_l, ok_l = best_splits(hist_l, mls,
-                                                   feature_masks)
-                g_r, f_r, b_r, ok_r = best_splits(hist_r, mls,
-                                                  feature_masks)
+                # ONE stacked scan over both children (mirrors grow_tree's
+                # hist_lr batching — the scan is launch/dependency-bound,
+                # so two sequential calls paid ~2× the chain per level)
+                Cb_ = hist_l.shape[0]
+                hist_lr = jnp.concatenate([hist_l, hist_r], axis=0)
+                fm2 = (None if feature_masks is None
+                       else jnp.concatenate([feature_masks, feature_masks],
+                                            axis=0))
+                g2, f2, b2, ok2 = best_splits(hist_lr, mls, fm2)
+                g_l, f_l, b_l, ok_l = g2[:Cb_], f2[:Cb_], b2[:Cb_], ok2[:Cb_]
+                g_r, f_r, b_r, ok_r = g2[Cb_:], f2[Cb_:], b2[Cb_:], ok2[Cb_:]
 
                 # unconditional scalar-row writes (rows of invalid bags are
                 # never mapped, so their contents are dead)
