@@ -268,6 +268,14 @@ def evaluate_train(args) -> Ranker:
             train = _prepare(args.train, args.norm, feature_fids,
                              must_rel, missing_zero=args.missingZero,
                              qrel=args.qrel)
+            # The dense `elif has_tts` arm below is unreachable (the outer
+            # `if` matched), so split HERE or the test carve-out silently
+            # trains (review finding, round 5). -tvs needs no rescue: the
+            # later `elif validation is None and args.tvs` arm catches it.
+            if has_tts:
+                train, split_test = split_tvs(train, tts)
+                log(f"Train-test split: {len(train.queries)} / "
+                    f"{len(split_test.queries)} queries")
         else:
             if args.qrel:
                 apply_qrel(csr_ds, args.qrel)

@@ -66,6 +66,7 @@ class TreeEnsemble:
         self._mm = None
         self._mmb = None
         self._bins_meta = None
+        self._thr_band = None
 
     def truncate(self, n: int):
         """Keep the first n trees (validation-best rollback,
@@ -76,6 +77,7 @@ class TreeEnsemble:
         self._mm = None
         self._mmb = None
         self._bins_meta = None
+        self._thr_band = None
 
     def __len__(self):
         return len(self.trees)
@@ -279,6 +281,23 @@ class TreeEnsemble:
     # (the estimate double-buffers everything, so it overstates).
     _KERNEL_VMEM_BUDGET = 13 << 20
 
+    def _thr_band_ok(self) -> bool:
+        """True iff every INTERNAL-node threshold lies in [−3e38, 3e38) —
+        the band where forest_eval_pallas_full's feature clamp preserves
+        `value <= threshold` exactly (see _use_forest_kernel). Cached per
+        add/truncate (same discipline as the other packs); leaf slots are
+        excluded (their threshold slot is meaningless)."""
+        if getattr(self, "_thr_band", None) is None:
+            ok = True
+            for t in self.trees:
+                thr = t.threshold[~t.is_leaf]
+                if thr.size and not bool(
+                        np.all((thr >= -3.0e38) & (thr < 3.0e38))):
+                    ok = False
+                    break
+            self._thr_band = ok
+        return self._thr_band
+
     def _use_forest_kernel(self, n_features: int) -> bool:
         """Route to the fused Pallas kernel only on TPU AND when its
         per-block VMEM footprint fits. Only ~(10 leaves, 136 feats) was
@@ -291,6 +310,15 @@ class TreeEnsemble:
 
         if not on_tpu() or os.environ.get(
                 "RANKLIB_TPU_FOREST_KERNEL", "1") == "0":
+            return False
+        # The kernel's ±3e38 feature clamp (NaN → +3e38) is EXACT only
+        # when every split threshold lies in [−3e38, 3e38): a threshold
+        # in (3e38, 3.4e38] would tie/flip against clamped features and
+        # the NaN sentinel (review finding, round 5). Such models are
+        # only reachable with data in that extreme band — route them to
+        # the exact XLA compare path like other hostile shapes. (NaN
+        # thresholds fail the comparisons → also routed off.)
+        if not self._thr_band_ok():
             return False
         # mirror forest_eval_pallas_full's block shapes (TN = 2048)
         M = max(max((~t.is_leaf).sum(), 1) for t in self.trees)

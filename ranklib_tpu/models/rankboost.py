@@ -56,6 +56,14 @@ from ranklib_tpu.utils.errors import RankLibError
 from ranklib_tpu.utils.logging import event, is_silent, log
 
 
+def _bin_dtype(T: int):
+    """Narrowest signed dtype holding bins in [0, T] (bin = #thresholds
+    strictly below value, so the max is exactly T). -tc ≥ 32767 would wrap
+    int16 — fall back to int32 there instead of corrupting the weak
+    search (review finding, round 5)."""
+    return np.int16 if T < np.iinfo(np.int16).max else np.int32
+
+
 class RBData(NamedTuple):
     """Static-per-training device arrays (passed, not captured)."""
 
@@ -289,21 +297,22 @@ class RankBoost(Ranker):
             vb = ()
             vq_T = jnp.zeros((F, 0), jnp.int32)
             Nv = 0
+            bdt = _bin_dtype(T)
             if validation is not None:
                 Nv = vbinned.shape[0]
-                # int16 device residency (kernels upcast in-VMEM)
+                # narrow device residency (kernels upcast in-VMEM)
                 vq_T = jnp.asarray(np.ascontiguousarray(
-                    vbinned.T.astype(np.int16, copy=False)))
+                    vbinned.T.astype(bdt, copy=False)))
                 vb = _device_buckets(validation, sentinel=Nv)
 
             data = RBData(
-                # int16 host AND device bins — the dense path's
+                # narrow host AND device bins — the dense path's
                 # bin_features returns int32 and used to upload it as-is
                 # (review finding: 2× the claimed transfer/HBM); bins are
-                # ≤ tc+1 so int16 always fits, and int16 is the width the
-                # RB kernels are proven with on-chip (the CSR path)
+                # ≤ T so the width follows T (-tc ≥ 32767 falls back to
+                # int32 instead of silently wrapping — review finding r5)
                 binned_T=jnp.asarray(np.ascontiguousarray(
-                    binned.T.astype(np.int16, copy=False))),
+                    binned.T.astype(bdt, copy=False))),
                 tb=tb, uniq=jnp.asarray(uniq), vq_T=vq_T, vb=vb)
             step = make_rb_step(
                 scorer, n_thresholds=T, n_levels=len(uniq),
@@ -444,11 +453,12 @@ class RankBoost(Ranker):
                 np.maximum(hi, X.max(axis=0), out=hi)
             grid = lo[:, None] + (hi - lo)[:, None] * (
                 np.arange(1, T + 1, dtype=np.float32)[None, :] / (T + 1))
-        binned = np.empty((N, F), np.int16)
+        bdt = _bin_dtype(T)
+        binned = np.empty((N, F), bdt)
         for s in range(0, N, rows):
             e = min(s + rows, N)
             binned[s:e] = bin_features(ds.materialize_rows(s, e),
-                                       grid).astype(np.int16)
+                                       grid).astype(bdt)
         return lo, hi, grid, binned
 
     # ---- scoring ---------------------------------------------------------

@@ -260,3 +260,32 @@ def test_boosters_silent_chaining_bit_identical(data):
         set_silent(False)
     assert rb_live.weaks == rb_silent.weaks
     assert ada_live.history == ada_silent.history
+
+
+def test_rankboost_bin_dtype_guard():
+    """-tc >= 32767 must widen the bin matrices to int32 instead of
+    silently wrapping int16 (advisor finding, round 5). Pin the dtype
+    rule and an end-to-end _bin_csr_chunks round-trip at an
+    out-of-int16-range T."""
+    from ranklib_tpu.data.sparse import read_letor_sparse
+    from ranklib_tpu.models.rankboost import _bin_dtype
+    from tests.fixtures import synth_dataset, write_letor_text
+    import tempfile, os
+
+    assert _bin_dtype(256) == np.int16
+    assert _bin_dtype(np.iinfo(np.int16).max - 1) == np.int16
+    assert _bin_dtype(np.iinfo(np.int16).max) == np.int32
+    assert _bin_dtype(40000) == np.int32
+
+    ds = synth_dataset(n_queries=4, n_features=3, seed=5, signal=3.0)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.txt")
+        write_letor_text(ds, p)
+        csr = read_letor_sparse(p)
+    T = 40000
+    _, _, grid, binned = RankBoost._bin_csr_chunks(csr, T)
+    assert binned.dtype == np.int32
+    # bins reach past the int16 range on a max-valued doc (the wrap
+    # would have made them negative)
+    assert binned.max() > np.iinfo(np.int16).max
+    assert binned.min() >= 0

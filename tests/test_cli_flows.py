@@ -137,7 +137,34 @@ def test_tts_split_flow(tmp_path):
     assert (tmp_path / "m.txt").read_text().startswith("## Linear Regression")
 
 
-def test_python_api_roundtrip(tmp_path):
+def test_sparse_tts_dense_fallback_still_splits(tmp_path, capsys,
+                                                monkeypatch):
+    """-sparse -tts when the CSR split-grid loader bails: the dense
+    fallback must STILL carve the test set (the dense `elif has_tts` arm
+    is unreachable once the sparse arm matched — advisor finding, round
+    5). Before the fix the model silently trained on ALL queries and no
+    test metric was emitted."""
+    import ranklib_tpu.data.sparse as sparse_mod
+    from ranklib_tpu.cli import main
+    from ranklib_tpu.utils.errors import RankLibError
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    train = tmp_path / "train.txt"
+    write_letor_text(synth_dataset(n_queries=20, n_features=6, seed=21,
+                                   signal=3.0), str(train))
+
+    def _boom(*a, **k):
+        raise RankLibError("forced: CSR loader not applicable")
+
+    monkeypatch.setattr(sparse_mod, "read_letor_sparse", _boom)
+    rc = main(["-train", str(train), "-ranker", "6", "-sparse",
+               "-tts", "0.7", "-tree", "3", "-leaf", "4",
+               "-metric2t", "NDCG@10"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "using the dense pipeline" in out
+    assert "Train-test split: 14 / 6 queries" in out
+    assert "on test data:" in out
     """api.read/train/evaluate/save/load/rank/score — the documented
     programmatic surface."""
     import ranklib_tpu.api as rl

@@ -142,6 +142,48 @@ def test_serving_gates_reject_hostile_shapes(monkeypatch):
     assert ok._use_bins_kernel(136)
 
 
+def test_forest_kernel_gate_rejects_extreme_thresholds(monkeypatch):
+    """forest_eval_pallas_full clamps features to ±3e38 (NaN → +3e38),
+    which is exact only while every split threshold is in [−3e38, 3e38):
+    a threshold in (3e38, 3.4e38] would compare differently against a
+    clamped feature or the NaN sentinel (review finding, round 5). Models
+    with such thresholds must route OFF the 3-plane kernel."""
+    import ranklib_tpu.utils.backend as backend
+    monkeypatch.setattr(backend, "on_tpu", lambda: True)
+
+    ens, _, _ = _case(50, 10, 20, 64, seed=5)
+    assert ens._thr_band_ok()
+    assert ens._use_forest_kernel(136)
+
+    hostile, _, _ = _case(50, 10, 20, 64, seed=5)
+    t0 = hostile.trees[0]
+    node = int(np.flatnonzero(~t0.is_leaf)[0])
+    t0.threshold[node] = np.float32(3.2e38)
+    hostile._thr_band = None                     # direct mutation: reset
+    assert not hostile._thr_band_ok()
+    assert not hostile._use_forest_kernel(136)
+    # the exact fallback still scores such a model (XLA f32 compares);
+    # un-force on_tpu so eval_matrix doesn't try real Pallas on CPU
+    monkeypatch.setattr(backend, "on_tpu", lambda: False)
+    X = np.full((4, 20), 3.3e38, np.float32)
+    X[1] = np.nan
+    got = hostile.eval_matrix(X)
+    want = np.asarray(_mm_eval(jnp.asarray(X),
+                               *hostile._pack_matmul(20)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # add() invalidates the cached verdict
+    grown, _, _ = _case(5, 6, 20, 64, seed=9)
+    assert grown._thr_band_ok()
+    bad_t = grown.trees[0]
+    import copy
+    bt = copy.deepcopy(bad_t)
+    bnode = int(np.flatnonzero(~bt.is_leaf)[0])
+    bt.threshold[bnode] = np.float32(-3.3e38)
+    grown.add(bt, 1.0)
+    assert not grown._thr_band_ok()
+
+
 def test_frombins_kernel_matches_xla_scan():
     """Host-binned serving input (uint8/int16 upload path): binning docs
     on the host with the kernel prologue's rule (#{grid < x}, NaN ->
