@@ -207,8 +207,11 @@ class AdaRank(Ranker):
         CAP = round_capacity(self.n_rounds)
         sparse_mode = wants_sparse_eval(train)
         if sparse_mode and mesh is not None:
-            log("(sparse score layer is single-device; -dp ignored)")
-            mesh = None
+            # -sparse -dp cross product (round-5): S rows + COO chunks +
+            # buckets shard over the mesh; the step's psum'd sums make
+            # every pick/α/stop decision identical to single-device
+            return self._fit_sparse_dist(train, validation, scorer, mesh,
+                                         F, Q, n_vq, CAP)
         if sparse_mode:
             # wide CSR: S built sparsely (absent features reuse the
             # query's zero-score metric — ops.sparse_eval), strong-model
@@ -332,6 +335,73 @@ class AdaRank(Ranker):
         for fid, alpha in self.history:
             w[fid - 1] += alpha
         self.weights = w
+
+    def _fit_sparse_dist(self, train, validation, scorer, mesh, F, Q,
+                         n_vq, CAP):
+        """Wide-CSR data-parallel fit: the sparse S-matrix build stays
+        host-side (adarank_weak_matrix — per-(query, feature) host
+        batches, no device residency), then S rows, the COO score layer
+        and the metric buckets shard per device (parallel/dp.py
+        shard_sparse_data); the step composes ``axis_name`` with
+        ``sparse_docs`` so all sums psum and decisions replicate."""
+        from jax.sharding import PartitionSpec as P_
+
+        from ranklib_tpu.gbdt.boost_dist import AXIS, _shard_queries
+        from ranklib_tpu.ops.sparse_eval import adarank_weak_matrix
+        from ranklib_tpu.parallel.dp import (
+            make_dist_stepper, place_replicated, place_sharded,
+            shard_sparse_data,
+        )
+
+        n_dev = mesh.devices.size
+        S_np = adarank_weak_matrix(train, scorer)
+        chunks, bks, Qpad, Npad = shard_sparse_data(train, n_dev, mesh)
+        per_dev, _ = _shard_queries(train, n_dev)
+        S_stack = np.zeros((n_dev, Qpad, F), np.float32)
+        qmask_stack = np.zeros((n_dev, Qpad), bool)
+        for dev, lst in enumerate(per_dev):
+            for j, (_, qi) in enumerate(lst):
+                S_stack[dev, j] = S_np[qi]
+                qmask_stack[dev, j] = True
+        tb = (chunks, bks)
+        vb = ()
+        n_vslots = n_vq
+        Nvpad = 1
+        if validation is not None:
+            vchunks, vbks, n_vslots, Nvpad = shard_sparse_data(
+                validation, n_dev, mesh)
+            vb = (vchunks, vbks)
+        shd = lambda a: place_sharded(np.asarray(a), mesh)
+        rep = lambda a: place_replicated(np.asarray(a), mesh)
+        S = shd(S_stack)
+        qmask = shd(qmask_stack)
+        impl = make_ada_step(
+            scorer, no_eq=self.no_eq, max_sel=self.max_sel_count,
+            tolerance=self.tolerance, n_queries=Q, n_vqueries=n_vq,
+            n_vslots=n_vslots, axis_name=AXIS, raw=True,
+            sparse_docs=(Npad, Nvpad))
+        sh, rp = P_(AXIS), P_()
+        state_specs = AdaState(
+            P=sh, w=rp, last_fid=rp, consec=rp, prev_train=rp, active=rp,
+            hfid=rp, halpha=rp, hact=rp, train_m=rp, val_m=rp)
+        data_specs = (sh, jax.tree.map(lambda _: sh, tb),
+                      jax.tree.map(lambda _: sh, vb), sh)
+        step = make_dist_stepper(impl, mesh, state_specs, data_specs)
+        state = AdaState(
+            P=shd(np.where(qmask_stack, np.float32(1.0 / Q),
+                           np.float32(0.0))),
+            w=rep(np.zeros((F,), np.float32)),
+            last_fid=rep(np.int32(-1)), consec=rep(np.int32(0)),
+            prev_train=rep(np.float32(-np.inf)),
+            active=rep(np.asarray(True)),
+            hfid=rep(np.zeros((CAP,), np.int32)),
+            halpha=rep(np.zeros((CAP,), np.float32)),
+            hact=rep(np.zeros((CAP,), bool)),
+            train_m=rep(np.full((CAP,), np.nan, np.float32)),
+            val_m=rep(np.full((CAP,), np.nan, np.float32)),
+        )
+        return self._run_rounds(step, state, S, tb, vb, qmask,
+                                validation, scorer)
 
     def _build_dist(self, train, validation, scorer, mesh, S_np, Q, n_vq,
                     CAP):

@@ -69,7 +69,8 @@ def make_sweep(scorer, *, n_features: int, depth: int, reg: float | None,
 
             chunks, sbuckets = buckets
             vals = sparse_mean_metric(scorer, Wf.T, chunks, sbuckets,
-                                      sparse_n, n_queries)
+                                      sparse_n, n_queries,
+                                      axis_name=axis_name)
             return vals.reshape(R, C)
         total = jnp.zeros((R * C,), jnp.float32)
         for feats, labels, mask in buckets:
@@ -152,10 +153,20 @@ class CoorAscent(Ranker):
         R = self.n_restart
         sparse_n = None
         use_sparse = wants_sparse_eval(train)
-        if mesh is not None and use_sparse:
-            log("(sparse candidate layer is single-device; -dp ignored)")
-            mesh = None
-        if use_sparse:
+        if use_sparse and mesh is not None:
+            # -sparse -dp cross product (round-5): the COO score layer
+            # and metric buckets shard per device
+            # (parallel/dp.py shard_sparse_data; qidx channel unused —
+            # the candidate metric sums queries directly); per-device
+            # totals psum inside sparse_mean_metric, so every
+            # coordinate decision replicates
+            from ranklib_tpu.parallel.dp import shard_sparse_data
+
+            n_dev = mesh.devices.size
+            chunks, sbk4, _, sparse_n = shard_sparse_data(
+                train, n_dev, mesh)
+            buckets = (chunks, tuple(t[:3] for t in sbk4))
+        elif use_sparse:
             # wide CSR data: dense [B, D, F] bucket residency would blow
             # the HBM budget — candidate scores come from the device COO
             # via the gather/segment-sum embedding layer instead
@@ -212,7 +223,7 @@ class CoorAscent(Ranker):
                 scorer, n_features=F, depth=depth, reg=self.reg,
                 tolerance=self.tolerance, n_queries=len(train.queries),
                 step_base=self.STEP_BASE, step_scale=self.STEP_SCALE,
-                axis_name=AXIS, raw=True)
+                sparse_n=sparse_n, axis_name=AXIS, raw=True)
             sh, rp = P_(AXIS), P_()
             bucket_specs = jax.tree.map(lambda _: sh, buckets)
 

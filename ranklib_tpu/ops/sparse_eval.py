@@ -218,8 +218,13 @@ def adarank_weak_matrix(ds, scorer: MetricScorer) -> np.ndarray:
 
 
 def sparse_mean_metric(scorer: MetricScorer, Wf, chunks, buckets, N,
-                       n_queries: int):
-    """Wf [F, K] → mean metric [K] over all queries (jit-friendly)."""
+                       n_queries: int, axis_name: str | None = None):
+    """Wf [F, K] → mean metric [K] over all queries (jit-friendly).
+
+    ``axis_name``: set when running per-device inside shard_map
+    (-sparse -dp, parallel/dp.py shard_sparse_data) — the per-device
+    totals psum before dividing by the GLOBAL query count, so every
+    device sees the identical mean."""
     S = sparse_scores_flat(Wf, chunks, N)
 
     def one_candidate(sc_flat):
@@ -228,4 +233,7 @@ def sparse_mean_metric(scorer: MetricScorer, Wf, chunks, buckets, N,
             total += scorer.score_from_scores(lab, sc_flat[didx], msk).sum()
         return total
 
-    return jax.vmap(one_candidate, in_axes=1)(S) / n_queries
+    totals = jax.vmap(one_candidate, in_axes=1)(S)
+    if axis_name:
+        totals = jax.lax.psum(totals, axis_name)
+    return totals / n_queries

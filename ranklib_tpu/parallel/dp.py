@@ -35,8 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ranklib_tpu.data.dataset import Dataset, query_feats
 from ranklib_tpu.gbdt.boost_dist import AXIS, _place, _shard_queries
 
-__all__ = ["AXIS", "shard_feat_buckets", "make_dist_stepper",
-           "place_sharded", "place_replicated"]
+__all__ = ["AXIS", "shard_feat_buckets", "shard_sparse_data",
+           "make_dist_stepper", "place_sharded", "place_replicated"]
 
 
 def place_sharded(a, mesh: Mesh):
@@ -110,6 +110,99 @@ def shard_feat_buckets(ds: Dataset, n_dev: int, mesh: Mesh,
                 c += (cut(qidx, Qpad),)
             chunks.append(c)
     return tuple(chunks), Qpad, per_dev
+
+
+def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
+    """Stacked per-device SPARSE evaluation data — the ``-sparse -dp``
+    cross product (round-5 VERDICT task 6: AdaRank silently dropped -dp
+    on wide CSR data).
+
+    Per-device analog of ``ops.sparse_eval.build_sparse_data``: queries
+    are dealt round-robin per padded-size class (``_shard_queries`` — the
+    shard_map single-program layout), each device's docs are laid out
+    flat in its list order, and the COO triple + metric buckets are
+    padded to IDENTICAL shapes across devices and sharded on the leading
+    axis.
+
+    Returns ``(chunks, buckets, Qpad, Npad)``:
+
+    * chunks — tuple of (fids [n_dev, C] i32, vals [n_dev, C] f32,
+      rowid [n_dev, C] i32); padding entries point at the sentinel row
+      ``Npad`` (each device's flat score table is [Npad + 1]).
+    * buckets — per size class (labels [n_dev, rows, D] f32,
+      mask [n_dev, rows, D] bool, didx [n_dev, rows, D] i32 into the
+      device-LOCAL doc space, qidx [n_dev, rows] i32 local query slot;
+      sentinels Npad / Qpad).
+    * Qpad — uniform per-device query-slot count; Npad — uniform
+      per-device padded doc count.
+
+    Works for CSRDataset (materialize_query — lazy norm/clip/last-wins
+    exact) and for a dense Dataset (query_feats), so a dense validation
+    file next to CSR train shards the same way.
+    """
+    from ranklib_tpu.ops.sparse_eval import NNZ_CHUNK
+
+    per_dev, class_rows = _shard_queries(ds, n_dev)
+    Qpad = max((len(lst) for lst in per_dev), default=0)
+    Npad = max((sum(ds.queries[qi].n for _, qi in lst)
+                for lst in per_dev), default=1) or 1
+
+    csr = hasattr(ds, "materialize_query")
+    coo = []                        # per device (fids, vals, rowid)
+    # per class: labels/mask/didx/qidx arrays
+    buckets = {D: (np.zeros((n_dev, rows, D), np.float32),
+                   np.zeros((n_dev, rows, D), bool),
+                   np.full((n_dev, rows, D), Npad, np.int32),
+                   np.full((n_dev, rows), Qpad, np.int32))
+               for D, rows in class_rows.items()}
+    row_ptr = {D: [0] * n_dev for D in class_rows}
+    for dev, lst in enumerate(per_dev):
+        f_parts, v_parts, r_parts = [], [], []
+        doc0 = 0
+        for j, (D, qi) in enumerate(lst):
+            q = ds.queries[qi]
+            X = (ds.materialize_query(qi) if csr
+                 else query_feats(ds, qi))
+            r, f = np.nonzero(X)
+            f_parts.append(f.astype(np.int32))
+            v_parts.append(np.asarray(X, np.float32)[r, f])
+            r_parts.append((r + doc0).astype(np.int32))
+            labels, mask, didx, qidx = buckets[D]
+            row = row_ptr[D][dev]
+            labels[dev, row, : q.n] = q.labels
+            mask[dev, row, : q.n] = True
+            didx[dev, row, : q.n] = np.arange(doc0, doc0 + q.n)
+            qidx[dev, row] = j
+            row_ptr[D][dev] = row + 1
+            doc0 += q.n
+        coo.append((np.concatenate(f_parts) if f_parts
+                    else np.zeros(0, np.int32),
+                    np.concatenate(v_parts) if v_parts
+                    else np.zeros(0, np.float32),
+                    np.concatenate(r_parts) if r_parts
+                    else np.zeros(0, np.int32)))
+
+    nnz_max = max(len(f) for f, _, _ in coo)
+    chunk = 1 << 12
+    while chunk < nnz_max and chunk < NNZ_CHUNK:
+        chunk <<= 1
+    C_total = max(1, -(-nnz_max // chunk)) * chunk
+    fids = np.zeros((n_dev, C_total), np.int32)
+    vals = np.zeros((n_dev, C_total), np.float32)
+    rowid = np.full((n_dev, C_total), Npad, np.int32)   # sentinel pad
+    for dev, (f, v, r) in enumerate(coo):
+        fids[dev, : len(f)] = f
+        vals[dev, : len(v)] = v
+        rowid[dev, : len(r)] = r
+    chunks = tuple(
+        (place_sharded(fids[:, s: s + chunk], mesh),
+         place_sharded(vals[:, s: s + chunk], mesh),
+         place_sharded(rowid[:, s: s + chunk], mesh))
+        for s in range(0, C_total, chunk))
+    bks = tuple(
+        tuple(place_sharded(a, mesh) for a in buckets[D])
+        for D in sorted(buckets))
+    return chunks, bks, Qpad, Npad
 
 
 def _tree_sq(tree, specs, sh):

@@ -421,3 +421,59 @@ def test_rf_mesh_streamed_binned_matches_dense():
     r2 = RFRanker(**kw)
     r2.fit(bd, scorer, mesh=make_mesh(4))
     assert r1.model_str() == r2.model_str()
+
+
+def test_adarank_sparse_mesh_matches_single_device(tmp_path, monkeypatch):
+    """-sparse -dp cross product (round-5 VERDICT task 6): the sharded
+    sparse score layer (parallel/dp.py shard_sparse_data) must reproduce
+    the single-device sparse fit — identical feature sequence, alpha
+    within f32 reduction-order noise. Includes a DP-sharded validation
+    set."""
+    from ranklib_tpu.data.sparse import read_letor_sparse
+    from ranklib_tpu.models.adarank import AdaRank
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    ds = synth_dataset(n_queries=24, n_features=10, min_docs=5,
+                       max_docs=30, seed=5, nonlinear=True)
+    p = str(tmp_path / "train.txt")
+    write_letor_text(ds, p)
+    csr = read_letor_sparse(p, quiet=True)
+    val = synth_dataset(n_queries=8, n_features=10, min_docs=5,
+                        max_docs=30, seed=6, w_seed=5, nonlinear=True)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    assert wants_sparse_eval(csr)
+    scorer = create_scorer("NDCG@10")
+    r1 = AdaRank(n_rounds=20)
+    r1.fit(csr, scorer, val)
+    r8 = AdaRank(n_rounds=20)
+    r8.fit(csr, scorer, val, mesh=make_mesh(8))
+    assert len(r1.history) == len(r8.history) > 0
+    for (f1, a1), (f8, a8) in zip(r1.history, r8.history):
+        assert f1 == f8
+        assert abs(a1 - a8) < 1e-5
+
+
+def test_coorascent_sparse_mesh_matches_single_device(tmp_path,
+                                                      monkeypatch):
+    """CoorAscent -sparse -dp: the sharded COO candidate layer + psum'd
+    metric totals must reproduce the single-device sparse sweep —
+    near-identical weights (f32 reduction order differs)."""
+    from ranklib_tpu.data.sparse import read_letor_sparse
+    from ranklib_tpu.models.coorascent import CoorAscent
+    from ranklib_tpu.ops.sparse_eval import wants_sparse_eval
+    from tests.fixtures import synth_dataset, write_letor_text
+
+    ds = synth_dataset(n_queries=24, n_features=10, min_docs=5,
+                       max_docs=30, seed=5, nonlinear=True)
+    p = str(tmp_path / "train.txt")
+    write_letor_text(ds, p)
+    csr = read_letor_sparse(p, quiet=True)
+    monkeypatch.setenv("RANKLIB_TPU_DEVICE_DENSE_MB", "0")
+    assert wants_sparse_eval(csr)
+    scorer = create_scorer("NDCG@10")
+    r1 = CoorAscent(n_restart=2, max_passes=3)
+    r1.fit(csr, scorer)
+    r8 = CoorAscent(n_restart=2, max_passes=3)
+    r8.fit(csr, scorer, mesh=make_mesh(8))
+    np.testing.assert_allclose(r8.weights, r1.weights, atol=2e-4)
