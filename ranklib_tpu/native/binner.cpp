@@ -70,6 +70,98 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
     return 0;
 }
 
+// Serving-upload variant: bin + clamp + narrow + TRANSPOSE in one pass.
+//
+// The host-binned serving path (gbdt/ensemble._eval_matrix_hostbin) used
+// to run four full-matrix passes per chunk: int32 binning, an np.isnan
+// mask + fancy assignment, astype(uint8/int16), and an [N,F]->[F,N]
+// transpose copy — together the dominant serial term once uploads were
+// pipelined (bin_ms 442 of 828 ms wall at 262K docs,
+// tools/exp_serving_pipeline.py 2026-08-21). This entry fuses all four:
+// values bin against the model grid, clamp to `clamp` (= n_grid; exact —
+// node bins are < n_grid and every id >= n_grid routes right like NaN,
+// which IEEE-compares to bin B >= clamp), and write the narrowed id
+// straight into the transposed [F, N] layout the kernel uploads. Row
+// blocks per thread; each thread touches F open output cache lines
+// (~8.7 KB at F=136) — a tiled transpose by construction.
+
+namespace {
+template <typename T>
+void bin_rows_T(const float* feats, const float* thr, T* out,
+                int64_t N, int64_t F, int64_t B, int64_t clamp,
+                int64_t lo_row, int64_t hi_row) {
+    for (int64_t i = lo_row; i < hi_row; ++i) {
+        const float* row = feats + i * F;
+        for (int64_t f = 0; f < F; ++f) {
+            const float* t = thr + f * B;
+            const float v = row[f];
+            int64_t bin;
+            if (v != v) {                 // NaN: after +inf -> clamp
+                bin = clamp;
+            } else {
+                int64_t lo = 0, len = B;
+                while (len > 1) {
+                    const int64_t half = len >> 1;
+                    lo += (t[lo + half - 1] < v) ? half : 0;
+                    len -= half;
+                }
+                bin = lo + (t[lo] < v ? 1 : 0);
+                if (bin > clamp) bin = clamp;
+            }
+            out[f * N + i] = static_cast<T>(bin);
+        }
+    }
+}
+
+template <typename T>
+int bin_features_T(const float* feats, const float* thr, T* out,
+                   int64_t N, int64_t F, int64_t B, int64_t clamp,
+                   int64_t n_threads) {
+    if (N < 0 || F <= 0 || B <= 0 || clamp < 0) return 1;
+    if (N == 0) return 0;
+    int64_t nt = n_threads;
+    if (nt <= 0) {
+        nt = static_cast<int64_t>(std::thread::hardware_concurrency());
+        if (nt <= 0) nt = 1;
+    }
+    if (nt > N) nt = N;
+    if (nt == 1) {
+        bin_rows_T<T>(feats, thr, out, N, F, B, clamp, 0, N);
+        return 0;
+    }
+    std::vector<std::thread> threads;
+    threads.reserve(static_cast<size_t>(nt));
+    const int64_t step = (N + nt - 1) / nt;
+    for (int64_t b = 0; b < nt; ++b) {
+        const int64_t lo = b * step;
+        const int64_t hi = lo + step < N ? lo + step : N;
+        if (lo >= hi) break;
+        threads.emplace_back(bin_rows_T<T>, feats, thr, out,
+                             N, F, B, clamp, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+    return 0;
+}
+}  // namespace
+
+extern "C" int bin_features_u8_T(const float* feats, const float* thr,
+                                 uint8_t* out, int64_t N, int64_t F,
+                                 int64_t B, int64_t clamp,
+                                 int64_t n_threads) {
+    if (clamp > 255) return 1;
+    return bin_features_T<uint8_t>(feats, thr, out, N, F, B, clamp,
+                                   n_threads);
+}
+
+extern "C" int bin_features_i16_T(const float* feats, const float* thr,
+                                  int16_t* out, int64_t N, int64_t F,
+                                  int64_t B, int64_t clamp,
+                                  int64_t n_threads) {
+    if (clamp > 32767) return 1;
+    return bin_features_T<int16_t>(feats, thr, out, N, F, B, clamp,
+                                   n_threads);
+}
+
 // Capped per-feature unique collection for threshold building
 // (gbdt/binning.py compute_thresholds). One row-major pass maintaining a
 // small linear-probing set per feature (cap+1 entries decide "more than
