@@ -34,6 +34,24 @@ from ranklib_tpu.models.trainer import train_ranker
 __all__ = ["read", "train", "evaluate", "rank", "score", "save", "load",
            "Dataset", "Ranker"]
 
+_backend_ready = False
+
+
+def _ensure_backend() -> None:
+    """CLI-equivalent backend pick for library users (round-5 finding:
+    ``rl.train`` died with a raw xla_bridge RuntimeError when the single
+    TPU chip was held by another process — the CLI's
+    ``RANKLIB_TPU_PLATFORM`` forcing and held-chip CPU fallback lived
+    only in ``cli._ensure_backend``). Runs once, before the first
+    compute-touching API call."""
+    global _backend_ready
+    if _backend_ready:
+        return
+    from ranklib_tpu.cli import _ensure_backend as _cli_ensure
+
+    _cli_ensure()
+    _backend_ready = True
+
 
 def read(path: str, must_have_rel_doc: bool = False,
          n_features: int | None = None, sparse: bool = False,
@@ -70,6 +88,7 @@ def train(data: Dataset | str, ranker=6, metric: str = "NDCG@10",
     (MAP/P/RR), queries with no relevant doc are dropped at read time
     (pre-built Datasets are used as given).
     """
+    _ensure_backend()
     scorer = create_scorer(metric, gmax=gmax)
     if isinstance(data, str):
         data = read(data, must_have_rel_doc=scorer.needs_rel)
@@ -85,6 +104,7 @@ def evaluate(model: Ranker, data: Dataset | str, metric: str = "NDCG@10",
 
     ``per_query=True`` also returns the [Q] per-query values (the numbers
     ``-idv`` writes)."""
+    _ensure_backend()
     if isinstance(data, str):
         data = read(data)
     scorer = create_scorer(metric, gmax=gmax)
@@ -94,6 +114,7 @@ def evaluate(model: Ranker, data: Dataset | str, metric: str = "NDCG@10",
 
 def score(model: Ranker, data: Dataset | str) -> list[np.ndarray]:
     """Per-query score arrays, aligned with each query's doc order."""
+    _ensure_backend()
     if isinstance(data, str):
         data = read(data)
     return [np.asarray(s) for s in model.eval_dataset(data)]
@@ -102,6 +123,7 @@ def score(model: Ranker, data: Dataset | str) -> list[np.ndarray]:
 def rank(model: Ranker, data: Dataset | str) -> list[np.ndarray]:
     """Per-query doc permutations, best first (stable ties — the
     reference's MergeSorter contract)."""
+    _ensure_backend()
     if isinstance(data, str):
         data = read(data)
     out = []
