@@ -243,10 +243,15 @@ def main() -> int:
                 ts.append(time.perf_counter() - t0)
             return min(ts), max(ts) - min(ts)
 
+        # shaped key names fixed up front so FAILURE records land under
+        # the same keys a success would (a null under a mismatched key
+        # reads as "not run" instead of "failed" — review finding)
+        n_serve, trees_serve = (262144, 1000) if on_tpu else (16384, 100)
+        k_eval = f"serving_eval_ms_{n_serve}docs_{trees_serve}trees"
+        k_e2e = f"serving_e2e_ms_{n_serve}docs_{trees_serve}trees"
         try:                                   # ---- serving eval
             from __graft_entry__ import _synthetic_ensemble
             rng = np.random.default_rng(0)
-            n_serve, trees_serve = (262144, 1000) if on_tpu else (16384, 100)
             ens = _synthetic_ensemble(n_trees=trees_serve, n_leaves=10,
                                       n_features=136, rng=rng)
             Xs = jnp.asarray(rng.normal(size=(n_serve, 136))
@@ -255,12 +260,11 @@ def main() -> int:
             ev, _ = ens._device_eval_fn(136)
             float(ev(Xs).sum())                # compile + warm
             best, spread = _best_spread(lambda: float(ev(Xs).sum()))
-            extra[f"serving_eval_ms_{n_serve}docs_{trees_serve}trees"] = (
-                round(best * 1e3, 1))
+            extra[k_eval] = round(best * 1e3, 1)
             extra["serving_eval_spread_ms"] = round(spread * 1e3, 1)
         except Exception as e:                 # noqa: BLE001
             print(f"bench extra serving failed: {e!r}", file=sys.stderr)
-            extra["serving_eval_ms"] = None
+            extra[k_eval] = None
         try:                       # ---- end-to-end serving (HOST feats)
             # the full eval_matrix path a CLI user pays: host binning +
             # tunnel upload + kernel + download. On TPU this rides the
@@ -275,8 +279,7 @@ def main() -> int:
                 times.append(time.perf_counter() - t0)
                 bds.append(getattr(ens, "last_serve_breakdown", None))
             best = min(times)
-            extra[f"serving_e2e_ms_{n_serve}docs_{trees_serve}trees"] = (
-                round(best * 1e3, 1))
+            extra[k_e2e] = round(best * 1e3, 1)
             extra["serving_e2e_spread_ms"] = round(
                 (max(times) - best) * 1e3, 1)
             bd = bds[times.index(best)]        # breakdown of the BEST rep
@@ -284,7 +287,7 @@ def main() -> int:
                 extra["serving_e2e_breakdown"] = bd  # sums may exceed wall)
         except Exception as e:                 # noqa: BLE001
             print(f"bench extra serving e2e failed: {e!r}", file=sys.stderr)
-            extra["serving_e2e_ms"] = None
+            extra[k_e2e] = None
         for name, make in (
             ("rankboost", lambda R: __import__(
                 "ranklib_tpu.models.rankboost", fromlist=["RankBoost"]
@@ -293,18 +296,18 @@ def main() -> int:
                 "ranklib_tpu.models.adarank", fromlist=["AdaRank"]
             ).AdaRank(n_rounds=R)),
         ):
+            R = 300 if on_tpu else 30
             try:
-                R = 300 if on_tpu else 30
                 make(2).fit(train, scorer)     # compile
                 best, spread = _best_spread(lambda: make(R).fit(train, scorer))
                 extra[f"{name}_{R}rounds_s"] = round(best, 2)
                 extra[f"{name}_spread_s"] = round(spread, 2)
             except Exception as e:             # noqa: BLE001
                 print(f"bench extra {name} failed: {e!r}", file=sys.stderr)
-                extra[f"{name}_rounds_s"] = None
+                extra[f"{name}_{R}rounds_s"] = None
+        E = 100 if on_tpu else 10
         try:                                   # ---- RankNet at ref defaults
             from ranklib_tpu.models.neural import RankNet
-            E = 100 if on_tpu else 10
             RankNet(n_epoch=2).fit(train, scorer)     # compile
             best, spread = _best_spread(
                 lambda: RankNet(n_epoch=E).fit(train, scorer))
@@ -312,7 +315,7 @@ def main() -> int:
             extra["ranknet_spread_s"] = round(spread, 2)
         except Exception as e:                 # noqa: BLE001
             print(f"bench extra ranknet failed: {e!r}", file=sys.stderr)
-            extra["ranknet_epochs_s"] = None
+            extra[f"ranknet_{E}epochs_s"] = None
         return extra
 
     cold_compile_s = timed_fit(2)  # cold: compiles every jit kernel

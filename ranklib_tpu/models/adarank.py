@@ -346,7 +346,7 @@ class AdaRank(Ranker):
         ``sparse_docs`` so all sums psum and decisions replicate."""
         from jax.sharding import PartitionSpec as P_
 
-        from ranklib_tpu.gbdt.boost_dist import AXIS, _shard_queries
+        from ranklib_tpu.gbdt.boost_dist import AXIS
         from ranklib_tpu.ops.sparse_eval import adarank_weak_matrix
         from ranklib_tpu.parallel.dp import (
             make_dist_stepper, place_replicated, place_sharded,
@@ -355,8 +355,11 @@ class AdaRank(Ranker):
 
         n_dev = mesh.devices.size
         S_np = adarank_weak_matrix(train, scorer)
-        chunks, bks, Qpad, Npad = shard_sparse_data(train, n_dev, mesh)
-        per_dev, _ = _shard_queries(train, n_dev)
+        # per_dev comes FROM shard_sparse_data so the S rows below use
+        # the exact dealing the buckets were built from (review finding,
+        # round 5: a second _shard_queries call could silently drift)
+        chunks, bks, Qpad, Npad, per_dev = shard_sparse_data(
+            train, n_dev, mesh)
         S_stack = np.zeros((n_dev, Qpad, F), np.float32)
         qmask_stack = np.zeros((n_dev, Qpad), bool)
         for dev, lst in enumerate(per_dev):
@@ -368,7 +371,7 @@ class AdaRank(Ranker):
         n_vslots = n_vq
         Nvpad = 1
         if validation is not None:
-            vchunks, vbks, n_vslots, Nvpad = shard_sparse_data(
+            vchunks, vbks, n_vslots, Nvpad, _ = shard_sparse_data(
                 validation, n_dev, mesh)
             vb = (vchunks, vbks)
         shd = lambda a: place_sharded(np.asarray(a), mesh)

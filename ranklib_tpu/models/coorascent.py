@@ -163,9 +163,9 @@ class CoorAscent(Ranker):
             from ranklib_tpu.parallel.dp import shard_sparse_data
 
             n_dev = mesh.devices.size
-            chunks, sbk4, _, sparse_n = shard_sparse_data(
-                train, n_dev, mesh)
-            buckets = (chunks, tuple(t[:3] for t in sbk4))
+            chunks, sbk3, _, sparse_n, _ = shard_sparse_data(
+                train, n_dev, mesh, want_qidx=False)
+            buckets = (chunks, sbk3)
         elif use_sparse:
             # wide CSR data: dense [B, D, F] bucket residency would blow
             # the HBM budget — candidate scores come from the device COO

@@ -112,7 +112,7 @@ def shard_feat_buckets(ds: Dataset, n_dev: int, mesh: Mesh,
     return tuple(chunks), Qpad, per_dev
 
 
-def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
+def shard_sparse_data(ds, n_dev: int, mesh: Mesh, want_qidx: bool = True):
     """Stacked per-device SPARSE evaluation data — the ``-sparse -dp``
     cross product (round-5 VERDICT task 6: AdaRank silently dropped -dp
     on wide CSR data).
@@ -124,17 +124,24 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
     padded to IDENTICAL shapes across devices and sharded on the leading
     axis.
 
-    Returns ``(chunks, buckets, Qpad, Npad)``:
+    Returns ``(chunks, buckets, Qpad, Npad, per_dev)``:
 
     * chunks — tuple of (fids [n_dev, C] i32, vals [n_dev, C] f32,
       rowid [n_dev, C] i32); padding entries point at the sentinel row
       ``Npad`` (each device's flat score table is [Npad + 1]).
     * buckets — per size class (labels [n_dev, rows, D] f32,
       mask [n_dev, rows, D] bool, didx [n_dev, rows, D] i32 into the
-      device-LOCAL doc space, qidx [n_dev, rows] i32 local query slot;
+      device-LOCAL doc space[, qidx [n_dev, rows] i32 local query slot —
+      only when ``want_qidx``, so callers whose metric sums never index
+      per-query slots skip one sharded upload per size class];
       sentinels Npad / Qpad).
     * Qpad — uniform per-device query-slot count; Npad — uniform
       per-device padded doc count.
+    * per_dev — the ``_shard_queries`` dealing this layout was built
+      from; callers aligning per-query side arrays (AdaRank's S matrix)
+      MUST consume this instead of re-deriving it (review finding,
+      round 5: a second independent ``_shard_queries`` call must stay
+      deal-for-deal identical or S rows silently misalign).
 
     Works for CSRDataset (materialize_query — lazy norm/clip/last-wins
     exact) and for a dense Dataset (query_feats), so a dense validation
@@ -149,11 +156,12 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
 
     csr = hasattr(ds, "materialize_query")
     coo = []                        # per device (fids, vals, rowid)
-    # per class: labels/mask/didx/qidx arrays
+    # per class: labels/mask/didx[/qidx] arrays
     buckets = {D: (np.zeros((n_dev, rows, D), np.float32),
                    np.zeros((n_dev, rows, D), bool),
-                   np.full((n_dev, rows, D), Npad, np.int32),
-                   np.full((n_dev, rows), Qpad, np.int32))
+                   np.full((n_dev, rows, D), Npad, np.int32))
+               + ((np.full((n_dev, rows), Qpad, np.int32),)
+                  if want_qidx else ())
                for D, rows in class_rows.items()}
     row_ptr = {D: [0] * n_dev for D in class_rows}
     for dev, lst in enumerate(per_dev):
@@ -167,12 +175,13 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
             f_parts.append(f.astype(np.int32))
             v_parts.append(np.asarray(X, np.float32)[r, f])
             r_parts.append((r + doc0).astype(np.int32))
-            labels, mask, didx, qidx = buckets[D]
+            labels, mask, didx = buckets[D][:3]
             row = row_ptr[D][dev]
             labels[dev, row, : q.n] = q.labels
             mask[dev, row, : q.n] = True
             didx[dev, row, : q.n] = np.arange(doc0, doc0 + q.n)
-            qidx[dev, row] = j
+            if want_qidx:
+                buckets[D][3][dev, row] = j
             row_ptr[D][dev] = row + 1
             doc0 += q.n
         coo.append((np.concatenate(f_parts) if f_parts
@@ -202,7 +211,7 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh):
     bks = tuple(
         tuple(place_sharded(a, mesh) for a in buckets[D])
         for D in sorted(buckets))
-    return chunks, bks, Qpad, Npad
+    return chunks, bks, Qpad, Npad, per_dev
 
 
 def _tree_sq(tree, specs, sh):

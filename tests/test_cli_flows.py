@@ -165,8 +165,13 @@ def test_sparse_tts_dense_fallback_still_splits(tmp_path, capsys,
     assert "using the dense pipeline" in out
     assert "Train-test split: 14 / 6 queries" in out
     assert "on test data:" in out
+
+
+def test_python_api_roundtrip(tmp_path):
     """api.read/train/evaluate/save/load/rank/score — the documented
-    programmatic surface."""
+    programmatic surface. (The `def` header was accidentally absorbed
+    into the preceding test when the tts-fallback test landed — review
+    finding, round 5.)"""
     import ranklib_tpu.api as rl
     from tests.fixtures import synth_dataset, write_letor_text
 
