@@ -518,7 +518,9 @@ class TreeEnsemble:
           host-bins chunk i+1 while the main thread uploads chunk i and
           async-dispatches its kernel, so binning and device compute hide
           behind the link. The tail chunk host-pads to a _TN multiple so
-          kernel program shapes stay quantized.
+          kernel program shapes stay quantized. At 4.2M docs × 1000
+          trees: 12.8 s end-to-end (was 39.8 s monolithic-hostbin /
+          80-111 s f32), checksum-exact.
 
         A per-call phase breakdown lands in ``self.last_serve_breakdown``
         (bin/upload wall-ms sums, final sync, chunk geometry) — phase sums

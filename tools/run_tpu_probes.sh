@@ -34,6 +34,9 @@ run radix_tn1024  python tools/exp_radix_tn.py 1024
 run radix_tn2048  python tools/exp_radix_tn.py 2048
 run radix_tn4096  python tools/exp_radix_tn.py 4096
 run hostbin_ab    python tools/exp_serving_hostbin.py
+run adjudicate    python tools/exp_round5_adjudicate.py
+run serve_pipe    python tools/exp_serving_pipeline.py
+run upload_rate   python tools/exp_upload_rate2.py
 run int8_dot      python tools/exp_int8_dot_probe.py
 run bench         python bench.py
 echo "battery done $(date +%H:%M:%S)" | tee -a tools/logs/battery.log
