@@ -523,8 +523,16 @@ class TreeEnsemble:
           80-111 s f32), checksum-exact.
 
         A per-call phase breakdown lands in ``self.last_serve_breakdown``
-        (bin/upload wall-ms sums, final sync, chunk geometry) — phase sums
-        can exceed wall_ms because phases overlap. Kill switches:
+        (chunk geometry, worker bin-ms sum, put-enqueue-ms sum, final
+        sync, wall). Read it knowing the pipeline's async semantics:
+        ``put_ms`` times only the device_put ENQUEUE (device_put returns
+        before bytes move — measured directly in
+        tools/exp_upload_rate.py: 33 ms put vs ~2 s to a value read at
+        32 MB), so the actual link-transfer time lands in ``sync_ms``
+        together with kernel tail time; ``bin_ms`` sums worker-thread
+        wall that mostly overlaps the link. Phases overlap by design —
+        sums can exceed wall_ms, and wall_ms is the only end-to-end
+        truth. Kill switches:
         RANKLIB_TPU_SERVE_HOSTBIN=0 (route off), RANKLIB_TPU_SERVE_CHUNK_MB
         (chunk budget)."""
         import os
@@ -550,14 +558,20 @@ class TreeEnsemble:
                                                PmQc, csQc, plenc, outwc,
                                                n_grid=int(n_grid))
 
-        budget_mb = float(os.environ.get("RANKLIB_TPU_SERVE_CHUNK_MB", "8"))
+        try:
+            budget_mb = float(
+                os.environ.get("RANKLIB_TPU_SERVE_CHUNK_MB", "8"))
+        except ValueError:
+            budget_mb = 8.0
+        if budget_mb <= 0:          # 0/negative would mean one kernel
+            budget_mb = 8.0         # dispatch per doc through the link
         C = int(budget_mb * (1 << 20)) // max(1, F * np.dtype(dt).itemsize)
         C = max(1, min(self._EVAL_CHUNK_KERNEL, C))
         if C >= _TN:
             C = (C // _TN) * _TN           # full chunks share one program
 
         bd = {"n_chunks": -(-N // C), "chunk_docs": C,
-              "bin_ms": 0.0, "upload_ms": 0.0}
+              "bin_ms": 0.0, "put_ms": 0.0}
 
         def prep(lo: int) -> np.ndarray:
             t0 = time.perf_counter()
@@ -594,7 +608,9 @@ class TreeEnsemble:
                     fut = ex.submit(prep, lo + C)
                 t0 = time.perf_counter()
                 Xd = jax.device_put(binsT)
-                bd["upload_ms"] += (time.perf_counter() - t0) * 1e3
+                # enqueue time only — the transfer itself completes
+                # asynchronously and is accounted in sync_ms
+                bd["put_ms"] += (time.perf_counter() - t0) * 1e3
                 parts.append(fn(Xd))       # async dispatch: kernel for
                 #                            chunk i overlaps put(i+1)
         t0 = time.perf_counter()
@@ -603,7 +619,7 @@ class TreeEnsemble:
         bd["sync_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
         bd["wall_ms"] = round((time.perf_counter() - t_wall) * 1e3, 1)
         bd["bin_ms"] = round(bd["bin_ms"], 1)
-        bd["upload_ms"] = round(bd["upload_ms"], 1)
+        bd["put_ms"] = round(bd["put_ms"], 1)
         self.last_serve_breakdown = bd
         return out
 

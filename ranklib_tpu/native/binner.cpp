@@ -16,25 +16,27 @@
 #include <thread>
 #include <vector>
 
-extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
-                                const float* thr,     // [F, B] row-major
-                                int32_t* out,         // [N, F]
-                                int64_t N, int64_t F, int64_t B,
-                                int64_t n_threads) {
-    if (N < 0 || F <= 0 || B <= 0) return 1;
-    if (N == 0) return 0;
+// One shared search + thread-dealing implementation serves every entry
+// point (review finding, round 5: the i32 and transposed variants had
+// drifted into two parity-pinned copies of the same binary search).
+// bin_features_i32 is bin_features_impl<int32_t, row-major> with
+// clamp = B — a no-op for finite values (bins are <= B by construction)
+// that preserves the NaN -> B rule exactly.
 
-    auto work = [&](int64_t lo_row, int64_t hi_row) {
-        for (int64_t i = lo_row; i < hi_row; ++i) {
-            const float* row = feats + i * F;
-            int32_t* orow = out + i * F;
-            for (int64_t f = 0; f < F; ++f) {
-                const float* t = thr + f * B;
-                const float v = row[f];
-                if (v != v) {             // NaN: numpy's sort order puts it
-                    orow[f] = static_cast<int32_t>(B);  // after +inf → bin B
-                    continue;
-                }
+namespace {
+template <typename T, bool TRANSPOSED>
+void bin_rows(const float* feats, const float* thr, T* out,
+              int64_t N, int64_t F, int64_t B, int64_t clamp,
+              int64_t lo_row, int64_t hi_row) {
+    for (int64_t i = lo_row; i < hi_row; ++i) {
+        const float* row = feats + i * F;
+        for (int64_t f = 0; f < F; ++f) {
+            const float* t = thr + f * B;
+            const float v = row[f];
+            int64_t bin;
+            if (v != v) {                 // NaN: after +inf -> clamp
+                bin = clamp;
+            } else {
                 // branchless lower_bound: count of t[j] < v
                 int64_t lo = 0, len = B;
                 while (len > 1) {
@@ -42,11 +44,21 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
                     lo += (t[lo + half - 1] < v) ? half : 0;
                     len -= half;
                 }
-                orow[f] = static_cast<int32_t>(lo + (t[lo] < v ? 1 : 0));
+                bin = lo + (t[lo] < v ? 1 : 0);
+                if (bin > clamp) bin = clamp;
             }
+            (TRANSPOSED ? out[f * N + i] : out[i * F + f]) =
+                static_cast<T>(bin);
         }
-    };
+    }
+}
 
+template <typename T, bool TRANSPOSED>
+int bin_features_impl(const float* feats, const float* thr, T* out,
+                      int64_t N, int64_t F, int64_t B, int64_t clamp,
+                      int64_t n_threads) {
+    if (N < 0 || F <= 0 || B <= 0 || clamp < 0) return 1;
+    if (N == 0) return 0;
     int64_t nt = n_threads;
     if (nt <= 0) {
         nt = static_cast<int64_t>(std::thread::hardware_concurrency());
@@ -54,7 +66,7 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
     }
     if (nt > N) nt = N;
     if (nt == 1) {
-        work(0, N);
+        bin_rows<T, TRANSPOSED>(feats, thr, out, N, F, B, clamp, 0, N);
         return 0;
     }
     std::vector<std::thread> threads;
@@ -64,10 +76,21 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
         const int64_t lo = b * step;
         const int64_t hi = lo + step < N ? lo + step : N;
         if (lo >= hi) break;
-        threads.emplace_back(work, lo, hi);
+        threads.emplace_back(bin_rows<T, TRANSPOSED>, feats, thr, out,
+                             N, F, B, clamp, lo, hi);
     }
     for (auto& th : threads) th.join();
     return 0;
+}
+}  // namespace
+
+extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
+                                const float* thr,     // [F, B] row-major
+                                int32_t* out,         // [N, F]
+                                int64_t N, int64_t F, int64_t B,
+                                int64_t n_threads) {
+    return bin_features_impl<int32_t, false>(feats, thr, out, N, F, B,
+                                             /*clamp=*/B, n_threads);
 }
 
 // Serving-upload variant: bin + clamp + narrow + TRANSPOSE in one pass.
@@ -85,72 +108,13 @@ extern "C" int bin_features_i32(const float* feats,   // [N, F] row-major
 // blocks per thread; each thread touches F open output cache lines
 // (~8.7 KB at F=136) — a tiled transpose by construction.
 
-namespace {
-template <typename T>
-void bin_rows_T(const float* feats, const float* thr, T* out,
-                int64_t N, int64_t F, int64_t B, int64_t clamp,
-                int64_t lo_row, int64_t hi_row) {
-    for (int64_t i = lo_row; i < hi_row; ++i) {
-        const float* row = feats + i * F;
-        for (int64_t f = 0; f < F; ++f) {
-            const float* t = thr + f * B;
-            const float v = row[f];
-            int64_t bin;
-            if (v != v) {                 // NaN: after +inf -> clamp
-                bin = clamp;
-            } else {
-                int64_t lo = 0, len = B;
-                while (len > 1) {
-                    const int64_t half = len >> 1;
-                    lo += (t[lo + half - 1] < v) ? half : 0;
-                    len -= half;
-                }
-                bin = lo + (t[lo] < v ? 1 : 0);
-                if (bin > clamp) bin = clamp;
-            }
-            out[f * N + i] = static_cast<T>(bin);
-        }
-    }
-}
-
-template <typename T>
-int bin_features_T(const float* feats, const float* thr, T* out,
-                   int64_t N, int64_t F, int64_t B, int64_t clamp,
-                   int64_t n_threads) {
-    if (N < 0 || F <= 0 || B <= 0 || clamp < 0) return 1;
-    if (N == 0) return 0;
-    int64_t nt = n_threads;
-    if (nt <= 0) {
-        nt = static_cast<int64_t>(std::thread::hardware_concurrency());
-        if (nt <= 0) nt = 1;
-    }
-    if (nt > N) nt = N;
-    if (nt == 1) {
-        bin_rows_T<T>(feats, thr, out, N, F, B, clamp, 0, N);
-        return 0;
-    }
-    std::vector<std::thread> threads;
-    threads.reserve(static_cast<size_t>(nt));
-    const int64_t step = (N + nt - 1) / nt;
-    for (int64_t b = 0; b < nt; ++b) {
-        const int64_t lo = b * step;
-        const int64_t hi = lo + step < N ? lo + step : N;
-        if (lo >= hi) break;
-        threads.emplace_back(bin_rows_T<T>, feats, thr, out,
-                             N, F, B, clamp, lo, hi);
-    }
-    for (auto& th : threads) th.join();
-    return 0;
-}
-}  // namespace
-
 extern "C" int bin_features_u8_T(const float* feats, const float* thr,
                                  uint8_t* out, int64_t N, int64_t F,
                                  int64_t B, int64_t clamp,
                                  int64_t n_threads) {
     if (clamp > 255) return 1;
-    return bin_features_T<uint8_t>(feats, thr, out, N, F, B, clamp,
-                                   n_threads);
+    return bin_features_impl<uint8_t, true>(feats, thr, out, N, F, B,
+                                            clamp, n_threads);
 }
 
 extern "C" int bin_features_i16_T(const float* feats, const float* thr,
@@ -158,8 +122,8 @@ extern "C" int bin_features_i16_T(const float* feats, const float* thr,
                                   int64_t B, int64_t clamp,
                                   int64_t n_threads) {
     if (clamp > 32767) return 1;
-    return bin_features_T<int16_t>(feats, thr, out, N, F, B, clamp,
-                                   n_threads);
+    return bin_features_impl<int16_t, true>(feats, thr, out, N, F, B,
+                                            clamp, n_threads);
 }
 
 // Capped per-feature unique collection for threshold building

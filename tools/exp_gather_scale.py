@@ -22,6 +22,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
@@ -32,32 +33,14 @@ from ranklib_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 print("backend:", jax.default_backend(), flush=True)
 
-PAIR_BUDGET = 1 << 24
+from _gather_fixture import build_didx as _build_chunks
 
 
 def build_didx(n_queries, seed):
-    rng = np.random.default_rng(seed)
-    sizes = rng.integers(80, 161, n_queries)
-    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-    N = int(sizes.sum())
-    classes = {}
-    for qi in range(n_queries):
-        D = 96 if sizes[qi] <= 96 else 112 if sizes[qi] <= 112 else \
-            128 if sizes[qi] <= 128 else 160
-        classes.setdefault(D, []).append(qi)
-    chunks = []
-    for D, qs in sorted(classes.items()):
-        B = len(qs)
-        didx = np.full((B, D), N, np.int32)
-        for row, qi in enumerate(qs):
-            didx[row, : sizes[qi]] = np.arange(
-                starts[qi], starts[qi] + sizes[qi], dtype=np.int32)
-        rows = max(1, min(B, PAIR_BUDGET // (D * D)))
-        for lo in range(0, B, rows):
-            hi = min(lo + rows, B)
-            pad = rows - (hi - lo)
-            chunks.append(jnp.asarray(np.pad(
-                didx[lo:hi], ((0, pad), (0, 0)), constant_values=N)))
+    import jax.numpy as jnp
+
+    N, chunks_np = _build_chunks(n_queries, seed)
+    chunks = [jnp.asarray(c) for c in chunks_np]
     flat = np.concatenate([np.asarray(c).reshape(-1) for c in chunks])
     inv = np.full(N + 1, len(flat), np.int64)
     real = flat < N
