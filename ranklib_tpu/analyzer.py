@@ -34,7 +34,14 @@ def read_idv(path: str) -> dict:
             _, qid, val = parts
             if qid == "all":
                 continue
-            out[qid] = float(val)
+            try:
+                out[qid] = float(val)
+            except ValueError:
+                # a stray non-idv text file whose line happens to have 3
+                # tokens must be SKIPPED by analyze()'s RankLibError
+                # handler, not crash the whole -ana run
+                raise RankLibError(
+                    f"Non-numeric value {val!r} in {path}") from None
     if not out:
         raise RankLibError(f"No per-query rows in {path}")
     return out
@@ -87,8 +94,12 @@ def analyze(directory: str, base_file: str,
     log("-" * 84)
     # both signs bucketed by |margin| (the reference reports improved AND
     # degraded counts per range, not only the positive side)
+    # the last bucket counts deltas through 1.0 inclusive (hi = 1.01),
+    # so its label is closed: '[0.8,1]' — a '[0.8,1)' header contradicted
+    # a counted delta of exactly 1.0 (review finding)
     hdr = f"{'':<24}" + "".join(
-        f"{f'[{lo:g},{min(hi, 1.0):g})':>10}" for lo, hi in _BUCKETS)
+        f"{f'[{lo:g},1]' if hi > 1.0 else f'[{lo:g},{hi:g})':>10}"
+        for lo, hi in _BUCKETS)
     log(f"{'(improvements)':<24}")
     log(hdr + f"{'> 0':>8}{'< 0':>8}")
     for r in results:

@@ -72,11 +72,7 @@ class Dataset:
         """Restrict to a feature subset, keeping column positions (unlisted
         features read as 0 — matches training on a `-feature` subset where
         the model still addresses original fids)."""
-        keep = np.zeros(self.n_features, dtype=bool)
-        for fid in fids:
-            if fid < 1 or fid > self.n_features:
-                raise RankLibError(f"Feature id {fid} out of range 1..{self.n_features}")
-            keep[fid - 1] = True
+        keep = feature_mask_from_fids(fids, self.n_features)
         out = []
         for q in self.queries:
             feats = np.where(keep[None, :], q.feats, 0.0).astype(np.float32)
@@ -106,6 +102,21 @@ class Dataset:
     def all_fids(self):
         """All fids 1..F (ref: FeatureManager.getFeatureFromSampleVector)."""
         return list(range(1, self.n_features + 1))
+
+
+def feature_mask_from_fids(fids, n_features: int) -> np.ndarray:
+    """[F] bool mask from 1-indexed fids (a ``-feature`` file), with the
+    shared out-of-range error — the ONE copy of this validation
+    (Dataset.subset_features, CSRDataset.subset_features, and the
+    evaluator's streamed-mask path all consume it; review finding,
+    round 5: three drifting copies)."""
+    mask = np.zeros(n_features, dtype=bool)
+    for fid in fids:
+        if fid < 1 or fid > n_features:
+            raise RankLibError(
+                f"Feature id {fid} out of range 1..{n_features}")
+        mask[fid - 1] = True
+    return mask
 
 
 def read_feature_file(path: str):

@@ -190,12 +190,9 @@ class CSRDataset(Dataset):
             qrow=qrow, norm_kind=self.norm_kind, **kw)
 
     def subset_features(self, fids) -> "CSRDataset":
-        keep = np.zeros(self.n_features, dtype=bool)
-        for fid in fids:
-            if fid < 1 or fid > self.n_features:
-                raise RankLibError(
-                    f"Feature id {fid} out of range 1..{self.n_features}")
-            keep[fid - 1] = True
+        from ranklib_tpu.data.dataset import feature_mask_from_fids
+
+        keep = feature_mask_from_fids(fids, self.n_features)
         # stored fids can exceed n_features after with_width narrowing
         # (materialize_rows clips them; they are dropped here the same way)
         inw = self.fids < self.n_features

@@ -12,7 +12,9 @@ import os
 import numpy as np
 
 from ranklib_tpu.data.cv import prepare_cv, split_tvs
-from ranklib_tpu.data.dataset import Dataset, read_feature_file
+from ranklib_tpu.data.dataset import (
+    Dataset, feature_mask_from_fids, read_feature_file,
+)
 from ranklib_tpu.data.letor import read_letor
 from ranklib_tpu.data.normalize import normalize_dataset
 from ranklib_tpu.data.qrel import apply_qrel
@@ -20,7 +22,7 @@ from ranklib_tpu.metrics.base import MetricScorer, create_scorer, score_dataset
 from ranklib_tpu.models.base import Ranker, load_ranker_file
 from ranklib_tpu.models.trainer import train_ranker
 from ranklib_tpu.utils.errors import RankLibError
-from ranklib_tpu.utils.logging import log
+from ranklib_tpu.utils.logging import log, result
 
 
 def _prepare(path, norm, feature_fids, must_have_rel, n_features=None,
@@ -98,21 +100,14 @@ def write_indri_rankings(path: str, ds: Dataset, scores) -> None:
             order = np.argsort(-np.asarray(s), kind="stable")
             for rank, idx in enumerate(order, start=1):
                 desc = q.descs[idx] if q.descs and q.descs[idx] else ""
-                docid = desc.lstrip("#").strip() or f"doc{idx}"
+                # replace EVERY '#', not just the leading marker — the
+                # reference's replace("#", "").trim() applies to embedded
+                # '#' too (e.g. 'docid = GX008-86#p2' -> '... GX008-86p2')
+                docid = desc.replace("#", "").strip() or f"doc{idx}"
                 f.write(f"{q.qid} Q0 {docid} {rank} {float(s[idx]):.6f} indri\n")
     log(f"Reranked lists saved to: {path}")
 
 
-def _feature_mask_for(fids, n_features):
-    """[F] bool mask from 1-indexed fids (the -feature file), with the
-    dense pipeline's out-of-range error."""
-    mask = np.zeros(n_features, bool)
-    for fid in fids:
-        if fid < 1 or fid > n_features:
-            raise RankLibError(
-                f"Feature id {fid} out of range 1..{n_features}")
-        mask[fid - 1] = True
-    return mask
 
 
 def _try_stream(args) -> bool:
@@ -186,7 +181,17 @@ def evaluate_train(args) -> Ranker:
     stream = _try_stream(args)
     stream_n = not stream and _try_stream_norm(args)
     csr = not stream and not stream_n and _try_csr(args)
-    if stream:
+    tts = getattr(args, "tts", -1.0)
+    has_tts = bool(tts) and tts > 0
+    tvs_wanted = (not args.validate and not has_tts
+                  and bool(args.tvs) and args.tvs > 0)
+    # when the CSR split-grid branch below will reload the file anyway
+    # (-tts/-tvs under the streamed loaders bin per-subset grids), skip
+    # the initial parse+bin pass entirely — it was fully discarded, and
+    # on multi-GB -sparse inputs it doubled startup I/O+binning (review
+    # finding, round 5). The split branch carries its own dense fallback.
+    split_reload = (stream or stream_n) and (has_tts or tvs_wanted)
+    if stream and not split_reload:
         from ranklib_tpu.data.binned import read_letor_binned
         tc = args.tc if args.tc is not None else 256
         try:
@@ -205,9 +210,9 @@ def evaluate_train(args) -> Ranker:
             apply_qrel(train, args.qrel)
         if stream and feature_fids is not None:
             args.hparams = dict(args.hparams or {})
-            args.hparams["_feature_mask"] = _feature_mask_for(
+            args.hparams["_feature_mask"] = feature_mask_from_fids(
                 feature_fids, train.n_features)
-    if stream_n:
+    if stream_n and not split_reload:
         try:
             train = _read_csr_norm_binned(args.train, args, must_rel,
                                           feature_fids)
@@ -243,10 +248,6 @@ def evaluate_train(args) -> Ranker:
                          qrel=args.qrel)
     split_test = None
     validation = None
-    tts = getattr(args, "tts", -1.0)
-    has_tts = bool(tts) and tts > 0
-    tvs_wanted = (not args.validate and not has_tts
-                  and bool(args.tvs) and args.tvs > 0)
     if (stream or stream_n) and (has_tts or tvs_wanted):
         # Splitting a streamed BinnedDataset would keep the WHOLE-FILE
         # threshold grid, but the dense pipeline computes grids from the
@@ -334,11 +335,11 @@ def evaluate_train(args) -> Ranker:
                           args.hparams, n_dp=getattr(args, "dp", 0),
                           profile_dir=getattr(args, "profile", None))
     m_train, _ = score_dataset(train_scorer, train, ranker.eval_dataset(train))
-    log(f"{train_scorer.name} on training data: {m_train:.4f}")
+    result(f"{train_scorer.name} on training data: {m_train:.4f}")
     if validation is not None:
         m_val, _ = score_dataset(train_scorer, validation,
                                  ranker.eval_dataset(validation))
-        log(f"{train_scorer.name} on validation data: {m_val:.4f}")
+        result(f"{train_scorer.name} on validation data: {m_val:.4f}")
     if args.test or split_test is not None:
         if split_test is not None:
             test = split_test
@@ -367,7 +368,7 @@ def evaluate_train(args) -> Ranker:
                             n_features=train.n_features, qrel=args.qrel,
                             missing_zero=args.missingZero)
         m_test, per_q = score_dataset(test_scorer, test, ranker.eval_dataset(test))
-        log(f"{test_scorer.name} on test data: {m_test:.4f}")
+        result(f"{test_scorer.name} on test data: {m_test:.4f}")
         if args.idv:
             write_idv(args.idv, test_scorer, test, per_q)
     if args.save:
@@ -433,7 +434,7 @@ def evaluate_kcv(args) -> None:
                 apply_qrel(ds, args.qrel)
             if shared_mask and feature_fids is not None:
                 args.hparams = dict(args.hparams or {})
-                args.hparams["_feature_mask"] = _feature_mask_for(
+                args.hparams["_feature_mask"] = feature_mask_from_fids(
                     feature_fids, ds.n_features)
     else:
         ds = _prepare(args.train, args.norm, feature_fids,
@@ -461,8 +462,15 @@ def evaluate_kcv(args) -> None:
     for fold, (tr, va, te) in enumerate(splits):
         log("")
         log(f"Fold {fold + 1} / {args.kcv}...")
+        # -profile with -kcv: one trace dir per fold (a single shared dir
+        # would overwrite; silently dropping the flag looked like a
+        # broken profiler — review finding)
+        profile = getattr(args, "profile", None)
         ranker = train_ranker(args.ranker, tr, train_scorer, va, args.hparams,
-                              n_dp=getattr(args, "dp", 0))
+                              n_dp=getattr(args, "dp", 0),
+                              profile_dir=(os.path.join(
+                                  profile, f"fold{fold + 1}")
+                                  if profile else None))
         m_tr, _ = score_dataset(train_scorer, tr, ranker.eval_dataset(tr))
         m_te, _ = score_dataset(test_scorer, te, ranker.eval_dataset(te))
         scores_train.append(m_tr)
@@ -471,13 +479,13 @@ def evaluate_kcv(args) -> None:
             os.makedirs(args.kcvmd, exist_ok=True)
             name = args.kcvmn or "model"
             ranker.save(os.path.join(args.kcvmd, f"f{fold + 1}.{name}"))
-    log("")
-    log("Summary:")
-    log(f"{'Fold':<8}| {train_scorer.name + ' (train)':<16}| "
-        f"{test_scorer.name + ' (test)':<16}")
+    result("")
+    result("Summary:")
+    result(f"{'Fold':<8}| {train_scorer.name + ' (train)':<16}| "
+           f"{test_scorer.name + ' (test)':<16}")
     for i, (a, b) in enumerate(zip(scores_train, scores_test)):
-        log(f"Fold {i + 1:<3}| {a:<16.4f}| {b:<16.4f}")
-    log(f"{'Avg.':<8}| {np.mean(scores_train):<16.4f}| "
+        result(f"Fold {i + 1:<3}| {a:<16.4f}| {b:<16.4f}")
+    result(f"{'Avg.':<8}| {np.mean(scores_train):<16.4f}| "
         f"{np.mean(scores_test):<16.4f}")
 
 
@@ -490,7 +498,7 @@ def evaluate_test_only(args) -> None:
                     qrel=args.qrel, missing_zero=args.missingZero,
                     sparse=args.sparse)
     m, per_q = score_dataset(scorer, test, ranker.eval_dataset(test))
-    log(f"{scorer.name} on test data: {m:.4f}")
+    result(f"{scorer.name} on test data: {m:.4f}")
     if args.idv:
         write_idv(args.idv, scorer, test, per_q)
 
@@ -510,8 +518,9 @@ def evaluate_rank(args) -> None:
         write_indri_rankings(args.indri, data, scores)
     if not args.score and not args.indri:
         # No implicit side-effect file: the reference's rank flow only
-        # writes where asked. Print the reranking to stdout instead.
+        # writes where asked. Print the reranking to stdout instead —
+        # it IS the flow's result, so -silent must not swallow it.
         for q, s in zip(data.queries, scores):
             order = np.argsort(-np.asarray(s), kind="stable")
-            log(f"{q.qid}\t" + " ".join(str(int(i)) for i in order))
+            result(f"{q.qid}\t" + " ".join(str(int(i)) for i in order))
 

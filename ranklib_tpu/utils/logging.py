@@ -43,6 +43,17 @@ def log(msg: str = "") -> None:
         print(msg, file=sys.stdout, flush=True)
 
 
+def result(msg: str = "") -> None:
+    """Print a FINAL-RESULT line regardless of ``-silent``.
+
+    The reference's -silent only mutes per-round progress
+    (Ranker.verbose); final metric summaries print via System.out
+    unconditionally (ref: eval/Evaluator.java evaluate() tail). Gating
+    them behind log() made ``-silent -test`` exit 0 with zero bytes of
+    output — the result was simply lost (review finding, round 5)."""
+    print(msg, file=sys.stdout, flush=True)
+
+
 def event(kind: str, **fields) -> None:
     """Emit a structured event to the JSONL log (no-op when disabled)."""
     if _EVENT_FP is not None:

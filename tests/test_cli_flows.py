@@ -236,3 +236,44 @@ def test_python_api_sparse_read(tmp_path):
     m_c = rl.train(csr, ranker=9)
     import numpy as np
     np.testing.assert_allclose(m_d.weights, m_c.weights, atol=1e-9)
+
+
+def test_silent_still_prints_final_results(tmp_path, letor, capsys):
+    """-silent mutes per-round progress only; final metric lines and the
+    rank-flow stdout ranking still print (the reference's -silent gates
+    Ranker.verbose, not the Evaluator result prints — review finding,
+    round 5: '-silent -test' exited 0 with zero bytes of output)."""
+    tr, te = letor
+    model = tmp_path / "m.txt"
+    capsys.readouterr()
+    assert main(["-silent", "-train", tr, "-ranker", "9",
+                 "-metric2t", "NDCG@10", "-test", te,
+                 "-save", str(model)]) == 0
+    out = capsys.readouterr().out
+    assert "on training data:" in out and "on test data:" in out
+    assert "Training starts" not in out        # progress stays muted
+    capsys.readouterr()
+    assert main(["-silent", "-load", str(model), "-test", te,
+                 "-metric2T", "NDCG@10"]) == 0
+    assert "on test data:" in capsys.readouterr().out
+    capsys.readouterr()
+    assert main(["-silent", "-load", str(model), "-rank", te]) == 0
+    out = capsys.readouterr().out
+    assert any("\t" in ln for ln in out.splitlines())
+
+
+def test_indri_docid_strips_every_hash(tmp_path, letor):
+    """The indri docid is description.replace('#','').strip() — EMBEDDED
+    '#' drop too, exactly like the reference (review finding: only the
+    leading marker was stripped)."""
+    from ranklib_tpu.evaluator import write_indri_rankings
+    from ranklib_tpu.data.letor import read_letor
+
+    tr, te = letor
+    ds = read_letor(te, quiet=True)
+    ds.queries[0].descs = ["# docid=GX008-86#part2"] * ds.queries[0].n
+    out = tmp_path / "i.txt"
+    write_indri_rankings(str(out), ds,
+                         [q.labels.astype(float) for q in ds.queries])
+    first = out.read_text().splitlines()[0].split()
+    assert first[2] == "docid=GX008-86part2"

@@ -70,3 +70,19 @@ def test_analyzer_mismatched_queries_raises(tmp_path):
     _write_idv(d / "run.txt", {"1": 0.5})
     with pytest.raises(RankLibError):
         analyze(str(d), str(tmp_path / "base.txt"), 100)
+
+
+def test_analyzer_skips_non_numeric_stray_file(tmp_path, capsys):
+    """A stray 3-token text file in the -all directory is SKIPPED with
+    the designed message instead of crashing the whole -ana run with an
+    uncaught ValueError (review finding, round 5)."""
+    from ranklib_tpu.analyzer import analyze
+
+    base = tmp_path / "base.idv"
+    base.write_text("NDCG@10   q1   0.5\nNDCG@10   all   0.5\n")
+    d = tmp_path / "runs"
+    d.mkdir()
+    (d / "run1.idv").write_text("NDCG@10   q1   0.7\nNDCG@10   all   0.7\n")
+    (d / "README.txt").write_text("foo bar baz\n")
+    res = analyze(str(d), str(base), n_permutations=100)
+    assert [r["name"] for r in res] == ["run1.idv"]
