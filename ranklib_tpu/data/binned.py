@@ -234,7 +234,7 @@ def binned_from_csr(ds, n_threshold: int = 256,
     from ranklib_tpu.native.loader import native_feature_uniques
 
     N, F = ds.n_docs, ds.n_features
-    rows = max(1, _chunk_bytes() // (F * 4))
+    rows = max(1, _chunk_bytes() // (max(1, F) * 4))
     if thresholds is None:
         uvals = [np.zeros(0, np.float32) for _ in range(F)]
         over = np.zeros(F, bool)
@@ -250,7 +250,14 @@ def binned_from_csr(ds, n_threshold: int = 256,
                     u = np.unique(X[:, f])
                     cvals.append(u[: n_threshold + 1])
                     cc.append(len(u))
-                    cminmax[f] = (u[0], u[-1])
+                    # NaN-free minmax, exactly compute_thresholds'
+                    # fallback rule (np.unique sorts NaN LAST, so
+                    # (u[0], u[-1]) fed a NaN into the linspace grid —
+                    # review finding); ±inf seeds keep an all-NaN chunk
+                    # inert in the cross-chunk min/max merge
+                    fin = u[~np.isnan(u)]
+                    cminmax[f] = ((fin[0], fin[-1]) if len(fin)
+                                  else (np.inf, -np.inf))
                 ccounts = np.asarray(cc)
             else:
                 v, ccounts, cminmax = nat
@@ -266,6 +273,11 @@ def binned_from_csr(ds, n_threshold: int = 256,
                         over[f] = True
             minmax[:, 0] = np.minimum(minmax[:, 0], cminmax[:, 0])
             minmax[:, 1] = np.maximum(minmax[:, 1], cminmax[:, 1])
+        # no non-NaN value ever seen: normalize the untouched ±inf seeds
+        # to the canonical (0, 0) (only over-cap features consume minmax,
+        # and those cannot be all-NaN — this is belt-and-braces)
+        unseen = minmax[:, 0] > minmax[:, 1]
+        minmax[unseen] = 0.0
         counts = np.asarray([n_threshold + 1 if over[f] else len(uvals[f])
                              for f in range(F)])
         thresholds, _ = thresholds_from_uniques(uvals, counts, minmax,

@@ -192,7 +192,9 @@ def iter_buckets(ds: Dataset, with_feats: bool = True):
     for D in sorted(groups):
         idxs_all = groups[D]
         if sparse:
-            rows = max(1, rows_cap_bytes // (D * ds.n_features * 4))
+            # max(1, F): a zero-feature file ('2 qid:1' lines) parses
+            # in both pipelines — don't ZeroDivisionError here
+            rows = max(1, rows_cap_bytes // (D * max(1, ds.n_features) * 4))
             chunks = [idxs_all[i: i + rows]
                       for i in range(0, len(idxs_all), rows)]
         else:

@@ -65,11 +65,23 @@ def _parse_line(line: str):
         c = t.find(":")
         if c <= 0:
             raise RankLibError(f"Bad feature token {t!r} in line: {line!r}")
-        fid = int(t[:c])
+        # wrap both conversions: the native parser defers malformed
+        # input here FOR the precise message (a bare ValueError escaped
+        # the CLI's RankLibError handler — review finding; the sparse
+        # parser already wrapped both)
+        try:
+            fid = int(t[:c])
+        except ValueError:
+            raise RankLibError(
+                f"Bad feature id in token {t!r}: {line!r}") from None
         if fid <= 0:
             raise RankLibError(f"Feature id must be >= 1, got {fid}: {line!r}")
         fids.append(fid)
-        vals.append(float(t[c + 1:]))
+        try:
+            vals.append(float(t[c + 1:]))
+        except ValueError:
+            raise RankLibError(
+                f"Bad feature value in token {t!r}: {line!r}") from None
     return label, qid, fids, vals, desc
 
 

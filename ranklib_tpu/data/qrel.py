@@ -15,6 +15,8 @@ against an external judgment file.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from ranklib_tpu.data.dataset import Dataset
@@ -40,15 +42,22 @@ def read_qrel(path: str) -> dict:
     return out
 
 
+_DOCID_RE = re.compile(r"(?<!\w)docid\s*=\s*(\S+)", re.IGNORECASE)
+
+
 def doc_id(desc: str) -> str:
-    """Docid from a '#' description; '' when absent."""
+    """Docid from a '#' description; '' when absent.
+
+    The 'docid = X' form matches at a WORD BOUNDARY with the '=' bound
+    to that very token — a bare substring test extracted 'GX1' from
+    '# mydocid = GX1 docid = GX2' and garbage from 'docidentifier ...'
+    (review finding, round 5). Anything else: first whitespace token."""
     body = desc.lstrip("#").strip()
     if not body:
         return ""
-    low = body.lower()
-    if "docid" in low and "=" in body:
-        after = body[low.index("docid") + 5:].lstrip(" =")
-        return after.split()[0] if after.split() else ""
+    m = _DOCID_RE.search(body)
+    if m:
+        return m.group(1)
     return body.split()[0]
 
 

@@ -197,12 +197,12 @@ class CSRDataset(Dataset):
         # (materialize_rows clips them; they are dropped here the same way)
         inw = self.fids < self.n_features
         sel = keep[np.minimum(self.fids, self.n_features - 1)] & inw
-        counts = np.diff(self.indptr)
-        new_counts = np.zeros(len(counts), np.int64)
-        np.add.at(new_counts,
-                  np.repeat(np.arange(len(counts)), counts)[sel], 1)
-        indptr = np.zeros(len(counts) + 1, np.int64)
-        np.cumsum(new_counts, out=indptr[1:])
+        # per-row kept counts via a cumsum sampled at row boundaries —
+        # O(nnz) with no materialized [nnz] row-id array (np.add.at over
+        # np.repeat was 10-100x slower on 100M+-nnz files — review
+        # finding)
+        cs = np.concatenate([[0], np.cumsum(sel, dtype=np.int64)])
+        indptr = cs[self.indptr]
         # a subset AFTER normalization must drop the removed columns'
         # transforms too (the dense pipeline zeroes normalized values;
         # dropping the stat entry leaves the column's materialized 0s
@@ -215,12 +215,8 @@ class CSRDataset(Dataset):
             keep_n = np.zeros(max(self.ns_width, len(keep)), bool)
             keep_n[: len(keep)] = keep
             ns_sel = keep_n[self.ns_fids]
-            ns_counts = np.zeros(len(self.queries), np.int64)
-            per_q = np.repeat(np.arange(len(self.queries)),
-                              np.diff(self.ns_indptr))
-            np.add.at(ns_counts, per_q[ns_sel], 1)
-            ns_indptr = np.zeros(len(self.queries) + 1, np.int64)
-            np.cumsum(ns_counts, out=ns_indptr[1:])
+            ns_cs = np.concatenate([[0], np.cumsum(ns_sel, dtype=np.int64)])
+            ns_indptr = ns_cs[self.ns_indptr]
             kw = dict(
                 ns_indptr=ns_indptr, ns_fids=self.ns_fids[ns_sel],
                 ns_a=self.ns_a[ns_sel],
@@ -233,10 +229,37 @@ class CSRDataset(Dataset):
             qrow=self.qrow, norm_kind=self.norm_kind, **kw)
 
     def with_width(self, n_features: int) -> "CSRDataset":
-        """Clip/pad is a pure width change: materialization already clips
-        fids ≥ width and implicit columns read 0."""
+        """Width change matching the dense pipeline's DESTRUCTIVE clip.
+
+        Widening is a pure metadata change (implicit columns read 0).
+        Narrowing physically DROPS stored entries with fid ≥ width — a
+        metadata-only narrow let ``with_width(50).with_width(80)``
+        resurrect the clipped fids 51..80 with their raw (and, after a
+        narrow-width normalize, unnormalized) values, silently diverging
+        from the dense pipeline where the columns are sliced away
+        (review finding, round 5)."""
         if n_features == self.n_features:
             return self
+        if n_features < self.n_features:
+            sel = self.fids < n_features
+            cs = np.concatenate([[0], np.cumsum(sel, dtype=np.int64)])
+            indptr = cs[self.indptr]
+            kw = {}
+            if self.norm_kind is not None:
+                ns_sel = self.ns_fids < n_features
+                ns_cs = np.concatenate(
+                    [[0], np.cumsum(ns_sel, dtype=np.int64)])
+                ns_indptr = ns_cs[self.ns_indptr]
+                kw = dict(ns_indptr=ns_indptr,
+                          ns_fids=self.ns_fids[ns_sel],
+                          ns_a=self.ns_a[ns_sel],
+                          ns_b=(self.ns_b[ns_sel]
+                                if self.ns_b is not None else None),
+                          ns_width=min(self.ns_width, n_features))
+            return CSRDataset(queries=self.queries, n_features=n_features,
+                              indptr=indptr, fids=self.fids[sel],
+                              vals=self.vals[sel], qrow=self.qrow,
+                              norm_kind=self.norm_kind, **kw)
         return CSRDataset(queries=self.queries, n_features=n_features,
                           indptr=self.indptr, fids=self.fids,
                           vals=self.vals, qrow=self.qrow,

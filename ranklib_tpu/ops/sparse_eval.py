@@ -69,6 +69,17 @@ def wants_sparse_eval(ds) -> bool:
             and ds.n_docs * ds.n_features * 4 > device_dense_budget_bytes())
 
 
+def coo_chunk_size(nnz_max: int) -> int:
+    """COO gather-chunk sizing policy, shared by the single-device layer
+    and the -dp sharder (parallel/dp.py) so the two cannot drift: next
+    power of two covering nnz, capped at NNZ_CHUNK — small datasets must
+    not pay a full 131K-entry gather of padding per call."""
+    chunk = 1 << 12
+    while chunk < nnz_max and chunk < NNZ_CHUNK:
+        chunk <<= 1
+    return chunk
+
+
 def build_sparse_data(ds):
     """Device pytree for the jitted evaluation core.
 
@@ -85,13 +96,25 @@ def build_sparse_data(ds):
     rows_per = max(1, _chunk_bytes() // (F * 4))
     if not hasattr(ds, "materialize_rows"):
         # dense Dataset (e.g. a narrow validation file next to a wide
-        # CSR train): same COO extraction from its query blocks
-        from ranklib_tpu.data.dataset import flatten
+        # CSR train): slice the per-query feature blocks directly —
+        # flatten(ds) copied the ENTIRE [N, F] into a closure held for
+        # the whole extraction, doubling host memory exactly in the
+        # regime this layer exists for (review finding, round 5)
+        qstart = np.zeros(len(ds.queries) + 1, np.int64)
+        np.cumsum([q.n for q in ds.queries], out=qstart[1:])
 
-        def materialize(lo, hi, _flat=[None]):
-            if _flat[0] is None:
-                _flat[0] = flatten(ds)[0]
-            return _flat[0][lo:hi]
+        def materialize(lo, hi):
+            out = np.zeros((hi - lo, F), np.float32)
+            qi = int(np.searchsorted(qstart, lo, side="right") - 1)
+            while qi < len(ds.queries) and qstart[qi] < hi:
+                r0 = int(max(qstart[qi], lo))
+                r1 = int(min(qstart[qi + 1], hi))
+                q = ds.queries[qi]
+                w = min(q.feats.shape[1], F)
+                out[r0 - lo: r1 - lo, :w] = (
+                    q.feats[r0 - qstart[qi]: r1 - qstart[qi], :w])
+                qi += 1
+            return out
     else:
         materialize = ds.materialize_rows
     f_parts, v_parts, r_parts = [], [], []
@@ -105,11 +128,7 @@ def build_sparse_data(ds):
     fids = (np.concatenate(f_parts) if f_parts else np.zeros(0, np.int32))
     vals = (np.concatenate(v_parts) if v_parts else np.zeros(0, np.float32))
     rowid = (np.concatenate(r_parts) if r_parts else np.zeros(0, np.int32))
-    # chunk = next power of two covering nnz, capped at NNZ_CHUNK: small
-    # datasets must not pay a full 131K-entry gather of padding per call
-    chunk = 1 << 12
-    while chunk < len(fids) and chunk < NNZ_CHUNK:
-        chunk <<= 1
+    chunk = coo_chunk_size(len(fids))
     pad = (-len(fids)) % chunk
     if pad:
         fids = np.pad(fids, (0, pad))

@@ -91,6 +91,14 @@ def make_train_step(scorer, n_bins: int, n_leaves: int,
 
 
 def shard_batch(mesh: Mesh, *arrays, axis: str = AXIS):
-    """Device-put host arrays with leading-axis sharding over the mesh."""
-    sh = NamedSharding(mesh, P(axis))
-    return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
+    """Host arrays → leading-axis-sharded device arrays over the mesh.
+
+    Multi-process aware (review finding, round 5: the module docstring
+    promises the multi-host path, but a bare device_put cannot address
+    remote devices under a mesh spanning processes — the smoke test had
+    to hand-roll make_array_from_process_local_data): routes through the
+    same placement helper the product distributed path uses."""
+    from ranklib_tpu.gbdt.boost_dist import _place
+
+    return tuple(_place(np.asarray(a), mesh, sharded=True, axis=axis)
+                 for a in arrays)

@@ -147,7 +147,7 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh, want_qidx: bool = True):
     exact) and for a dense Dataset (query_feats), so a dense validation
     file next to CSR train shards the same way.
     """
-    from ranklib_tpu.ops.sparse_eval import NNZ_CHUNK
+    from ranklib_tpu.ops.sparse_eval import coo_chunk_size
 
     per_dev, class_rows = _shard_queries(ds, n_dev)
     Qpad = max((len(lst) for lst in per_dev), default=0)
@@ -192,9 +192,7 @@ def shard_sparse_data(ds, n_dev: int, mesh: Mesh, want_qidx: bool = True):
                     else np.zeros(0, np.int32)))
 
     nnz_max = max(len(f) for f, _, _ in coo)
-    chunk = 1 << 12
-    while chunk < nnz_max and chunk < NNZ_CHUNK:
-        chunk <<= 1
+    chunk = coo_chunk_size(nnz_max)
     C_total = max(1, -(-nnz_max // chunk)) * chunk
     fids = np.zeros((n_dev, C_total), np.int32)
     vals = np.zeros((n_dev, C_total), np.float32)

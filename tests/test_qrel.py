@@ -20,6 +20,13 @@ def test_doc_id_forms():
     assert doc_id("# docA") == "docA"
     assert doc_id("#docid = GX1 inc = 1") == "GX1"
     assert doc_id("") == ""
+    # word-boundary matching (review finding, round 5): an embedded
+    # 'docid' substring or a stray '=' elsewhere must not hijack the
+    # extraction
+    assert doc_id("# mydocid = GX1 docid = GX2") == "GX2"
+    assert doc_id("# docidentifier GX8 rank = 2") == "docidentifier"
+    assert doc_id("#DOCID=GX3") == "GX3"
+    assert doc_id("# docid GX4 inc = 1") == "docid"  # no '=': first token
 
 
 def test_apply_qrel(tmp_path):

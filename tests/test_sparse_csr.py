@@ -931,3 +931,52 @@ def test_csr_iter_buckets_host_peak_one_chunk(tmp_path, monkeypatch):
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
     assert peak < dense_bytes / 3, (peak, dense_bytes)
+
+
+def test_csr_with_width_narrow_then_widen_is_destructive(sparse_file):
+    """Narrowing with_width physically drops clipped entries like the
+    dense pipeline's column slice: re-widening must NOT resurrect them
+    (review finding, round 5 — a metadata-only narrow re-admitted raw,
+    unnormalized values)."""
+    from ranklib_tpu.data.sparse import normalize_csr
+
+    csr = read_letor_sparse(sparse_file, quiet=True)
+    w = csr.n_features - 3
+    back = csr.with_width(w).with_width(csr.n_features)
+    got = back.materialize_rows(0, back.n_docs)
+    want = csr.materialize_rows(0, csr.n_docs)
+    want[:, w:] = 0.0                      # dense clip-then-pad reads 0
+    np.testing.assert_array_equal(got, want)
+    # normalized variant: the narrow drops the wide columns' stats too
+    back_n = (normalize_csr(csr, "zscore").with_width(w)
+              .with_width(csr.n_features))
+    got_n = back_n.materialize_rows(0, back_n.n_docs)
+    assert np.all(got_n[:, w:] == 0.0)
+
+
+def test_binned_from_csr_numpy_fallback_nan_minmax(tmp_path, monkeypatch):
+    """The numpy fallback's threshold grid must ignore NaN in min/max
+    exactly like compute_thresholds (review finding, round 5: np.unique
+    sorts NaN last, so (u[0], u[-1]) poisoned the linspace grid for any
+    over-cap feature containing a NaN)."""
+    import ranklib_tpu.native.loader as L
+    from ranklib_tpu.data.binned import binned_from_csr
+
+    rng = np.random.default_rng(3)
+    lines = []
+    n_docs = 60
+    for i in range(n_docs):
+        # feature 1: > tc distinct values plus NaN rows
+        v = "nan" if i % 7 == 0 else f"{rng.normal():.6f}"
+        lines.append(f"{i % 3} qid:{i // 10 + 1} 1:{v} 2:{i % 4}")
+    p = tmp_path / "nan.txt"
+    p.write_text("\n".join(lines) + "\n")
+    csr = read_letor_sparse(str(p), quiet=True)
+    monkeypatch.setattr(L, "native_feature_uniques", lambda *a, **k: None)
+    ds = binned_from_csr(csr, n_threshold=8)
+    grid = ds.thresholds[0]
+    assert np.isfinite(grid[np.isfinite(grid)]).all()
+    finite = grid[~np.isinf(grid)]
+    assert len(finite) > 1 and not np.isnan(finite).any()
+    # the grid must span the finite value range, not collapse to NaN
+    assert np.all(np.diff(finite) > 0)
