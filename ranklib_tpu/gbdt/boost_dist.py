@@ -156,8 +156,16 @@ def build_sharded_data(train: Dataset, binned: np.ndarray, n_dev: int,
     to the common Npad / Nvpad.
     """
     # int16 host/transfer/device discipline (kernels upcast in-VMEM,
-    # XLA consumers promote in fused ops — see gbdt.boost._upload_bins)
+    # XLA consumers promote in fused ops — see gbdt.boost._upload_bins).
+    # The dtype must cover the VALIDATION bins too: validation values
+    # above a feature's train max bin to n_bins (256 at default -tc),
+    # and a train-only max of 255 picked uint8 — the numpy shard fill
+    # then WRAPPED 256→0, silently left-routing those docs in every -dp
+    # validation traversal (review finding, round 5: the narrow-bin
+    # footgun class pinned in CLAUDE.md).
     mx = np.asarray(binned).max(initial=0)
+    if vbinned is not None:
+        mx = max(mx, np.asarray(vbinned).max(initial=0))
     bdt = (np.uint8 if mx < 256
            else np.int16 if mx < np.iinfo(np.int16).max else np.int32)
     binned_T, labels_flat, doc_mask, tb, Npad = _shard_arrays(

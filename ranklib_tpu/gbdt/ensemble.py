@@ -42,11 +42,16 @@ class Tree:
         return len(self.feature)
 
     def depth(self) -> int:
-        def rec(node, d):
+        best = 0
+        stack = [(0, 0)]                  # iterative: chain trees can
+        while stack:                      # exceed the recursion limit
+            node, d = stack.pop()
             if self.is_leaf[node]:
-                return d
-            return max(rec(self.left[node], d + 1), rec(self.right[node], d + 1))
-        return rec(0, 0)
+                best = max(best, d)
+            else:
+                stack.append((int(self.left[node]), d + 1))
+                stack.append((int(self.right[node]), d + 1))
+        return best
 
 
 class TreeEnsemble:
@@ -658,42 +663,71 @@ class TreeEnsemble:
 
 
 def _node_text(t: Tree, node: int, indent: int, pos: str | None = None):
-    tab = "\t" * indent
-    attr = f" pos=\"{pos}\"" if pos else ""
-    lines = [f"{tab}<split{attr}>"]
-    if t.is_leaf[node]:
-        lines.append(f"{tab}\t<output> {t.output[node]:.15f} </output>")
-    else:
-        lines.append(f"{tab}\t<feature> {int(t.feature[node]) + 1} </feature>")
-        lines.append(f"{tab}\t<threshold> {t.threshold[node]} </threshold>")
-        lines.extend(_node_text(t, int(t.left[node]), indent + 1, "left"))
-        lines.extend(_node_text(t, int(t.right[node]), indent + 1, "right"))
-    lines.append(f"{tab}</split>")
+    """Explicit-stack DFS (leaf-wise growth can produce chain trees of
+    depth ~n_leaves; one Python frame per level RecursionError'd at save
+    time past ~1000 — review finding, round 5)."""
+    lines = []
+    stack = [("open", node, indent, pos)]
+    while stack:
+        kind, nd, ind, ps = stack.pop()
+        tab = "\t" * ind
+        if kind == "close":
+            lines.append(f"{tab}</split>")
+            continue
+        attr = f" pos=\"{ps}\"" if ps else ""
+        lines.append(f"{tab}<split{attr}>")
+        if t.is_leaf[nd]:
+            lines.append(f"{tab}\t<output> {t.output[nd]:.15f} </output>")
+            lines.append(f"{tab}</split>")
+        else:
+            lines.append(
+                f"{tab}\t<feature> {int(t.feature[nd]) + 1} </feature>")
+            lines.append(f"{tab}\t<threshold> {t.threshold[nd]} </threshold>")
+            stack.append(("close", nd, ind, None))
+            stack.append(("open", int(t.right[nd]), ind + 1, "right"))
+            stack.append(("open", int(t.left[nd]), ind + 1, "left"))
     return lines
 
 
 def _parse_split(el, nodes) -> int:
-    """Recursive descent over <split> elements → flat node list; returns
-    this node's slot index."""
-    idx = len(nodes)
-    nodes.append(None)
-    out_el = el.find("output")
-    feat_el = el.find("feature")
-    if feat_el is not None:
-        fid = int(feat_el.text.strip())
-        thr_el = el.find("threshold")
-        thr = float(thr_el.text.strip())
-        kids = {c.get("pos"): c for c in el.findall("split")}
-        if "left" not in kids or "right" not in kids:
-            raise RankLibError("Internal <split> missing left/right child")
-        l = _parse_split(kids["left"], nodes)
-        r = _parse_split(kids["right"], nodes)
-        nodes[idx] = (fid - 1, thr, l, r, False, 0.0)
-    elif out_el is not None:
-        nodes[idx] = (0, 0.0, -1, -1, True, float(out_el.text.strip()))
-    else:
-        raise RankLibError("<split> with neither children nor <output>")
-    return idx
+    """Descent over <split> elements → flat node list; returns the root
+    slot index. Explicit work stack (files from other tools can carry
+    chain trees past the Python recursion limit — review finding);
+    pre-order slot assignment matches the old recursion exactly."""
+    root_idx = len(nodes)
+    stack = [el]
+    # pass 1: pre-order slot assignment (parent before left before right)
+    order = []
+    while stack:
+        e = stack.pop()
+        idx = len(nodes)
+        nodes.append(None)
+        order.append((e, idx))
+        if e.find("feature") is not None:
+            kids = {c.get("pos"): c for c in e.findall("split")}
+            if "left" not in kids or "right" not in kids:
+                raise RankLibError("Internal <split> missing left/right child")
+            stack.append(kids["right"])
+            stack.append(kids["left"])
+    # pre-order via a LIFO visits parent, then the whole left subtree,
+    # then the right subtree — exactly the recursive numbering. Record
+    # each element's slot, then fill nodes with child links.
+    slot_of = {id(e): idx for e, idx in order}
+    for e, idx in order:
+        out_el = e.find("output")
+        feat_el = e.find("feature")
+        if feat_el is not None:
+            thr_el = e.find("threshold")
+            kids = {c.get("pos"): c for c in e.findall("split")}
+            nodes[idx] = (int(feat_el.text.strip()) - 1,
+                          float(thr_el.text.strip()),
+                          slot_of[id(kids["left"])],
+                          slot_of[id(kids["right"])], False, 0.0)
+        elif out_el is not None:
+            nodes[idx] = (0, 0.0, -1, -1, True, float(out_el.text.strip()))
+        else:
+            raise RankLibError("<split> with neither children nor <output>")
+    return root_idx
 
 
 def _tree_from_nodes(nodes) -> Tree:

@@ -484,6 +484,42 @@ def _stop_round(hist: np.ndarray, estop: int):
     return None
 
 
+def flatten_binned(train, n_threshold: int):
+    """Shared fit preamble (review finding, round 5: four drifting
+    copies across gbdt/rf): (feats|None, labels, qptr, thresholds,
+    binned_real|None, N, F). Streamed -sparse datasets carry their own
+    bin matrix + grid and no raw values; dense data computes the grid
+    from real docs only."""
+    from ranklib_tpu.data.dataset import flatten, flatten_meta
+    from ranklib_tpu.gbdt.binning import compute_thresholds
+
+    if getattr(train, "binned", None) is not None:
+        labels, qptr = flatten_meta(train)
+        N, F = train.binned.shape
+        return None, labels, qptr, train.thresholds, train.binned, N, F
+    feats, labels, qptr = flatten(train)
+    N, F = feats.shape
+    thresholds, _ = compute_thresholds(feats, n_threshold)
+    return feats, labels, qptr, thresholds, None, N, F
+
+
+def pad_binned(feats, binned_real, thresholds, labels, N: int):
+    """Pad the doc axis to the compile-grid count and produce the padded
+    bin matrix (+ labels): dense data bins AFTER padding (pad rows bin
+    wherever 0.0 lands — inert, zero doc weight), pre-binned data pads
+    with bin 0 (same inertness)."""
+    from ranklib_tpu.gbdt.binning import bin_features
+
+    Npad = _pad_doc_count(N)
+    if binned_real is None:
+        binned = bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
+                              thresholds)
+    else:
+        binned = np.pad(binned_real, ((0, Npad - N), (0, 0)))
+    labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
+    return binned, labels_pad, Npad
+
+
 def _pad_doc_count(n: int) -> int:
     """Quantize the flattened doc count so differently-sized inputs (RF
     bags, CV folds) hit the same compiled tree-grower."""

@@ -146,7 +146,9 @@ class RFRanker(Ranker):
         from ranklib_tpu.gbdt.boost import (
             init_state, make_boost_data, make_round_step,
         )
-        from ranklib_tpu.models.gbdt import _export_tree, _pad_doc_count
+        from ranklib_tpu.models.gbdt import (
+            _export_tree, flatten_binned, pad_binned,
+        )
 
         rng = np.random.default_rng(self.seed)
         log("Training starts...")
@@ -158,24 +160,13 @@ class RFRanker(Ranker):
         # re-binning, no re-bucketing (the reference trains each bag as a
         # separate MART run, RFRanker.java:~25).
         stream = getattr(train, "binned", None) is not None
-        if stream:
-            # streamed -sparse file: bins + grid arrive with the dataset
-            labels, qptr = flatten_meta(train)
-            thresholds, binned_real = train.thresholds, train.binned
-            N, F = binned_real.shape
-        else:
-            feats, labels, qptr = flatten(train)
-            N, F = feats.shape
-            thresholds, _ = compute_thresholds(feats, self.n_threshold)
-            binned_real = None
+        feats, labels, qptr, thresholds, binned_real, N, F = (
+            flatten_binned(train, self.n_threshold))
         Q = len(train.queries)
         doc_counts = np.diff(qptr)
         B = thresholds.shape[1]
-        Npad = _pad_doc_count(N)
-        binned = (bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
-                               thresholds) if binned_real is None
-                  else np.pad(binned_real, ((0, Npad - N), (0, 0))))
-        labels_pad = np.pad(labels, (0, Npad - N)).astype(np.float32)
+        binned, labels_pad, Npad = pad_binned(feats, binned_real,
+                                              thresholds, labels, N)
         pointwise = self.ranker_type == 0
         data, Npad, _ = make_boost_data(train, binned, labels_pad, N,
                                         None, None,
@@ -202,8 +193,15 @@ class RFRanker(Ranker):
             bag_data = data._replace(doc_mask=jnp.asarray(doc_w),
                                      feat_mask=jnp.asarray(fmask))
             state = init_state(self.n_trees, self.n_leaves, Npad, 0, F)
-            # whole bag in one dispatch: no host event between rounds
-            state = step.multi(state, 0, self.n_trees, bag_data)
+            # chained rounds with no host event between them — but capped
+            # at 128 rounds/dispatch like gbdt._boost_loop: a single
+            # ~330 s device call kills the remote worker (CLAUDE.md), and
+            # RF rounds at -leaf 100 are ~10x a default LambdaMART round
+            t = 0
+            while t < self.n_trees:
+                nxt = min(self.n_trees, t + 128)
+                state = step.multi(state, t, nxt, bag_data)
+                t = nxt
             arrs = jax.device_get((state.tfeat, state.tbin, state.tleft,
                                    state.tright, state.tleaf, state.tout,
                                    state.tnodes))
@@ -234,30 +232,22 @@ class RFRanker(Ranker):
 
         from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
         from ranklib_tpu.gbdt.boost import _upload_bins
-        from ranklib_tpu.models.gbdt import _export_tree, _pad_doc_count
+        from ranklib_tpu.models.gbdt import (
+            _export_tree, flatten_binned, pad_binned,
+        )
 
         rng = np.random.default_rng(self.seed)
         log("Training starts...")
         stream = getattr(train, "binned", None) is not None
-        if stream:
-            labels, qptr = flatten_meta(train)
-            thresholds, binned_real = train.thresholds, train.binned
-            N, F = binned_real.shape
-        else:
-            feats, labels, qptr = flatten(train)
-            N, F = feats.shape
-            thresholds, _ = compute_thresholds(feats, self.n_threshold)
-            binned_real = None
+        feats, labels, qptr, thresholds, binned_real, N, F = (
+            flatten_binned(train, self.n_threshold))
         Q = len(train.queries)
         doc_counts = np.diff(qptr)
         B = thresholds.shape[1]
-        Npad = _pad_doc_count(N)
-        binned = (bin_features(np.pad(feats, ((0, Npad - N), (0, 0))),
-                               thresholds) if binned_real is None
-                  else np.pad(binned_real, ((0, Npad - N), (0, 0))))
+        binned, labels_pad_np, Npad = pad_binned(feats, binned_real,
+                                                 thresholds, labels, N)
         binned_T = _upload_bins(np.ascontiguousarray(binned.T))
-        labels_dev = jnp.asarray(
-            np.pad(labels, (0, Npad - N)).astype(np.float32))
+        labels_dev = jnp.asarray(labels_pad_np)
 
         # Bag sampling happens upfront IN BAG ORDER — the rng consumption
         # (and so every bag's composition) matches the sequential path.
@@ -324,18 +314,17 @@ class RFRanker(Ranker):
         """Mesh path: each bag trains through the full (distributed)
         LambdaMART/MART fit on its sampled subset, sharing the global
         binning via ``prebinned``."""
-        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
+        from ranklib_tpu.gbdt.binning import bin_features
+        from ranklib_tpu.models.gbdt import flatten_binned
 
         rng = np.random.default_rng(self.seed)
         cls = MART if self.ranker_type == 0 else LambdaMART
         log("Training starts...")
         stream = getattr(train, "binned", None) is not None
-        if stream:
-            _, qptr = flatten_meta(train)
-            thresholds, binned_full = train.thresholds, train.binned
-        else:
-            feats_full, _, qptr = flatten(train)
-            thresholds, _ = compute_thresholds(feats_full, self.n_threshold)
+        feats_full, _, qptr, thresholds, binned_full, _, _ = (
+            flatten_binned(train, self.n_threshold))
+        if binned_full is None:
+            # NO doc padding here: each bag's sub-fit pads its own subset
             binned_full = bin_features(feats_full, thresholds)
         self.ensembles = []
         was_silent = is_silent()

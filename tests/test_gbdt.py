@@ -494,3 +494,35 @@ def test_best_splits_mls_zero_rejects_empty_sides():
     hist[0, 0, :, 0] = [0.0, 2.0, 2.0]
     g, f, b, ok = best_splits_xla(jnp.asarray(hist), mls=0.0)
     assert bool(ok[0]) and int(b[0]) == 1
+
+
+def test_deep_chain_tree_xml_roundtrip():
+    """A chain tree deeper than Python's recursion limit must save and
+    re-load (leaf-wise growth at large -leaf can produce near-chain
+    trees; the recursive DFS RecursionError'd past ~1000 levels — review
+    finding, round 5). Text round-trip only: byte-stable and slot-exact."""
+    D = 1500
+    n = 2 * D + 1
+    feature = np.zeros(n, np.int32)
+    threshold = np.zeros(n, np.float32)
+    left = np.zeros(n, np.int32)
+    right = np.zeros(n, np.int32)
+    is_leaf = np.ones(n, bool)
+    output = np.zeros(n, np.float32)
+    for i in range(D):
+        is_leaf[2 * i] = False
+        threshold[2 * i] = float(i)
+        left[2 * i] = 2 * i + 1
+        right[2 * i] = 2 * i + 2
+        output[2 * i + 1] = float(i)
+    output[2 * D] = -1.0
+    t = Tree(feature, threshold, left, right, is_leaf, output)
+    assert t.depth() == D
+    ens = TreeEnsemble()
+    ens.add(t, 0.1)
+    text = ens.to_text()
+    back = TreeEnsemble.from_text(text)
+    assert back.to_text() == text
+    bt = back.trees[0]
+    np.testing.assert_array_equal(bt.is_leaf, t.is_leaf)
+    np.testing.assert_array_equal(bt.threshold, t.threshold)

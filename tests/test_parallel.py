@@ -499,3 +499,33 @@ def test_coorascent_sparse_mesh_matches_single_device(tmp_path,
     r8 = CoorAscent(n_restart=2, max_passes=3)
     r8.fit(csr, scorer, mesh=make_mesh(8))
     np.testing.assert_allclose(r8.weights, r1.weights, atol=2e-4)
+
+
+def test_build_sharded_data_validation_bin_256_no_wrap():
+    """Bin-dtype choice must cover VALIDATION bins: at default -tc 256
+    train bins are 0..255 (uint8-eligible) but validation values above a
+    feature's train max bin to 256 — a train-only max picked uint8 and
+    the shard fill WRAPPED 256→0, silently left-routing those docs in
+    every -dp validation traversal (review finding, round 5)."""
+    from tests.fixtures import synth_dataset
+    from ranklib_tpu.data.dataset import flatten
+    from ranklib_tpu.gbdt.boost_dist import build_sharded_data
+
+    train = synth_dataset(n_queries=8, n_features=4, min_docs=5,
+                          max_docs=9, seed=3)
+    val = synth_dataset(n_queries=4, n_features=4, min_docs=5,
+                        max_docs=9, seed=4, w_seed=3)
+    Nt = flatten(train)[0].shape[0]
+    Nv = flatten(val)[0].shape[0]
+    rng = np.random.default_rng(0)
+    binned = rng.integers(0, 256, size=(Nt, 4)).astype(np.int32)
+    binned[0] = 255                          # train max stays uint8-sized
+    vbinned = rng.integers(0, 256, size=(Nv, 4)).astype(np.int32)
+    vbinned[0] = 256                         # above-train-max bin id
+    mesh = make_mesh(2)
+    data, Npad, Nvpad = build_sharded_data(train, binned, 2,
+                                           validation=val, vbinned=vbinned,
+                                           mesh=mesh)
+    v = np.asarray(data.vbinned)
+    assert v.max() == 256                    # survived, did not wrap to 0
+    assert np.asarray(data.binned_T).dtype == v.dtype
