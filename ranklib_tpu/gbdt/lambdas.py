@@ -150,7 +150,12 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
 
     Rx = R[:, :, None]
     Ry = R[:, None, :]
-    ratio = (1.0 - Ry) / (1.0 - Rx)
+    # sign-preserving denominator floor — formula-identical with
+    # metrics.scorers.err_swap (parity-pinned); see the note there
+    den = 1.0 - Rx
+    den = jnp.where(jnp.abs(den) < 1e-6,
+                    jnp.where(den < 0, -1e-6, 1e-6), den)
+    ratio = (1.0 - Ry) / den
     # the clip mirrors err_swap's M = max(M, 0): a no-op for well-formed
     # data (terms are non-negative so the between-sum is too), live only
     # in the label>gmax regime — keep bit-parity with the sorted path

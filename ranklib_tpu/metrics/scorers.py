@@ -142,7 +142,19 @@ def err_swap(L, n, k, gmax=4.0):
     Ej1 = jnp.concatenate([jnp.zeros_like(E[:, :1]), E[:, :-1]], axis=-1)
     M = Ej1[:, None, :] - E[:, :, None]
     M = jnp.maximum(M, 0.0)
-    ratio = (1.0 - R[:, None, :]) / (1.0 - R[:, :, None])   # (1−R_j)/(1−R_i)
+    # (1−R_j)/(1−R_i), with a sign-preserving floor on the denominator:
+    # R_i == 1 exactly (reachable only with labels ABOVE -gmax, e.g.
+    # binary labels under -gmax 0) made this 0/0 → NaN lambdas from
+    # round one (review finding, round 5). The floor is exact for
+    # well-formed data (1−R ≥ 2^−gmax ≫ 1e-6); at the boundary the
+    # NaN-producing terms carry an exact 0 factor (T/M vanish with
+    # 1−R_i), so any finite ratio yields the correct 0 contribution.
+    # MUST stay formula-identical with gbdt.lambdas' nosort ERR path
+    # (parity-pinned).
+    den = 1.0 - R[:, :, None]
+    den = jnp.where(jnp.abs(den) < 1e-6,
+                    jnp.where(den < 0, -1e-6, 1e-6), den)
+    ratio = (1.0 - R[:, None, :]) / den
     dij = (
         u[:, :, None] * (R[:, None, :] - R[:, :, None]) * T[:, :, None]
         + (ratio - 1.0) * M
@@ -289,8 +301,12 @@ def best_swap(L, n, k):
     # dropping position i from top-k: max stays m1 unless i is the unique max
     drop_max = jnp.where((Lin == m1[:, None]) & (cnt1[:, None] <= 1),
                          m2[:, None], m1[:, None])            # [B, D]
-    # only cross-boundary swaps (i inside k, j outside) change the set
+    # only cross-boundary swaps (i inside k, j outside) change the set.
+    # where(), not multiply-by-zero: a fully-padded row (n = 0) has
+    # m1 = max(all −inf) = −inf, and (−inf − −inf)·0 = NaN — every other
+    # swap_fn returns exact 0 for that row and batched pad-row consumers
+    # rely on it (review finding, round 5)
     cross = ink[:, :, None] * (1.0 - ink[:, None, :])
     new_max = jnp.maximum(drop_max[:, :, None], L[:, None, :])
-    dij = (new_max - m1[:, None, None]) * cross
+    dij = jnp.where(cross > 0, new_max - m1[:, None, None], 0.0)
     return _sym(dij) * _pair_valid(n, D)

@@ -16,6 +16,8 @@
 #include <thread>
 #include <vector>
 
+#include "common.h"
+
 // One shared search + thread-dealing implementation serves every entry
 // point (review finding, round 5: the i32 and transposed variants had
 // drifted into two parity-pinned copies of the same binary search).
@@ -33,20 +35,10 @@ void bin_rows(const float* feats, const float* thr, T* out,
         for (int64_t f = 0; f < F; ++f) {
             const float* t = thr + f * B;
             const float v = row[f];
-            int64_t bin;
-            if (v != v) {                 // NaN: after +inf -> clamp
-                bin = clamp;
-            } else {
-                // branchless lower_bound: count of t[j] < v
-                int64_t lo = 0, len = B;
-                while (len > 1) {
-                    const int64_t half = len >> 1;
-                    lo += (t[lo + half - 1] < v) ? half : 0;
-                    len -= half;
-                }
-                bin = lo + (t[lo] < v ? 1 : 0);
-                if (bin > clamp) bin = clamp;
-            }
+            // shared parity-defining search (common.h): NaN -> B,
+            // then the caller clamp
+            int64_t bin = ranklib_native::bin_of(t, B, v);
+            if (bin > clamp) bin = clamp;
             (TRANSPOSED ? out[f * N + i] : out[i * F + f]) =
                 static_cast<T>(bin);
         }
@@ -139,24 +131,8 @@ extern "C" int bin_features_i16_T(const float* feats, const float* thr,
 
 #include <cstring>
 
-namespace {
-struct CappedSet {
-    // open addressing over float bit patterns; size must be a power of 2
-    static const int64_t TABLE = 1024;      // > 2*cap for cap <= 400
-    uint32_t keys[TABLE];
-    uint8_t used[TABLE];
-    int64_t count;
-    bool dead;
-};
-
-inline uint32_t fbits(float v) {
-    if (v == 0.0f) v = 0.0f;                // -0.0 -> +0.0
-    if (v != v) return 0x7FC00000u;         // all NaNs -> one canonical key
-    uint32_t b;
-    std::memcpy(&b, &v, sizeof(b));
-    return b;
-}
-}  // namespace
+using ranklib_native::CappedSet;
+using ranklib_native::capped_insert;
 
 extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
                                int64_t N, int64_t F, int64_t cap,
@@ -181,23 +157,7 @@ extern "C" int feature_uniques(const float* feats,     // [N, F] row-major
             const float v = row[f];
             if (v < mn[f]) mn[f] = v;
             if (v > mx[f]) mx[f] = v;
-            CappedSet& s = sets[f];
-            if (s.dead) continue;
-            const uint32_t b = fbits(v);
-            uint64_t h = (static_cast<uint64_t>(b) * 0x9E3779B97F4A7C15ull)
-                         >> 54;             // top 10 bits -> [0, 1024)
-            while (true) {
-                if (!s.used[h]) {
-                    if (s.count >= cap) { s.dead = true; break; }
-                    s.used[h] = 1;
-                    s.keys[h] = b;
-                    out_vals[f * cap + s.count] = (b == 0 ? 0.0f : v);
-                    ++s.count;
-                    break;
-                }
-                if (s.keys[h] == b) break;
-                h = (h + 1) & (CappedSet::TABLE - 1);
-            }
+            capped_insert(sets[f], v, out_vals + f * cap, cap);
         }
     }
     for (int64_t f = 0; f < F; ++f) {

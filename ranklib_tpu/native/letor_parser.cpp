@@ -22,6 +22,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
+
+#include "common.h"
 
 namespace {
 
@@ -312,58 +315,9 @@ int letor_descs(const char* path, char* descbuf, int64_t desc_stride,
 
 namespace {
 
-struct CappedSet {
-  // open addressing over float bit patterns (mirror of binner.cpp);
-  // TABLE > 2*cap for cap <= 400
-  static const int64_t TABLE = 1024;
-  uint32_t keys[TABLE];
-  uint8_t used[TABLE];
-  int64_t count;
-  bool dead;
-};
-
-inline uint32_t fbits(float v) {
-  if (v == 0.0f) v = 0.0f;  // -0.0 -> +0.0
-  if (v != v) return 0x7FC00000u;
-  uint32_t b;
-  memcpy(&b, &v, sizeof(b));
-  return b;
-}
-
-inline void capped_insert(CappedSet& s, float v, float* vals, int64_t cap) {
-  if (s.dead) return;
-  const uint32_t b = fbits(v);
-  uint64_t h =
-      (static_cast<uint64_t>(b) * 0x9E3779B97F4A7C15ull) >> 54;
-  while (true) {
-    if (!s.used[h]) {
-      if (s.count >= cap) {
-        s.dead = true;
-        return;
-      }
-      s.used[h] = 1;
-      s.keys[h] = b;
-      vals[s.count] = (b == 0 ? 0.0f : v);
-      ++s.count;
-      return;
-    }
-    if (s.keys[h] == b) return;
-    h = (h + 1) & (CappedSet::TABLE - 1);
-  }
-}
-
-// branchless lower_bound over a sorted +inf-padded row: count of t[j] < v;
-// NaN -> B (numpy sort order puts NaN after +inf) — exact binner.cpp parity
-inline int64_t bin_of(const float* t, int64_t B, float v) {
-  if (v != v) return B;
-  int64_t lo = 0, len = B;
-  while (len > 1) {
-    const int64_t half = len >> 1;
-    lo += (t[lo + half - 1] < v) ? half : 0;
-    len -= half;
-  }
-  return lo + (t[lo] < v ? 1 : 0);
-}
+using ranklib_native::CappedSet;
+using ranklib_native::bin_of;
+using ranklib_native::capped_insert;
 
 }  // namespace
 
@@ -399,7 +353,24 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
     mn[f] = INFINITY;
     mx[f] = -INFINITY;
   }
+  // Per-line LAST-WINS before any statistic is taken: the dense parser
+  // overwrites duplicate fid:val pairs on one line, so an overwritten
+  // value must not enter the unique set / min-max, and coverage must
+  // count each (line, fid) once or the implicit-zero fold is skipped
+  // (review finding, round 5: '1:5.0 1:7.0' put 5.0 into the grid and
+  // overcounted specified — streamed grids diverged from dense).
+  float* last_val = static_cast<float*>(malloc(sizeof(float) * n_feat));
+  int64_t* last_line = static_cast<int64_t*>(
+      calloc(static_cast<size_t>(n_feat), sizeof(int64_t)));
+  std::vector<int64_t> line_fids;
+  line_fids.reserve(256);
+  if (last_val == nullptr || last_line == nullptr) {
+    free(sets); free(specified); free(mn); free(mx);
+    free(last_val); free(last_line);
+    return -1;
+  }
   int64_t docs = 0;
+  int64_t line_no = 0;
   char qid[QID_MAX + 1];
   char* p = buf;
   char* fend = buf + size;
@@ -408,15 +379,18 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
     char* nl = static_cast<char*>(memchr(p, '\n', fend - p));
     char* lend = (nl != nullptr) ? nl : fend;
     float label;
+    ++line_no;
+    line_fids.clear();
     int r = parse_line<true>(
         p, lend, &label, qid,
         [&](int64_t fid, float val) {
           if (fid >= 1 && fid <= n_feat) {
             const int64_t f = fid - 1;
-            if (val < mn[f]) mn[f] = val;
-            if (val > mx[f]) mx[f] = val;
-            ++specified[f];
-            capped_insert(sets[f], val, out_vals + f * cap, cap);
+            if (last_line[f] != line_no) {
+              last_line[f] = line_no;
+              line_fids.push_back(f);
+            }
+            last_val[f] = val;            // last occurrence wins
           }
         },
         nullptr, 0);
@@ -424,7 +398,16 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
       rc = (r == -2) ? -4 : -2;
       break;
     }
-    if (r == 1) ++docs;
+    if (r == 1) {
+      ++docs;
+      for (int64_t f : line_fids) {
+        const float val = last_val[f];
+        if (val < mn[f]) mn[f] = val;
+        if (val > mx[f]) mx[f] = val;
+        ++specified[f];
+        capped_insert(sets[f], val, out_vals + f * cap, cap);
+      }
+    }
     p = lend + 1;
   }
   free(buf);
@@ -445,6 +428,7 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
     }
   }
   free(sets); free(specified); free(mn); free(mx);
+  free(last_val); free(last_line);
   return rc;
 }
 

@@ -56,13 +56,21 @@ def gunzip_to_temp(path: str) -> str:
     return tmp_path
 
 
+_COMMON_H = os.path.join(_DIR, "common.h")
+
+
 def _compile_and_load(src: str, lib_path: str, extra_flags=()):
     """Compile-on-first-use, shared by every native library here:
-    rebuild when the .so is missing or older than its source, then CDLL.
+    rebuild when the .so is missing or older than its source OR the
+    shared header (common.h holds the parity-defining primitives both
+    .cpp files include — a header edit must rebuild both), then CDLL.
     Returns None on any compiler/loader failure (callers memoize)."""
     try:
+        src_mtime = os.path.getmtime(src)
+        if os.path.exists(_COMMON_H):
+            src_mtime = max(src_mtime, os.path.getmtime(_COMMON_H))
         if (not os.path.exists(lib_path)
-                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
+                or os.path.getmtime(lib_path) < src_mtime):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  *extra_flags, "-o", lib_path, src],

@@ -241,6 +241,31 @@ def forest_eval_pallas_full(X, fid_full, thr_full, PmQc, csQc, plenc,
     return out[0, :N]
 
 
+def _bins_selection_epilogue(bins, s_ref, nb_ref, pmq_ref, aux_ref,
+                             out_ref):
+    """The parity-DEFINING selection + leaf fold shared by the fused,
+    split, and host-binned bin-space kernels (one copy — review finding,
+    round 5: three verbatim clones of this block had to stay
+    bit-identical by hand): one bf16 selection dot (exact — bin ids
+    ≤ 256 are bf16 integers, each sel row one-hot), the node compare,
+    the P−Q path dot, and the leaf fold (csQ folded into the
+    path-length row host-side: hits_raw + csQ == plen ⟺ hits_raw ==
+    plen − csQ; the indicator·outw product collapses into one
+    select)."""
+    vals = jax.lax.dot_general(
+        s_ref[0], bins,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TCM, TN] exact
+    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
+    hits = jax.lax.dot_general(
+        pred, pmq_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, TCLp]
+    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
+                        aux_ref[0, 1, :][None, :], 0.0)
+    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+
+
 def _forest_bins_kernel(xt_ref, grid_ref, s_ref, nb_ref, pmq_ref, aux_ref,
                         out_ref, bins_ref, *, n_grid: int, n_rows: int):
     """Bin-space exact variant: ONE default-precision bf16 selection pass.
@@ -282,21 +307,8 @@ def _forest_bins_kernel(xt_ref, grid_ref, s_ref, nb_ref, pmq_ref, aux_ref,
                 jnp.bfloat16)
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    vals = jax.lax.dot_general(
-        s_ref[0], bins_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TCM, TN] exact
-    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
-    hits = jax.lax.dot_general(
-        pred, pmq_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TN, TCLp]
-    # leaf fold, 3 VPU passes: csQ is folded into the path-length row
-    # host-side (hits_raw + csQ == plen ⟺ hits_raw == plen − csQ), and
-    # the indicator·outw product collapses into one select
-    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
-                        aux_ref[0, 1, :][None, :], 0.0)
-    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+    _bins_selection_epilogue(bins_ref[:], s_ref, nb_ref,
+                             pmq_ref, aux_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid",))
@@ -424,18 +436,8 @@ def _forest_bins_split_kernel(bins_ref, s_ref, nb_ref, pmq_ref, aux_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    vals = jax.lax.dot_general(
-        s_ref[0], bins_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TCM, TN] exact
-    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
-    hits = jax.lax.dot_general(
-        pred, pmq_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TN, TCLp]
-    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
-                        aux_ref[0, 1, :][None, :], 0.0)
-    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+    _bins_selection_epilogue(bins_ref[:], s_ref, nb_ref,
+                             pmq_ref, aux_ref, out_ref)
 
 
 _TN_SPLIT = int(os.environ.get("RANKLIB_TPU_SERVE_TN_SPLIT", "4096"))
@@ -535,18 +537,8 @@ def _forest_frombins_kernel(bini_ref, s_ref, nb_ref, pmq_ref, aux_ref,
 
     bins = (bini_ref[:].astype(jnp.int32).astype(jnp.float32)
             .astype(jnp.bfloat16))
-    vals = jax.lax.dot_general(
-        s_ref[0], bins,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TCM, TN] exact
-    pred = (vals <= nb_ref[0][:, 0:1]).astype(jnp.bfloat16)
-    hits = jax.lax.dot_general(
-        pred, pmq_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [TN, TCLp]
-    contrib = jnp.where(hits == aux_ref[0, 0, :][None, :],
-                        aux_ref[0, 1, :][None, :], 0.0)
-    out_ref[:] += jnp.sum(contrib, axis=1)[None, :]
+    _bins_selection_epilogue(bins, s_ref, nb_ref,
+                             pmq_ref, aux_ref, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("n_grid",))

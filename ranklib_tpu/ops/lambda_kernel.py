@@ -104,7 +104,12 @@ def separable_vectors(scorer, L, n):
     valid = (jnp.arange(D)[None, :] < n[:, None]).astype(jnp.float32)
     if scorer.metric == "P":
         rel = (L > 0).astype(jnp.float32) * valid
-        ke = jnp.minimum(jnp.int32(scorer.k), n).astype(jnp.float32)
+        # k <= 0 means NO cutoff (metrics.scorers._k_eff) — min(k, n)
+        # read 0 here and zeroed every fused lambda while the XLA path
+        # trained normally (review finding, round 5)
+        k_eff = jnp.where(jnp.int32(scorer.k) > 0,
+                          jnp.minimum(jnp.int32(scorer.k), n), n)
+        ke = k_eff.astype(jnp.float32)
         inv_k = jnp.where(ke > 0, 1.0 / jnp.where(ke > 0, ke, 1.0), 0.0)
         ink = S._ink(scorer.k, n, D)
         return rel * inv_k[:, None], ink

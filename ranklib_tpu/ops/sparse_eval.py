@@ -209,25 +209,34 @@ def adarank_weak_matrix(ds, scorer: MetricScorer) -> np.ndarray:
             jnp.zeros((len(idxs), D, 1), jnp.float32)))[:, 0]
         for b, qi in enumerate(idxs):
             S[qi, :] = m0[b]
-        # present pairs: chunk rows so B·D·Cmax stays bounded
+        # present pairs: chunk rows so B·D·Cmax stays bounded. Every
+        # sub-chunk pads to the SAME (rows, D, Cmax) shape — unpadded
+        # sub-chunks retraced batch_metric per distinct (len(sub), Csub)
+        # (the tail of every class + per-chunk candidate maxima), each a
+        # fresh multi-second compile through the tunnel (review finding,
+        # round 5). Pad rows carry empty masks (metric 0, never read
+        # back); pad candidate columns cost bounded wasted flops.
         Cmax = max((len(present[qi]) for qi in idxs), default=0)
         if Cmax == 0:
             continue
         rows = max(1, budget // (D * Cmax))
+        rows = min(rows, len(idxs))
         for lo in range(0, len(idxs), rows):
             sub = idxs[lo: lo + rows]
-            Csub = max(len(present[qi]) for qi in sub)
-            if Csub == 0:
+            if all(len(present[qi]) == 0 for qi in sub):
                 continue
-            sc = np.zeros((len(sub), D, Csub), np.float32)
+            sc = np.zeros((rows, D, Cmax), np.float32)
             for b, qi in enumerate(sub):
                 fq = present[qi]
                 if len(fq):
                     sc[b, : ds.queries[qi].n, : len(fq)] = \
                         ds.materialize_query(qi)[:, fq]
+            labs_sub = np.zeros((rows, D), np.float32)
+            msk_sub = np.zeros((rows, D), bool)
+            labs_sub[: len(sub)] = labs[lo: lo + len(sub)]
+            msk_sub[: len(sub)] = msk[lo: lo + len(sub)]
             vals = np.asarray(batch_metric(
-                jnp.asarray(labs[lo: lo + len(sub)]),
-                jnp.asarray(msk[lo: lo + len(sub)]),
+                jnp.asarray(labs_sub), jnp.asarray(msk_sub),
                 jnp.asarray(sc)))
             for b, qi in enumerate(sub):
                 fq = present[qi]

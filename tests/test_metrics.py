@@ -228,3 +228,43 @@ def test_topk_fast_path_matches_full_sort(metric):
             nn = jnp.asarray(n.astype(np.int32))
             slow = np.asarray(scorer._score(rank_labels(Lj, sj, mj), nn))
             assert np.allclose(fast, slow, atol=1e-6), (metric, k, trial)
+
+
+def test_err_swap_finite_with_labels_above_gmax():
+    """R == 1 exactly (binary labels under -gmax 0) made the closed-form
+    ratio 0/0 -> NaN lambdas from round one; the sign-preserving
+    denominator floor keeps every delta finite, in BOTH the sorted and
+    the sort-free ERR paths (review finding, round 5)."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.metrics.scorers import err_swap
+    from ranklib_tpu.gbdt.lambdas import (
+        lambda_weights, lambda_weights_nosort_err,
+    )
+    from ranklib_tpu.metrics.base import create_scorer
+
+    L = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    d = np.asarray(err_swap(L, jnp.asarray([4]), 10, gmax=0.0))
+    assert np.isfinite(d).all()
+    scorer = create_scorer("ERR@10", gmax=0.0)
+    scores = jnp.asarray([[0.5, 1.5, -0.5, 0.2]])
+    mask = jnp.asarray([[True, True, True, True]])
+    lam_a, w_a = lambda_weights(scorer, L, scores, mask)
+    lam_b, w_b = lambda_weights_nosort_err(scorer, L, scores, mask)
+    assert np.isfinite(np.asarray(lam_a)).all()
+    assert np.isfinite(np.asarray(lam_b)).all()
+    np.testing.assert_allclose(np.asarray(lam_a), np.asarray(lam_b),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_best_swap_padded_row_is_zero():
+    """A fully-padded row (n = 0) must produce an all-ZERO swap matrix
+    like every other swap_fn — (-inf - -inf) * 0 read NaN and batched
+    pad-row consumers multiply by masks (review finding, round 5)."""
+    import jax.numpy as jnp
+
+    from ranklib_tpu.metrics.scorers import best_swap
+
+    d = np.asarray(best_swap(jnp.zeros((2, 5)), jnp.asarray([0, 3]), 10))
+    assert np.isfinite(d).all()
+    np.testing.assert_array_equal(d[0], 0.0)

@@ -332,3 +332,27 @@ def test_sparse_relddrop_grid_matches_dense(tmp_path):
         assert rc == 0
         outs[tag] = model.read_text()
     assert outs["dense"] == outs["sparse"]
+
+
+def test_stream_grid_duplicate_fids_last_wins(tmp_path):
+    """Duplicate fid:val pairs on one line: the dense parser overwrites
+    (last wins), so the streamed value-stats pass must not let the
+    overwritten value into the unique set / min-max, and coverage must
+    count the line once so the implicit-zero fold still fires (review
+    finding, round 5: '1:5.0 1:7.0' diverged the streamed grid from
+    dense)."""
+    path = tmp_path / "dup.txt"
+    lines = [
+        "1 qid:1 1:5.0 1:7.0 2:1.0",
+        "0 qid:1 2:3.0",
+        "2 qid:2 1:2.0 2:4.0 2:-1.0",
+        "0 qid:2 1:2.0",
+    ]
+    path.write_text("\n".join(lines) + "\n")
+    dense = read_letor(str(path), missing_zero=True)
+    feats, _, _ = flatten(dense)
+    thr, _ = compute_thresholds(feats, 256)
+    bins = bin_features(feats, thr)
+    bd = read_letor_binned(str(path), n_threshold=256)
+    np.testing.assert_array_equal(bd.thresholds, thr)
+    np.testing.assert_array_equal(np.asarray(bd.binned, np.int32), bins)
