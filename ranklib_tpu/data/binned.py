@@ -263,6 +263,17 @@ def binned_from_csr(ds, n_threshold: int = 256,
                 v, ccounts, cminmax = nat
                 cvals = [v[f][: min(int(ccounts[f]), n_threshold)]
                          for f in range(F)]
+                # the native pass normalizes a nothing-seen minmax to
+                # (0, 0) — correct single-shot semantics, but a real 0
+                # in a cross-CHUNK merge: a chunk whose feature is
+                # all-NaN (one canonical-NaN unique) would fold a fake
+                # 0 into the running min (review finding, round 5 —
+                # streamed over-cap grids read [0, max] vs dense
+                # [true_min, max]). All-NaN is exactly count==1 with a
+                # NaN unique; restore the inert ±inf seeds for those.
+                nan_only = (ccounts == 1) & np.isnan(v[:, 0])
+                cminmax[nan_only, 0] = np.inf
+                cminmax[nan_only, 1] = -np.inf
             for f in range(F):
                 if ccounts[f] > n_threshold:
                     over[f] = True

@@ -152,9 +152,10 @@ def lambda_weights_nosort_err(scorer, labels, scores, mask):
     Ry = R[:, None, :]
     # sign-preserving denominator floor — formula-identical with
     # metrics.scorers.err_swap (parity-pinned); see the note there
+    eps = min(1e-6, 2.0 ** (-float(scorer.gmax)) / 2.0)
     den = 1.0 - Rx
-    den = jnp.where(jnp.abs(den) < 1e-6,
-                    jnp.where(den < 0, -1e-6, 1e-6), den)
+    den = jnp.where(jnp.abs(den) < eps,
+                    jnp.where(den < 0, -eps, eps), den)
     ratio = (1.0 - Ry) / den
     # the clip mirrors err_swap's M = max(M, 0): a no-op for well-formed
     # data (terms are non-negative so the between-sum is too), live only

@@ -151,9 +151,13 @@ def err_swap(L, n, k, gmax=4.0):
     # 1−R_i), so any finite ratio yields the correct 0 contribution.
     # MUST stay formula-identical with gbdt.lambdas' nosort ERR path
     # (parity-pinned).
+    # floor scaled to the label range: legitimate 1−R is ≥ 2^−gmax, so
+    # min(1e-6, 2^−gmax/2) never perturbs a valid ratio even at
+    # -gmax ≥ 20 (a fixed 1e-6 floor did — follow-up review finding)
+    eps = min(1e-6, 2.0 ** (-float(gmax)) / 2.0)
     den = 1.0 - R[:, :, None]
-    den = jnp.where(jnp.abs(den) < 1e-6,
-                    jnp.where(den < 0, -1e-6, 1e-6), den)
+    den = jnp.where(jnp.abs(den) < eps,
+                    jnp.where(den < 0, -eps, eps), den)
     ratio = (1.0 - R[:, None, :]) / den
     dij = (
         u[:, :, None] * (R[:, None, :] - R[:, :, None]) * T[:, :, None]

@@ -142,7 +142,6 @@ class RFRanker(Ranker):
         import jax
         import jax.numpy as jnp
 
-        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
         from ranklib_tpu.gbdt.boost import (
             init_state, make_boost_data, make_round_step,
         )
@@ -193,13 +192,15 @@ class RFRanker(Ranker):
             bag_data = data._replace(doc_mask=jnp.asarray(doc_w),
                                      feat_mask=jnp.asarray(fmask))
             state = init_state(self.n_trees, self.n_leaves, Npad, 0, F)
-            # chained rounds with no host event between them — but capped
-            # at 128 rounds/dispatch like gbdt._boost_loop: a single
-            # ~330 s device call kills the remote worker (CLAUDE.md), and
-            # RF rounds at -leaf 100 are ~10x a default LambdaMART round
+            # chained rounds with no host event between them — capped per
+            # dispatch like gbdt._boost_loop (a ~330 s device call kills
+            # the remote worker, CLAUDE.md), and SCALED by leaf count:
+            # growth cost ~ n_leaves, so gbdt's 128-round cap (sized for
+            # 10 leaves) is ~10x too long at the RF default -leaf 100
+            cap = max(8, 1280 // max(10, self.n_leaves))
             t = 0
             while t < self.n_trees:
-                nxt = min(self.n_trees, t + 128)
+                nxt = min(self.n_trees, t + cap)
                 state = step.multi(state, t, nxt, bag_data)
                 t = nxt
             arrs = jax.device_get((state.tfeat, state.tbin, state.tleft,
@@ -230,7 +231,6 @@ class RFRanker(Ranker):
         trees are bit-identical (tests/test_boosting_rf.py)."""
         import jax.numpy as jnp
 
-        from ranklib_tpu.gbdt.binning import bin_features, compute_thresholds
         from ranklib_tpu.gbdt.boost import _upload_bins
         from ranklib_tpu.models.gbdt import (
             _export_tree, flatten_binned, pad_binned,

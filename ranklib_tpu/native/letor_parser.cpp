@@ -365,7 +365,7 @@ int letor_value_stats(const char* path, int64_t n_feat, int64_t cap,
   std::vector<int64_t> line_fids;
   line_fids.reserve(256);
   if (last_val == nullptr || last_line == nullptr) {
-    free(sets); free(specified); free(mn); free(mx);
+    free(buf); free(sets); free(specified); free(mn); free(mx);
     free(last_val); free(last_line);
     return -1;
   }
